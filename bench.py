@@ -1,0 +1,122 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+
+The flagship measures the north_rule metric: spatial-join +
+tile-assignment throughput (images/sec) over the synthetic input_hint
+image table. Run tools/bench_scaling.py for the local[8]-vs-local[32]
+scaling-efficiency evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_BENCH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "500000"))
+
+
+def _images_parquet(spark, n_images: int) -> str:
+    """Materialize the synthetic input_hint table once (the metric is
+    over a TABLE SCAN, not over on-the-fly generation)."""
+    from gfp_gdal_spark.sources import datagen
+
+    path = f"/tmp/spark_graft_bench_cache/images_{n_images}"
+    try:
+        if spark.read.parquet(path).count() == n_images:
+            return path
+    except Exception:
+        pass
+    datagen.images_table(spark, n_images, with_bytes=False).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _flagship(spark, images_path: str):
+    """images scan -> footprints -> cell-bucketed PiP join vs
+    2k-polygon layer -> WebMercator tile assign -> per-tile counts."""
+    from pyspark.sql import functions as F
+
+    from gfp_gdal_spark.functions.spatial import with_footprint
+    from gfp_gdal_spark.operators import joins as J
+    from gfp_gdal_spark.sources import datagen
+
+    imgs = spark.read.parquet(images_path)
+    pts = with_footprint(imgs).select("image_id", "lon_c", "lat_c")
+    polys = datagen.vector_layer(spark, 2000)
+    joined = J.pip_join(pts, polys, z=6, broadcast=True)
+    tiled = J.tile_assign(joined, z=12)
+    return tiled.groupBy("category", "tile_z", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from gfp_gdal_spark.session import get_spark
+
+    spark = get_spark(app="gfp_gdal_spark_bench", cores=cpus)
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    bench_queries = [
+        "tile_assign",
+        "tile_counts",
+        "tile_cover",
+        "pip_join_rect",
+        "pip_join_shuffle",
+        "knn_join",
+        "salted_cell_count",
+        "agg_pricing",
+        "group_segments",
+        "topk_per_user",
+        "exact_dedup",
+        "token_stats",
+        "cosine_topk",
+        "minhash_pairs",
+        "hex_cells",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # materialize the full result
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # flagship throughput (images/sec): the north_rule metric
+    images_path = _images_parquet(spark, N_BENCH_IMAGES)
+    t0 = time.time()
+    n_out = _flagship(spark, images_path).count()
+    flagship_sec = time.time() - t0
+    timings["flagship_pip_tile"] = round(flagship_sec, 3)
+    print(f"# flagship: {flagship_sec:.2f}s ({n_out} tiles)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "spatial_join_tile_assign_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_bench_images": N_BENCH_IMAGES,
+        "images_per_sec": round(N_BENCH_IMAGES / flagship_sec, 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Arrow-native geometry operators (mapInArrow, zero-copy).
+
+A pandas UDF hands nested list columns to Python as object ndarrays —
+converting 500k rings costs ~40us/row in pure Python. mapInArrow
+instead exposes the Arrow ListArray BUFFERS (values + offsets), which
+are exactly the ragged (flat, offsets) layout the numpy kernels use:
+the conversion becomes three zero-copy views per batch regardless of
+row count. This is the hot path of pip_join at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from gfp_gdal_spark.kernels import geom as G
+
+__all__ = ["pip_filter_arrow", "ring_lists_to_ragged", "holes_lists_to_ragged"]
+
+
+def _lengths(arr: pa.ListArray) -> np.ndarray:
+    """Per-row list lengths with nulls -> 0."""
+    vl = arr.value_lengths()
+    if vl.null_count:
+        vl = vl.fill_null(0)
+    return vl.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def ring_lists_to_ragged(arr: pa.ListArray) -> tuple[np.ndarray, np.ndarray]:
+    """array<array<double>> column -> (flat[N,2], offsets). Zero-copy
+    modulo Arrow's own flatten."""
+    counts = _lengths(arr)
+    pts = arr.flatten()  # ListArray<double>, one entry per vertex
+    coords = pts.flatten().to_numpy(zero_copy_only=False)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return coords.reshape(-1, 2), offsets
+
+
+def holes_lists_to_ragged(arr: pa.ListArray):
+    """array<array<array<double>>> column ->
+    (flat[N,2], ring_offsets, ring_row): ring_row[i] = batch row of
+    hole ring i."""
+    n_rings_per_row = _lengths(arr)
+    rings = arr.flatten()  # ListArray<ListArray<double>>: all hole rings
+    flat, ring_off = ring_lists_to_ragged(rings)
+    ring_row = np.repeat(
+        np.arange(len(n_rings_per_row), dtype=np.int64), n_rings_per_row
+    )
+    return flat, ring_off, ring_row
+
+
+def _pip_mask(batch: pa.RecordBatch, lon: str, lat: str, ring: str, holes: str | None) -> np.ndarray:
+    cols = {name: i for i, name in enumerate(batch.schema.names)}
+    px = batch.column(cols[lon]).to_numpy(zero_copy_only=False)
+    py = batch.column(cols[lat]).to_numpy(zero_copy_only=False)
+    eflat, eoff = ring_lists_to_ragged(batch.column(cols[ring]))
+    inside = G.points_in_rings_pairwise(px, py, eflat, eoff)
+    if holes is not None and holes in cols:
+        hflat, hoff, hrow = holes_lists_to_ragged(batch.column(cols[holes]))
+        if len(hrow):
+            in_hole = G.points_in_rings_pairwise(px[hrow], py[hrow], hflat, hoff)
+            bad = np.zeros(len(inside), dtype=bool)
+            np.logical_or.at(bad, hrow, in_hole)
+            inside &= ~bad
+    return inside
+
+
+def pip_filter_arrow(
+    df: DataFrame,
+    lon: str,
+    lat: str,
+    ring: str,
+    holes: str | None = None,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows whose (lon,lat) lies strictly inside the row's polygon
+    (exterior ring minus holes). One vectorized kernel pass per Arrow
+    batch.
+
+    ``out_cols`` prunes the RETURN path: the ring/holes arrays are
+    needed python-side for the kernel but usually not downstream —
+    shipping them back through Arrow doubles the transfer for nothing.
+    """
+    if out_cols is None:
+        out_schema = df.schema
+        keep_idx = None
+    else:
+        names = df.schema.names
+        keep_idx = [names.index(c) for c in out_cols]
+        from pyspark.sql.types import StructType
+
+        out_schema = StructType([df.schema.fields[i] for i in keep_idx])
+
+    def op(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            mask = _pip_mask(batch, lon, lat, ring, holes)
+            if keep_idx is not None:
+                batch = pa.RecordBatch.from_arrays(
+                    [batch.column(i) for i in keep_idx],
+                    names=[batch.schema.names[i] for i in keep_idx],
+                )
+            if mask.any():
+                yield batch.filter(pa.array(mask))
+
+    return df.mapInArrow(op, out_schema)

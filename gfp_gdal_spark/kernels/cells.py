@@ -1,0 +1,226 @@
+"""Spatial cell-index kernels: WebMercator tiles, hex cells (H3-style
+API), S2-style cube-face Hilbert cells. Pure numpy, fully vectorized.
+
+The reference has no spatial index (its joins live elsewhere in
+geoflow); these implement the BASELINE.json north_rule requirements.
+The WebMercator math is the public slippy-map spec; the S2-style id is
+the public cube-face + Hilbert-curve construction; the hex grid is OUR
+OWN documented spec ("hexlite") with an API that mirrors the public
+h3 package (latlng_to_cell / grid_disk / cell_to_parent) so the real
+h3 wheel can be swapped in on a cluster — bit-compat with Uber H3 is
+explicitly NOT claimed (no h3 available offline; see SURVEY.md §7.3c).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "lonlat_to_tile",
+    "tile_range_for_bbox",
+    "hex_encode",
+    "hex_to_center",
+    "hex_parent",
+    "hex_disk_offsets",
+    "hex_neighbors_of",
+    "s2_encode",
+    "HEX_BASE_SIZE_DEG",
+    "MAX_LAT_WEBMERC",
+]
+
+MAX_LAT_WEBMERC = 85.05112878
+
+
+# ---------------------------------------------------------------------------
+# WebMercator z/x/y tiles (slippy map spec) — the `tile_assign` core.
+# Same formula is SQL-expressible (floor/ln/tan), which is what the
+# DuckDB oracles use.
+# ---------------------------------------------------------------------------
+
+def lonlat_to_tile(lon, lat, z: int) -> tuple[np.ndarray, np.ndarray]:
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.clip(np.asarray(lat, dtype=np.float64), -MAX_LAT_WEBMERC, MAX_LAT_WEBMERC)
+    n = float(1 << z)
+    xt = np.floor((lon + 180.0) / 360.0 * n)
+    lat_r = np.radians(lat)
+    yt = np.floor((1.0 - np.log(np.tan(lat_r) + 1.0 / np.cos(lat_r)) / math.pi) / 2.0 * n)
+    xt = np.clip(xt, 0, n - 1).astype(np.int64)
+    yt = np.clip(yt, 0, n - 1).astype(np.int64)
+    return xt, yt
+
+
+def tile_range_for_bbox(min_lon, min_lat, max_lon, max_lat, z: int):
+    """Tile index ranges covering each bbox: (x0, x1, y0, y1) inclusive."""
+    x0, y1 = lonlat_to_tile(min_lon, min_lat, z)  # south-west: max y
+    x1, y0 = lonlat_to_tile(max_lon, max_lat, z)  # north-east: min y
+    return x0, x1, y0, y1
+
+
+# ---------------------------------------------------------------------------
+# "hexlite" hex grid — our documented spec (h3-style API).
+#
+# Pointy-top hexes in (lon, lat)-degree space, axial coordinates (q, r):
+#   size(res) = HEX_BASE_SIZE_DEG * 7**(-res/2)      (aperture-7 scaling,
+#                                                     like H3's res steps)
+#   x = lon, y = lat
+#   qf = (sqrt(3)/3 * x - 1/3 * y) / size ; rf = (2/3 * y) / size
+#   (q, r) = cube_round(qf, rf)
+# Cell id packing (fits a positive int64):
+#   id = (res << 58) | (zigzag(q) << 29) | zigzag(r)
+# with zigzag(v) = (v << 1) ^ (v >> 63) bounded to 29 bits (q, r are
+# bounded by the lon/lat domain for res <= 15).
+# ---------------------------------------------------------------------------
+
+HEX_BASE_SIZE_DEG = 1.0
+_SQ3 = math.sqrt(3.0)
+
+
+def _hex_size(res: int) -> float:
+    return HEX_BASE_SIZE_DEG * (7.0 ** (-res / 2.0))
+
+
+def _cube_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    sf = -qf - rf
+    q = np.rint(qf)
+    r = np.rint(rf)
+    s = np.rint(sf)
+    dq = np.abs(q - qf)
+    dr = np.abs(r - rf)
+    ds = np.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return (v << 1) ^ (v >> 63)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    return (u >> 1) ^ -(u & 1)
+
+
+def _pack(res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
+    return (np.int64(res) << 58) | (_zigzag(q) << 29) | _zigzag(r)
+
+
+def _unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> 58
+    q = _unzigzag((cell >> 29) & ((1 << 29) - 1))
+    r = _unzigzag(cell & ((1 << 29) - 1))
+    return res, q, r
+
+
+def hex_encode(lon, lat, res: int) -> np.ndarray:
+    """lat/lng -> hexlite cell id at ``res`` (h3.latlng_to_cell analog)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    size = _hex_size(res)
+    qf = (_SQ3 / 3.0 * lon - lat / 3.0) / size
+    rf = (2.0 / 3.0 * lat) / size
+    q, r = _cube_round(qf, rf)
+    return _pack(res, q, r)
+
+
+def hex_to_center(cell) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id -> (lon, lat) of the hex center (h3.cell_to_latlng analog)."""
+    res, q, r = _unpack(cell)
+    size = HEX_BASE_SIZE_DEG * np.power(7.0, -res.astype(np.float64) / 2.0)
+    # inverse of hex_encode: y = 1.5*r*s, x = sqrt3*s*(q + r/2)
+    lat = 1.5 * r * size
+    lon = _SQ3 * (q + r / 2.0) * size
+    return lon, lat
+
+
+def hex_parent(cell, parent_res: int) -> np.ndarray:
+    """Coarser-res cell containing this cell's center
+    (h3.cell_to_parent analog; deterministic, spec-defined)."""
+    lon, lat = hex_to_center(cell)
+    return hex_encode(lon, lat, parent_res)
+
+
+def hex_disk_offsets(k: int) -> np.ndarray:
+    """All axial (dq, dr) offsets within hex distance k (incl. center):
+    the h3.grid_disk neighborhood, 3k(k+1)+1 cells. Small; computed on
+    the driver and joined via explode."""
+    offs = []
+    for dq in range(-k, k + 1):
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
+            offs.append((dq, dr))
+    return np.asarray(offs, dtype=np.int64)
+
+
+def hex_neighbors_of(cell, k: int) -> np.ndarray:
+    """grid_disk: [n, 3k(k+1)+1] neighbor ids per input cell."""
+    res, q, r = _unpack(cell)
+    offs = hex_disk_offsets(k)
+    qq = q[:, None] + offs[None, :, 0]
+    rr = r[:, None] + offs[None, :, 1]
+    return (res[:, None] << 58) | (_zigzag(qq) << 29) | _zigzag(rr)
+
+
+# ---------------------------------------------------------------------------
+# S2-style cells: cube face + quadratic ST transform + Hilbert curve.
+# Public construction (S2 geometry papers/docs); vectorized bit loop.
+# id = face * 4**level + hilbert_position  (distinct from real S2's
+# bit layout — we don't claim bit-compat, only the same geometry).
+# ---------------------------------------------------------------------------
+
+def s2_encode(lon, lat, level: int) -> np.ndarray:
+    lon = np.radians(np.asarray(lon, dtype=np.float64))
+    lat = np.radians(np.asarray(lat, dtype=np.float64))
+    x = np.cos(lat) * np.cos(lon)
+    y = np.cos(lat) * np.sin(lon)
+    z = np.sin(lat)
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(
+        (ax >= ay) & (ax >= az),
+        np.where(x >= 0, 0, 3),
+        np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
+    ).astype(np.int64)
+    # (u, v) on the face in [-1, 1]
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (un, vn, dn) in enumerate(
+        [(1, 2, 0), (2, 0, 1), (0, 1, 2), (1, 2, 0), (2, 0, 1), (0, 1, 2)]
+    ):
+        m = face == f
+        if not m.any():
+            continue
+        comps = (x, y, z)
+        denom = comps[dn][m]
+        sgn = 1.0 if f < 3 else -1.0
+        u[m] = comps[un][m] / (sgn * denom)
+        v[m] = comps[vn][m] / (sgn * denom)
+    # quadratic uv->st (public S2 transform), st in [0,1]
+    def uv_to_st(w):
+        with np.errstate(invalid="ignore"):
+            return np.where(w >= 0, 0.5 * np.sqrt(1 + 3 * w), 1 - 0.5 * np.sqrt(1 - 3 * w))
+
+    s = np.clip(uv_to_st(u), 0, np.nextafter(1, 0))
+    t = np.clip(uv_to_st(v), 0, np.nextafter(1, 0))
+    n = np.int64(1) << level
+    i = np.minimum((s * n).astype(np.int64), n - 1)
+    j = np.minimum((t * n).astype(np.int64), n - 1)
+    # vectorized Hilbert d2xy inverse (xy2d), standard bit-twiddling loop
+    rx = np.zeros_like(i)
+    d = np.zeros_like(i)
+    ii, jj = i.copy(), j.copy()
+    sbit = np.int64(1) << (level - 1) if level > 0 else np.int64(0)
+    while sbit > 0:
+        rx = ((ii & sbit) > 0).astype(np.int64)
+        ry = ((jj & sbit) > 0).astype(np.int64)
+        d += sbit * sbit * ((3 * rx) ^ ry)
+        # rotate
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        ii_f = np.where(flip, sbit - 1 - ii, ii)
+        jj_f = np.where(flip, sbit - 1 - jj, jj)
+        ii, jj = np.where(swap, jj_f, ii_f), np.where(swap, ii_f, jj_f)
+        sbit >>= 1
+    return face * (np.int64(1) << (2 * level)) + d

@@ -1,0 +1,379 @@
+"""Vectorized ragged-ring geometry kernels (pure numpy).
+
+Canonical geometry form (mirrors the reference's ring canon,
+ogr_reader_node.cpp:86-107 and geos_nodes.cpp:31-67,110-117):
+
+- a *ring* is an UNCLOSED sequence of (x, y) float64 vertices;
+- exterior rings are CCW (signed area > 0), holes are CW;
+- a *polygon* is one exterior ring + zero or more hole rings.
+
+Batch ("ragged") layout used by every kernel:
+
+    flat    : float64[total_vertices, 2]   all rings concatenated
+    offsets : int64[n_rings + 1]           ring i = flat[offsets[i]:offsets[i+1]]
+
+This is exactly an Arrow `list<fixed2 double>` layout, so conversion
+from a pandas Series of list-of-[x, y] is a cheap concatenate and the
+kernels stay fully vectorized across an entire Arrow batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "ragged_from_lists",
+    "ragged_to_lists",
+    "signed_area",
+    "orient_rings",
+    "ring_bbox",
+    "points_in_rings_pairwise",
+    "point_in_polygon_pairwise",
+    "rings_valid",
+    "simplify_rings",
+    "buffer_bbox_rings",
+    "rings_to_wkt",
+    "haversine",
+]
+
+
+# ---------------------------------------------------------------------------
+# ragged conversion
+# ---------------------------------------------------------------------------
+
+def _ring_flat(r) -> np.ndarray:
+    """One ring (list of [x,y] / ndarray of ndarrays from Arrow) -> flat xy."""
+    if isinstance(r, np.ndarray) and r.dtype == object:
+        return np.concatenate(list(r)).astype(np.float64, copy=False)
+    return np.asarray(r, dtype=np.float64).reshape(-1)
+
+
+def ragged_from_lists(rings) -> tuple[np.ndarray, np.ndarray]:
+    """list-of-(list of [x,y]) -> (flat[N,2], offsets[M+1]). Empty/None rings ok.
+
+    Accepts both plain Python nested lists and the object-ndarray form
+    Arrow/pandas hands to a pandas UDF for array<array<double>>.
+    """
+    counts = np.fromiter(
+        (0 if r is None else len(r) for r in rings), dtype=np.int64, count=len(rings)
+    )
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    if offsets[-1] == 0:
+        return np.empty((0, 2), dtype=np.float64), offsets
+    parts = [_ring_flat(r) for r in rings if r is not None and len(r)]
+    flat = np.concatenate(parts).reshape(-1, 2)
+    return flat, offsets
+
+
+def ragged_to_lists(flat: np.ndarray, offsets: np.ndarray) -> list:
+    """Inverse of :func:`ragged_from_lists` (list of [ [x,y], ... ])."""
+    return [flat[offsets[i]: offsets[i + 1]].tolist() for i in range(len(offsets) - 1)]
+
+
+def _segment_index(offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For unclosed rings: per-vertex index + wrapped next-vertex index."""
+    total = int(offsets[-1])
+    idx = np.arange(total, dtype=np.int64)
+    nxt = idx + 1
+    ends = offsets[1:][offsets[1:] > offsets[:-1]]  # skip empty rings
+    starts = offsets[:-1][offsets[1:] > offsets[:-1]]
+    nxt[ends - 1] = starts
+    return idx, nxt
+
+
+# ---------------------------------------------------------------------------
+# orientation / area  (reference semantics: geos_nodes.cpp:31-67)
+# ---------------------------------------------------------------------------
+
+def signed_area(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Shoelace signed area per ring; >0 == CCW. Empty rings -> 0."""
+    n = len(offsets) - 1
+    if flat.shape[0] == 0:
+        return np.zeros(n, dtype=np.float64)
+    idx, nxt = _segment_index(offsets)
+    cross = flat[idx, 0] * flat[nxt, 1] - flat[nxt, 0] * flat[idx, 1]
+    out = np.zeros(n, dtype=np.float64)
+    nonempty = offsets[1:] > offsets[:-1]
+    if nonempty.any():
+        sums = np.add.reduceat(cross, offsets[:-1][nonempty])
+        out[nonempty] = 0.5 * sums
+    return out
+
+
+def orient_rings(flat: np.ndarray, offsets: np.ndarray, ccw: bool = True) -> np.ndarray:
+    """Return a copy of ``flat`` with every ring oriented CCW (or CW).
+
+    Idempotent (orient∘orient == orient); mirrors the reference's
+    canonicalization on read (ogr_reader_node.cpp:86-99) and after
+    simplify/buffer (geos_nodes.cpp:167,201).
+    """
+    area = signed_area(flat, offsets)
+    flip = (area < 0) if ccw else (area > 0)
+    out = flat.copy()
+    for i in np.flatnonzero(flip):  # flips are rare post-canon; loop is on rings, not vertices
+        s, e = offsets[i], offsets[i + 1]
+        out[s:e] = out[s:e][::-1]
+    return out
+
+
+def ring_bbox(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-ring [minx, miny, maxx, maxy]; empty rings -> nan."""
+    n = len(offsets) - 1
+    out = np.full((n, 4), np.nan, dtype=np.float64)
+    nonempty = offsets[1:] > offsets[:-1]
+    if not nonempty.any():
+        return out
+    starts = offsets[:-1][nonempty]
+    out[nonempty, 0] = np.minimum.reduceat(flat[:, 0], starts)
+    out[nonempty, 1] = np.minimum.reduceat(flat[:, 1], starts)
+    out[nonempty, 2] = np.maximum.reduceat(flat[:, 0], starts)
+    out[nonempty, 3] = np.maximum.reduceat(flat[:, 1], starts)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (ray cast), the pip_join refine kernel
+# ---------------------------------------------------------------------------
+
+def points_in_rings_pairwise(
+    px: np.ndarray, py: np.ndarray, flat: np.ndarray, offsets: np.ndarray
+) -> np.ndarray:
+    """Row-pairwise ray cast: point i vs ring i -> bool[n_rings].
+
+    Fully vectorized across the batch (one segment-mask pass +
+    ``np.add.reduceat`` parity per ring). Rings with <3 vertices are
+    treated as containing nothing (mirrors the degenerate-geometry
+    guard, geos_nodes.cpp:144-148). Boundary points follow the
+    standard half-open ray-cast rule.
+    """
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=bool)
+    if flat.shape[0] == 0 or n == 0:
+        return out
+    counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    idx, nxt = _segment_index(offsets)
+    x1, y1 = flat[idx, 0], flat[idx, 1]
+    x2, y2 = flat[nxt, 0], flat[nxt, 1]
+    pxs = np.repeat(np.asarray(px, dtype=np.float64), counts)
+    pys = np.repeat(np.asarray(py, dtype=np.float64), counts)
+    straddle = (y1 > pys) != (y2 > pys)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (pys - y1) / (y2 - y1) + x1
+    hit = straddle & (pxs < xint)
+    nonempty = counts > 0
+    if nonempty.any():
+        parity = np.add.reduceat(hit.astype(np.int64), offsets[:-1][nonempty]) & 1
+        ok = counts[nonempty] >= 3
+        out[nonempty] = (parity == 1) & ok
+    return out
+
+
+def point_in_polygon_pairwise(px, py, ext_flat, ext_off, holes_per_row) -> np.ndarray:
+    """point i vs polygon i (exterior ring + holes). holes_per_row is a
+    list (len n) of list-of-rings (each ring list of [x,y]) or None.
+
+    Inside == inside exterior AND outside every hole
+    (hole semantics per ogr_reader_node.cpp:101-119).
+    """
+    inside = points_in_rings_pairwise(px, py, ext_flat, ext_off)
+
+    def _has(h):
+        return h is not None and len(h) > 0
+
+    hole_rows = [i for i, h in enumerate(holes_per_row) if _has(h) for _ in h]
+    if hole_rows:
+        rings = [r for h in holes_per_row if _has(h) for r in h]
+        hflat, hoff = ragged_from_lists(rings)
+        hp = np.asarray(hole_rows, dtype=np.int64)
+        in_hole = points_in_rings_pairwise(
+            np.asarray(px, dtype=np.float64)[hp], np.asarray(py, dtype=np.float64)[hp], hflat, hoff
+        )
+        bad = np.zeros(len(inside), dtype=bool)
+        np.logical_or.at(bad, hp, in_hole)
+        inside &= ~bad
+    return inside
+
+
+# ---------------------------------------------------------------------------
+# validity (self-intersection) — S8 `is_valid` (ogr_reader_node.cpp:265,276)
+# ---------------------------------------------------------------------------
+
+def _ring_self_intersects(pts: np.ndarray) -> bool:
+    """Proper-intersection test among non-adjacent segments of one closed
+    ring (pts unclosed). O(n^2) vectorized — rings here are small."""
+    n = pts.shape[0]
+    if n < 4:
+        return False
+    a = pts
+    b = np.roll(pts, -1, axis=0)
+    i, j = np.triu_indices(n, k=2)
+    adj = (i == 0) & (j == n - 1)  # first and last segment are adjacent (wrap)
+    i, j = i[~adj], j[~adj]
+    if len(i) == 0:
+        return False
+    p, r = a[i], b[i] - a[i]
+    q, s = a[j], b[j] - a[j]
+    rxs = r[:, 0] * s[:, 1] - r[:, 1] * s[:, 0]
+    qp = q - p
+    t_num = qp[:, 0] * s[:, 1] - qp[:, 1] * s[:, 0]
+    u_num = qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / rxs
+        u = u_num / rxs
+    proper = (rxs != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    return bool(proper.any())
+
+
+def rings_valid(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-ring validity: >=3 vertices, nonzero area, no self-intersection."""
+    n = len(offsets) - 1
+    counts = offsets[1:] - offsets[:-1]
+    area = signed_area(flat, offsets)
+    out = (counts >= 3) & (area != 0.0)
+    for i in np.flatnonzero(out):
+        if _ring_self_intersects(flat[offsets[i]: offsets[i + 1]]):
+            out[i] = False
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Douglas–Peucker simplify — G1 (geos_nodes.cpp:133-185)
+# ---------------------------------------------------------------------------
+
+def _dp_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask for an open polyline (endpoints kept)."""
+    n = pts.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        s, e = stack.pop()
+        if e <= s + 1:
+            continue
+        seg = pts[e] - pts[s]
+        mid = pts[s + 1: e] - pts[s]
+        seg_len = np.hypot(seg[0], seg[1])
+        if seg_len == 0.0:
+            d = np.hypot(mid[:, 0], mid[:, 1])
+        else:
+            d = np.abs(mid[:, 0] * seg[1] - mid[:, 1] * seg[0]) / seg_len
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = s + 1 + k
+            keep[m] = True
+            stack.append((s, m))
+            stack.append((m, e))
+    return keep
+
+
+def simplify_rings(flat: np.ndarray, offsets: np.ndarray, tol: float):
+    """DP-simplify each unclosed ring; returns (flat', offsets', ok[bool]).
+
+    Semantics mirror PolygonSimplifyGEOS (geos_nodes.cpp:133-185):
+    rings with <3 vertices pass through unchanged with ok=False
+    (:144-148); a simplified ring that degenerates (<3 vertices) or
+    self-intersects is flagged ok=False and the ORIGINAL ring is
+    returned (failure pass-through, :153-176); output re-oriented CCW
+    (:167). The ring is closed before DP (endpoints anchored) and
+    re-opened after, so vertex 0 is always preserved.
+    """
+    n = len(offsets) - 1
+    out_rings: list[np.ndarray] = []
+    ok = np.zeros(n, dtype=bool)
+    for i in range(n):
+        pts = flat[offsets[i]: offsets[i + 1]]
+        if pts.shape[0] < 3:
+            out_rings.append(pts)
+            continue
+        closed = np.vstack([pts, pts[:1]])
+        keep = _dp_mask(closed, tol)
+        simp = closed[keep][:-1]
+        area = signed_area(simp.reshape(-1, 2), np.array([0, len(simp)]))[0]
+        if simp.shape[0] < 3 or area == 0.0 or _ring_self_intersects(simp):
+            out_rings.append(pts)  # pass-through on failure (collapsed/invalid)
+            continue
+        if area < 0:
+            simp = simp[::-1]
+        out_rings.append(simp)
+        ok[i] = True
+    counts = np.array([r.shape[0] for r in out_rings], dtype=np.int64)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    new_flat = (
+        np.concatenate(out_rings, axis=0) if new_off[-1] else np.empty((0, 2), np.float64)
+    )
+    return new_flat, new_off, ok
+
+
+def buffer_bbox_rings(flat: np.ndarray, offsets: np.ndarray, offset: float):
+    """v1 buffer (G2 analog, geos_nodes.cpp:187-213): axis-aligned bbox
+    expand/shrink by ``offset``. Exact for the engine's axis-aligned
+    footprint quads; a degenerate (inverted) result returns the
+    ORIGINAL ring with ok=False (mirrors :202-207 invalid-result
+    pass-through). Returns (flat', offsets', ok)."""
+    bb = ring_bbox(flat, offsets)
+    n = len(offsets) - 1
+    out_rings, ok = [], np.zeros(n, dtype=bool)
+    for i in range(n):
+        minx, miny, maxx, maxy = bb[i]
+        if not np.isfinite(minx):
+            out_rings.append(flat[offsets[i]: offsets[i + 1]])
+            continue
+        nx0, ny0, nx1, ny1 = minx - offset, miny - offset, maxx + offset, maxy + offset
+        if nx1 <= nx0 or ny1 <= ny0:
+            out_rings.append(flat[offsets[i]: offsets[i + 1]])
+            continue
+        out_rings.append(
+            np.array([[nx0, ny0], [nx1, ny0], [nx1, ny1], [nx0, ny1]], dtype=np.float64)
+        )
+        ok[i] = True
+    counts = np.array([r.shape[0] for r in out_rings], dtype=np.int64)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    new_flat = (
+        np.concatenate(out_rings, axis=0) if new_off[-1] else np.empty((0, 2), np.float64)
+    )
+    return new_flat, new_off, ok
+
+
+# ---------------------------------------------------------------------------
+# WKT emit — S8 `wkt` output (ogr_reader_node.cpp:245)
+# ---------------------------------------------------------------------------
+
+def rings_to_wkt(flat, offsets, holes_per_row=None) -> list[str]:
+    """POLYGON wkt per row (ring re-closed on emit, like writers re-close:
+    ogr_writer_node.cpp:47,59). Empty ring -> 'POLYGON EMPTY'."""
+    out = []
+    n = len(offsets) - 1
+    for i in range(n):
+        pts = flat[offsets[i]: offsets[i + 1]]
+        if pts.shape[0] == 0:
+            out.append("POLYGON EMPTY")
+            continue
+        def fmt(ring_pts):
+            closed = np.vstack([ring_pts, ring_pts[:1]])
+            return "(" + ", ".join(f"{x:.9g} {y:.9g}" for x, y in closed) + ")"
+        parts = [fmt(pts)]
+        hi = holes_per_row[i] if holes_per_row is not None else None
+        if hi is not None and len(hi) > 0:
+            for h in hi:
+                parts.append(fmt(_ring_flat(h).reshape(-1, 2)))
+        out.append("POLYGON (" + ", ".join(parts) + ")")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distances
+# ---------------------------------------------------------------------------
+
+_EARTH_R_M = 6_371_008.8
+
+
+def haversine(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vectorized haversine distance in meters."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * _EARTH_R_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))

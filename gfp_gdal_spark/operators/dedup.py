@@ -1,0 +1,211 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup is a hash groupBy; near-dup goes signature -> LSH banding
+-> bucket equi-join -> exact verify — the same
+turn-a-theta-join-into-an-equi-join rewrite as the spatial joins.
+
+Scale notes: candidate pairs are generated per LSH band bucket with a
+size cap (a degenerate bucket of b identical docs would otherwise emit
+b^2 pairs); verification recomputes true Jaccard only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gfp_gdal_spark.functions.text import minhash_signature, simhash64
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_dedup",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal: keep the minimum id per identical text.
+
+    Returns (keeper id, n_dupes, text). groupBy = map-side partial agg
+    + one shuffle on a hash of the text; at 100 TB group on
+    xxhash64(text) first and resolve collisions within groups.
+    """
+    return (
+        df.groupBy(text)
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .select("keeper_id", "n_dupes", text)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash + LSH banding.
+
+    signature(n_hashes) -> split into ``bands`` bands of
+    n_hashes/bands rows -> explode (band_idx, band_slice) -> equi-join
+    docs sharing any band bucket -> distinct (id_a < id_b) pairs with
+    estimated jaccard = matching minhash fraction.
+    """
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text), n_hashes=n_hashes, shingle=shingle).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.slice("_sig", b * rows + 1, rows).alias("key")
+                ),
+            )
+        ).alias("bk"),
+    ).select("_id", "_sig", F.col("bk.band").alias("band"), F.hash("bk.key").alias("bkey"))
+    # cap degenerate buckets
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bkey").orderBy("_id")
+    banded = banded.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= max_bucket)
+    a = banded.select(
+        F.col("band"), F.col("bkey"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bkey"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1
+        )
+    ).cast("double") / F.lit(float(n_hashes))
+    return pairs.withColumn("est_jaccard", est).drop("sig_a", "sig_b")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **kw,
+) -> DataFrame:
+    """Near-dup clusters (one-hop union): every doc maps to the minimum
+    id among its >=threshold neighbors (itself included). A full
+    connected-components (iterate to fixpoint) is the multi-round
+    extension; one hop already collapses the mirror/copy clusters that
+    dominate web corpora."""
+    pairs = minhash_lsh_pairs(df, text=text, id_col=id_col, **kw).where(
+        F.col("est_jaccard") >= threshold
+    )
+    fwd = pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("peer"))
+    bwd = pairs.select(F.col("id_a").alias("_id"), F.col("id_b").alias("peer"))
+    links = fwd.unionByName(bwd)
+    rep = links.groupBy("_id").agg(F.min("peer").alias("min_peer"))
+    return (
+        df.join(rep, df[id_col] == rep["_id"], "left")
+        .withColumn("cluster_id", F.least(F.coalesce("min_peer", df[id_col]), df[id_col]))
+        .drop("_id", "min_peer")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup pairs via 64-bit SimHash with 4x16-bit block banding:
+    any pair within hamming distance 3 shares at least one exact
+    16-bit block (pigeonhole), so candidates come from 4 equi-joins,
+    verified with bit_count(xor) <= max_hamming."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text), shingle=shingle).alias("_sh"))
+    blocks = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("_sh", 16 * b)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", "bk.blk", "bk.key")
+    a = blocks.select("blk", "key", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = blocks.select("blk", "key", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    pairs = (
+        a.join(b, ["blk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram (word) Jaccard similarity for all pairs sharing at
+    least one n-gram — pure DataFrame ops (explode + self-join on the
+    n-gram + count algebra), no UDF: |A∩B| from the join, |A|,|B| from
+    per-doc distinct counts, J = inter / (|A|+|B|-inter)."""
+    toks = F.split(F.lower(F.col(text)), " ")
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ).alias("gram"),
+    ).where(F.length("gram") > 0).distinct()
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("_id").alias("id_a"), "gram")
+    b = grams.select(F.col("_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_grams").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

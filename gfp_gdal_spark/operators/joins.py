@@ -1,0 +1,266 @@
+"""Spatial joins — the engine's flagship operators [north_rule].
+
+The reference has no joins (SURVEY.md §2.4); these implement the
+BASELINE.json requirements with the one rewrite Catalyst cannot infer:
+turning a spatial theta-join into a **cell-bucketed equi-join**
+(cover/encode -> explode -> hash join -> exact refine).
+
+Scale design notes (100 TB / 10^12 rows):
+- the point side is NEVER replicated — each point maps to exactly one
+  cell, so the join output needs no dedup;
+- the polygon side is replicated only across its covering cells
+  (explode), bounded by `max_cells_per_poly`;
+- broadcast vs sort-merge is an explicit knob (`broadcast=`), with
+  auto mode deferring to Catalyst/AQE (autoBroadcastJoinThreshold);
+- hot cells (a city-block cell holding 1% of all points) are handled
+  by salting: see plans/salting.py — the build side replicates
+  `n_salt` ways ONLY for the hot cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gfp_gdal_spark.functions.geometry import haversine_m, pip_refine
+from gfp_gdal_spark.functions.spatial import hex_cell, hex_kring, tile_cols, tile_cover_cols
+
+__all__ = [
+    "tile_assign",
+    "tile_cover",
+    "ring_bbox_cols",
+    "cover_cells_tile",
+    "pip_join",
+    "knn_join",
+    "knn_join_bruteforce",
+]
+
+
+# ---------------------------------------------------------------------------
+# tile assignment (WebMercator z/x/y) — pure JVM column math
+# ---------------------------------------------------------------------------
+
+def tile_assign(df: DataFrame, lon: str = "lon_c", lat: str = "lat_c", z: int = 12) -> DataFrame:
+    """One (tile_x, tile_y) per row at zoom z — the raster-tile
+    assignment of the north_rule (analog of GDALWriter's
+    filename-from-attribute routing, gdal_nodes.cpp:289-293)."""
+    xt, yt = tile_cols(F.col(lon), F.col(lat), z)
+    return df.withColumn("tile_z", F.lit(z)).withColumn("tile_x", xt).withColumn("tile_y", yt)
+
+
+def ring_bbox_cols(df: DataFrame, ring: str = "ring") -> DataFrame:
+    """bbox columns from an array<array<double>> ring — pure JVM
+    (transform + array_min/max), no Python round-trip."""
+    xs = F.transform(F.col(ring), lambda p: p[0])
+    ys = F.transform(F.col(ring), lambda p: p[1])
+    return (
+        df.withColumn("min_lon", F.array_min(xs))
+        .withColumn("min_lat", F.array_min(ys))
+        .withColumn("max_lon", F.array_max(xs))
+        .withColumn("max_lat", F.array_max(ys))
+    )
+
+
+def tile_cover(df: DataFrame, z: int, bbox_cols=("min_lon", "min_lat", "max_lon", "max_lat")) -> DataFrame:
+    """Explode each row to every WebMercator tile its bbox intersects
+    (the multi-row flatten pattern of ogr_reader_node.cpp:281-291).
+    Pure JVM: sequence + explode."""
+    x0, x1, y0, y1 = tile_cover_cols(*(F.col(c) for c in bbox_cols), z)
+    df = df.withColumn("tile_z", F.lit(z))
+    df = df.withColumn("tile_x", F.explode(F.sequence(x0, x1)))
+    df = df.withColumn("tile_y", F.explode(F.sequence(y0, y1)))
+    return df
+
+
+def cover_cells_tile(polys: DataFrame, z: int, ring: str = "ring") -> DataFrame:
+    """Polygon -> covering tile cells (cell = packed z/x/y long)."""
+    out = tile_cover(ring_bbox_cols(polys, ring), z)
+    return out.withColumn(
+        "cell", (F.col("tile_x") * F.lit(1 << (z + 1)) + F.col("tile_y"))
+    ).drop("tile_x", "tile_y", "tile_z", "min_lon", "min_lat", "max_lon", "max_lat")
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon join
+# ---------------------------------------------------------------------------
+
+def pip_join(
+    points: DataFrame,
+    polys: DataFrame,
+    z: int = 7,
+    lon: str = "lon_c",
+    lat: str = "lat_c",
+    ring: str = "ring",
+    holes: str | None = "holes",
+    broadcast: bool | None = None,
+    how: str = "inner",
+    keep_geometry: bool = False,
+) -> DataFrame:
+    """Cell-bucketed point-in-polygon join.
+
+    points x polys -> rows where point (lon,lat) is strictly inside the
+    polygon (exterior ring minus holes; ray-cast refine). Bucketing
+    cell = WebMercator tile at zoom ``z`` (exact rectangular cover, so
+    the bucket stage is pure JVM math; hex/S2 encoders remain available
+    as index columns via functions.spatial).
+
+    broadcast=True  -> force broadcast of the (replicated) polygon side
+    broadcast=False -> force shuffle (sort-merge / shuffle-hash) join
+    broadcast=None  -> let Catalyst/AQE decide from size stats
+
+    keep_geometry=False (default) drops the ring/holes/cell columns
+    from the output — they are consumed by the refine kernel and
+    pruning them from the Arrow return path halves the Python<->JVM
+    transfer on the hot path.
+    """
+    from gfp_gdal_spark.functions.arrow_geom import pip_filter_arrow
+
+    pcells = cover_cells_tile(polys, z, ring)
+    if broadcast is True:
+        pcells = F.broadcast(pcells)
+    elif broadcast is False:
+        pcells = pcells.hint("shuffle_hash")
+    xt, yt = tile_cols(F.col(lon), F.col(lat), z)
+    pts = points.withColumn("cell", xt * F.lit(1 << (z + 1)) + yt)
+    joined = pts.join(pcells, "cell", how)
+    hole_col = holes if (holes is not None and holes in polys.columns) else None
+    if keep_geometry:
+        return pip_filter_arrow(joined, lon, lat, ring, hole_col).drop("cell")
+    drop = {"cell", ring} | ({hole_col} if hole_col else set())
+    out_cols = [c for c in joined.columns if c not in drop]
+    return pip_filter_arrow(joined, lon, lat, ring, hole_col, out_cols=out_cols)
+
+
+# ---------------------------------------------------------------------------
+# kNN join (hex k-ring expansion + refine + top-k)
+# ---------------------------------------------------------------------------
+
+def _kring_topk(
+    q: DataFrame, p: DataFrame, k, res, kring, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+) -> DataFrame:
+    """One k-ring candidate pass -> top-k per query (no guarantee)."""
+    from pyspark.sql import Window
+
+    qc = q.withColumn("qcell", hex_cell(F.col(q_lon), F.col(q_lat), res))
+    qc = qc.withColumn("cell", F.explode(hex_kring(F.col("qcell"), kring))).drop("qcell")
+    pc = p.withColumn("cell", hex_cell(F.col(p_lon), F.col(p_lat), res))
+    cand = qc.join(pc, "cell").drop("cell")
+    cand = cand.withColumn(
+        "dist_m", haversine_m(F.col(q_lon), F.col(q_lat), F.col(p_lon), F.col(p_lat))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    res: int = 5,
+    kring: int = 2,
+    q_id: str = "query_id",
+    q_lon: str = "q_lon",
+    q_lat: str = "q_lat",
+    p_id: str = "point_id",
+    p_lon: str = "lon_c",
+    p_lat: str = "lat_c",
+    exact: bool = True,
+    max_rounds: int = 3,
+) -> DataFrame:
+    """EXACT kNN join via hex k-ring expansion with escalation.
+
+    Round 1 expands each query's hex cell by ``kring`` rings, equi-joins
+    candidate points on cell id, refines with haversine, and keeps top-k
+    (Window + row_number, ties broken by point id). A query is PROVEN
+    done when it has k candidates whose k-th distance lies inside the
+    ring's guaranteed-coverage radius:
+
+        covered_deg = s * (1.5*kring - 2)        (hex lattice: cells at
+            hex-distance h have center distance >= 1.5*s*h; both points
+            sit within circumradius s of their centers)
+        safe_m = covered_deg * 111320 * cos(|q_lat| + covered_deg)
+            (meters-per-degree lower bound over the covered band)
+
+    Unsatisfied queries — typically a tiny fraction in dense data —
+    escalate: kring doubles each round (same equi-join shape, only the
+    remaining queries re-run), and after ``max_rounds`` the stragglers
+    fall back to the exact broadcast nested-loop. At scale the common
+    case is one shuffle-free broadcast round over the hot path and a
+    near-empty tail job.  With ``exact=False`` round 1's answer is
+    returned as-is (the cheap approximate mode).
+    """
+    from pyspark.sql import Window
+
+    from gfp_gdal_spark.kernels.cells import HEX_BASE_SIZE_DEG
+
+    size = HEX_BASE_SIZE_DEG * (7.0 ** (-res / 2.0))
+    out_cols = None
+    if not exact:
+        return _kring_topk(
+            queries, points, k, res, kring, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+        )
+
+    remaining = queries
+    done_parts: list[DataFrame] = []
+    kr = kring
+    for _ in range(max_rounds):
+        topk = _kring_topk(
+            remaining, points, k, res, kr, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+        )
+        covered_deg = max(size * (1.5 * kr - 2.0), 0.0)
+        safe_m = (
+            F.lit(covered_deg)
+            * 111320.0
+            * F.cos(F.radians(F.least(F.abs(F.col(q_lat)) + covered_deg, F.lit(89.9))))
+        )
+        wq = Window.partitionBy(q_id)
+        per_q = topk.withColumn(
+            "_ok",
+            (F.count(F.lit(1)).over(wq) >= k) & (F.max("dist_m").over(wq) <= safe_m),
+        )
+        if out_cols is None:
+            out_cols = [c for c in per_q.columns if c != "_ok"]
+        satisfied = per_q.where(F.col("_ok")).select(*out_cols)
+        done_parts.append(satisfied)
+        sat_q = per_q.where(F.col("_ok")).select(q_id).distinct()
+        remaining = remaining.join(sat_q, q_id, "left_anti")
+        # driver-side short-circuit: escalation re-plans only the tail
+        if remaining.isEmpty():
+            remaining = None
+            break
+        kr *= 2
+    if remaining is not None:
+        bf = knn_join_bruteforce(
+            remaining, points, k, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+        ).select(*out_cols)
+        done_parts.append(bf)
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
+def knn_join_bruteforce(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    q_id: str,
+    q_lon: str,
+    q_lat: str,
+    p_id: str,
+    p_lon: str,
+    p_lat: str,
+    dist: Column | None = None,
+) -> DataFrame:
+    """Exact kNN by broadcast nested-loop: correct for ANY geometry,
+    right strategy when |queries| is small (the small-dim broadcast
+    case); also the parity oracle for knn_join."""
+    from pyspark.sql import Window
+
+    cand = points.crossJoin(F.broadcast(queries))
+    d = dist if dist is not None else haversine_m(
+        F.col(q_lon), F.col(q_lat), F.col(p_lon), F.col(p_lat)
+    )
+    cand = cand.withColumn("dist_m", d)
+    w = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,47 @@
+"""Streaming ingest: file-source image stream -> footprints -> tiles ->
+windowed counts. The batch operators compose unchanged because they
+are stateless column transforms; only the aggregation needs a
+watermark. Smoke-tested with the memory sink + processAllAvailable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gfp_gdal_spark.functions.spatial import with_footprint
+from gfp_gdal_spark.operators.joins import tile_assign
+from gfp_gdal_spark.sources.datagen import IMAGES_SCHEMA
+
+__all__ = ["read_image_stream", "streaming_tile_counts", "windowed_event_counts"]
+
+
+def read_image_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over a parquet directory of input_hint-schema images."""
+    return spark.readStream.schema(IMAGES_SCHEMA).parquet(path)
+
+
+def streaming_tile_counts(images_stream: DataFrame, z: int = 8) -> DataFrame:
+    """Per-microbatch tile counts (stateless transform + stateful agg).
+    Complete/update output mode; keyed state is bounded by 4^z tiles."""
+    fp = tile_assign(with_footprint(images_stream), z=z)
+    return fp.groupBy("tile_z", "tile_x", "tile_y").count()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window counts per event_type over the
+    driver `events` table schema (ts timestamp, event_type string) —
+    the late-data-tolerant streaming aggregation pattern."""
+    # watermarks require TIMESTAMP (LTZ); parquet NTZ columns are cast
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )

@@ -1,0 +1,104 @@
+"""Cell-index kernel tests: slippy-map golden values, hexlite spec
+invariants, S2-style Hilbert bijectivity."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gfp_gdal_spark.kernels import cells as C
+
+
+def test_tile_golden_values():
+    # public slippy-map examples: (lon, lat, z) -> (x, y)
+    x, y = C.lonlat_to_tile([13.37771], [52.51628], 17)  # Berlin, OSM wiki example
+    assert (x[0], y[0]) == (70406, 42987)
+    x, y = C.lonlat_to_tile([0.0], [0.0], 1)
+    assert (x[0], y[0]) == (1, 1)
+    x, y = C.lonlat_to_tile([-180.0], [85.05112878], 3)
+    assert (x[0], y[0]) == (0, 0)
+
+
+def test_tile_range_for_bbox_inclusive():
+    x0, x1, y0, y1 = C.tile_range_for_bbox([-1.0], [-1.0], [1.0], [1.0], 8)
+    assert x0[0] <= x1[0] and y0[0] <= y1[0]
+    # center tile of z8 at lon just under 0 is 127, just over is 128
+    assert x0[0] == 127 and x1[0] == 128
+
+
+coords = st.tuples(st.floats(-179.9, 179.9), st.floats(-84.9, 84.9))
+
+
+@given(st.lists(coords, min_size=1, max_size=50), st.integers(0, 14))
+@settings(max_examples=50, deadline=None)
+def test_hex_center_reencodes_to_same_cell(pts, res):
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    cell = C.hex_encode(lon, lat, res)
+    clon, clat = C.hex_to_center(cell)
+    assert np.array_equal(C.hex_encode(clon, clat, res), cell)
+
+
+@given(st.lists(coords, min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_hex_center_distance_bounded(pts):
+    """Every point is within the hex circumradius of its cell center."""
+    res = 8
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    cell = C.hex_encode(lon, lat, res)
+    clon, clat = C.hex_to_center(cell)
+    size = C.HEX_BASE_SIZE_DEG * 7.0 ** (-res / 2.0)
+    d = np.hypot(lon - clon, lat - clat)
+    assert (d <= size * 1.0001).all()
+
+
+def test_hex_disk_counts():
+    for k in range(4):
+        assert len(C.hex_disk_offsets(k)) == 3 * k * (k + 1) + 1
+
+
+def test_hex_parent_contains_child_center():
+    lon = np.array([4.9, -120.3, 33.0])
+    lat = np.array([52.37, -33.0, 70.1])
+    child = C.hex_encode(lon, lat, 9)
+    parent = C.hex_parent(child, 7)
+    clon, clat = C.hex_to_center(child)
+    assert np.array_equal(C.hex_encode(clon, clat, 7), parent)
+
+
+def test_neighbors_include_self_and_are_distinct():
+    cell = C.hex_encode(np.array([4.9]), np.array([52.37]), 8)
+    disk = C.hex_neighbors_of(cell, 2)[0]
+    assert cell[0] in disk
+    assert len(set(disk.tolist())) == len(disk)
+
+
+def test_s2_faces_cover_and_ranges():
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lat = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+    ids = C.s2_encode(lon, lat, 10)
+    faces = ids // (1 << 20)
+    assert sorted(faces.tolist()) == [0, 1, 2, 3, 4, 5]
+    assert ((ids >= 0) & (ids < 6 * (1 << 20))).all()
+
+
+@given(st.lists(coords, min_size=2, max_size=40))
+@settings(max_examples=30, deadline=None)
+def test_s2_locality(pts):
+    """Identical points -> identical ids; ids deterministic."""
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    a = C.s2_encode(lon, lat, 16)
+    b = C.s2_encode(lon, lat, 16)
+    assert np.array_equal(a, b)
+
+
+def test_s2_hilbert_adjacent_cells_near():
+    """Walking east in small steps keeps Hilbert ids in a bounded set of
+    jumps (locality sanity, not a strict bound)."""
+    lon = np.linspace(10.0, 10.5, 100)
+    lat = np.full(100, 20.0)
+    ids = C.s2_encode(lon, lat, 14)
+    # consecutive samples map to equal-or-near cells most of the time
+    same_or_close = np.abs(np.diff(ids)) < (1 << 14)
+    assert same_or_close.mean() > 0.8
