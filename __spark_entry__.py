@@ -161,6 +161,35 @@ def _q_pip_join_rect(spark, sf):
     return out.select("o_orderkey", "c_custkey")
 
 
+def _q_pip_join_hex(spark, sf):
+    """Same join, hex (H3-style) bucketing instead of tile bucketing —
+    identical result set by construction (the refine is exact), so it
+    shares the rect-join SQL oracle."""
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
+    polys = _rects_from_customer(_t(spark, sf, "customer"))
+    out = J.pip_join(pts, polys, holes=None, broadcast=True, bucket="hex", res=3)
+    return out.select("o_orderkey", "c_custkey")
+
+
+def _q_merge_lines(spark, sf):
+    """GEOSMergeLines analog: events-derived segments (9 per decade of
+    event_id, gap at *9) merge into 10-point polylines; output is the
+    structural summary (n_segments, n_lines) so the oracle is plain SQL."""
+    _prep(spark)
+    from gfp_gdal_spark.operators.lines import merge_lines
+
+    e = _t(spark, sf, "events").where(F.pmod("event_id", F.lit(10)) != 9)
+    seg = e.select(
+        F.col("event_id").cast("double").alias("x1"),
+        F.lit(0.0).alias("y1"),
+        (F.col("event_id") + 1).cast("double").alias("x2"),
+        F.lit(0.0).alias("y2"),
+    )
+    merged = merge_lines(seg)
+    return merged.groupBy("n_segments").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
 def _q_pip_join_shuffle(spark, sf):
     """Same join, forced shuffle (sort-merge/hash) path — proves the
     non-broadcast variant returns identical rows."""
@@ -385,6 +414,48 @@ def _q_buffer_area(spark, sf):
     )
 
 
+def _q_raster_stats(spark, sf):
+    """GDALReader stats analog over the synthetic image table."""
+    _prep(spark)
+    from gfp_gdal_spark.operators.raster import raster_stats
+
+    imgs = datagen.images_table(spark, 300, with_bytes=True)
+    return raster_stats(imgs, band=0)
+
+
+def _q_raster_points(spark, sf):
+    """GDALReader gridded-pointcloud analog (pixel fan-out)."""
+    _prep(spark)
+    from gfp_gdal_spark.functions.spatial import with_footprint as _wf
+    from gfp_gdal_spark.operators.raster import raster_to_points
+
+    imgs = _wf(datagen.images_table(spark, 30, with_bytes=True))
+    pts = raster_to_points(imgs, band=0, thin_nth=7)
+    return pts.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("z"), 4).alias("mean_z"),
+    )
+
+
+def _q_ivf_topk(spark, sf):
+    """IVF-style approximate nearest neighbors over embeddings."""
+    _prep(spark)
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = SIM.ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4)
+    return out.select("q_id", "vec_id", F.col("rank").alias("rnk"))
+
+
+def _q_minhash_clusters(spark, sf):
+    """Near-dup clustering with exact connected components."""
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    out = DD.minhash_dedup(d, threshold=0.5, exact_clusters=True)
+    return out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 def _q_pip_join_polygons(spark, sf):
     """General k-gon polygons with holes (datagen vector layer) —
     ray-cast refine on non-rectangular rings; brute-force-verified in
@@ -402,7 +473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts": _q_tile_counts,
         "tile_cover": _q_tile_cover,
         "pip_join_rect": _q_pip_join_rect,
+        "pip_join_hex": _q_pip_join_hex,
         "pip_join_shuffle": _q_pip_join_shuffle,
+        "merge_lines": _q_merge_lines,
         "knn_join": _q_knn,
         "salted_cell_count": _q_salted_cell_count,
         "thin_points": _q_thin_points,
@@ -427,6 +500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_polygons": _q_simplify,
         "buffer_area": _q_buffer_area,
         "pip_join_polygons": _q_pip_join_polygons,
+        "raster_stats": _q_raster_stats,
+        "raster_points": _q_raster_points,
+        "ivf_topk": _q_ivf_topk,
+        "minhash_clusters": _q_minhash_clusters,
     }
 
 
@@ -504,6 +581,18 @@ def oracle_sql() -> dict[str, str]:
             FROM p, c
             WHERE p.lon_c > c.clon - c.dlon AND p.lon_c < c.clon + c.dlon
               AND p.lat_c > c.clat - c.dlat AND p.lat_c < c.clat + c.dlat
+        """,
+        "pip_join_hex": f"""
+            WITH p AS ({opoints}), c AS ({rects})
+            SELECT p.o_orderkey, c.c_custkey
+            FROM p, c
+            WHERE p.lon_c > c.clon - c.dlon AND p.lon_c < c.clon + c.dlon
+              AND p.lat_c > c.clat - c.dlat AND p.lat_c < c.clat + c.dlat
+        """,
+        "merge_lines": """
+            SELECT 9 AS n_segments,
+                   count(DISTINCT CAST(floor(event_id / 10) AS BIGINT)) AS n_lines
+            FROM events WHERE event_id % 10 <> 9
         """,
         "knn_join": f"""
             WITH q AS (

@@ -37,6 +37,9 @@ def _images_parquet(spark, n_images: int) -> str:
     datagen.images_table(spark, n_images, with_bytes=False).write.mode(
         "overwrite"
     ).parquet(path)
+    datagen.vector_layer_zones(spark, 2000).write.mode("overwrite").parquet(
+        path + "_polys"
+    )
     return path
 
 
@@ -51,8 +54,11 @@ def _flagship(spark, images_path: str):
 
     imgs = spark.read.parquet(images_path)
     pts = with_footprint(imgs).select("image_id", "lon_c", "lat_c")
-    polys = datagen.vector_layer(spark, 2000)
-    joined = J.pip_join(pts, polys, z=6, broadcast=True)
+    try:
+        polys = spark.read.parquet(images_path + "_polys")
+    except Exception:
+        polys = datagen.vector_layer_zones(spark, 2000)
+    joined = J.pip_join(pts, polys, z=8, broadcast=True)
     tiled = J.tile_assign(joined, z=12)
     return tiled.groupBy("category", "tile_z", "tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n")

@@ -94,6 +94,9 @@ def pip_filter_arrow(
         out_schema = StructType([df.schema.fields[i] for i in keep_idx])
 
     def op(batches):
+        from gfp_gdal_spark.functions.worker_tuning import tune_worker
+
+        tune_worker()
         for batch in batches:
             if batch.num_rows == 0:
                 continue

@@ -25,6 +25,7 @@ __all__ = [
     "hex_parent",
     "hex_disk_offsets",
     "hex_neighbors_of",
+    "hex_cover_bbox",
     "s2_encode",
     "HEX_BASE_SIZE_DEG",
     "MAX_LAT_WEBMERC",
@@ -162,6 +163,62 @@ def hex_neighbors_of(cell, k: int) -> np.ndarray:
     qq = q[:, None] + offs[None, :, 0]
     rr = r[:, None] + offs[None, :, 1]
     return (res[:, None] << 58) | (_zigzag(qq) << 29) | _zigzag(rr)
+
+
+def hex_cover_bbox(min_lon, min_lat, max_lon, max_lat, res: int):
+    """Hex cells covering each bbox (SUPERSET cover): axial ranges of
+    the bbox corners expanded by a +2-cell margin, so every hex whose
+    interior intersects the bbox is included (a point's own hex center
+    can sit up to one circumradius outside the bbox). Returns
+    (cell_ids flat array, row_index flat array) — the explode feed of
+    the hex-bucketed pip_join.
+
+    Coverage guarantee (used by pip_join correctness): a point P inside
+    the bbox maps to hex H(P); H(P)'s center is within circumradius s
+    of P, so its axial coords lie within the corner axial range +-
+    ceil(s-effect) <= 2 cells. Superset covers only cost join width,
+    never correctness (the refine is exact)."""
+    min_lon = np.asarray(min_lon, dtype=np.float64)
+    min_lat = np.asarray(min_lat, dtype=np.float64)
+    max_lon = np.asarray(max_lon, dtype=np.float64)
+    max_lat = np.asarray(max_lat, dtype=np.float64)
+    size = _hex_size(res)
+
+    def axial_f(lon, lat):
+        qf = (_SQ3 / 3.0 * lon - lat / 3.0) / size
+        rf = (2.0 / 3.0 * lat) / size
+        return qf, rf
+
+    # axial coords of the 4 corners
+    qs, rs = [], []
+    for lon, lat in [
+        (min_lon, min_lat),
+        (max_lon, min_lat),
+        (min_lon, max_lat),
+        (max_lon, max_lat),
+    ]:
+        qf, rf = axial_f(lon, lat)
+        qs.append(qf)
+        rs.append(rf)
+    q0 = np.floor(np.minimum.reduce(qs)).astype(np.int64) - 2
+    q1 = np.ceil(np.maximum.reduce(qs)).astype(np.int64) + 2
+    r0 = np.floor(np.minimum.reduce(rs)).astype(np.int64) - 2
+    r1 = np.ceil(np.maximum.reduce(rs)).astype(np.int64) + 2
+    nq = q1 - q0 + 1
+    nr = r1 - r0 + 1
+    counts = (nq * nr).astype(np.int64)
+    n = len(counts)
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    total = int(counts.sum())
+    intra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+    )
+    nr_rep = np.repeat(nr, counts)
+    q = np.repeat(q0, counts) + intra // nr_rep
+    r = np.repeat(r0, counts) + intra % nr_rep
+    res_arr = np.full(total, res, dtype=np.int64)
+    cells = (res_arr << 58) | (_zigzag(q) << 29) | _zigzag(r)
+    return cells, row
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,8 @@ def _encode_png(pix: np.ndarray) -> bytes:
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     rows = raw.reshape(h, stride + 1)
+    if not rows[:, 0].any():  # all filter-0 scanlines (our encoder's output)
+        return np.ascontiguousarray(rows[:, 1:])
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         f = rows[y, 0]

@@ -29,6 +29,7 @@ __all__ = [
     "ring_bbox",
     "points_in_rings_pairwise",
     "point_in_polygon_pairwise",
+    "points_in_polygons_indexed",
     "rings_valid",
     "simplify_rings",
     "buffer_bbox_rings",
@@ -193,6 +194,81 @@ def point_in_polygon_pairwise(px, py, ext_flat, ext_off, holes_per_row) -> np.nd
         np.logical_or.at(bad, hp, in_hole)
         inside &= ~bad
     return inside
+
+
+def points_in_polygons_indexed(
+    px: np.ndarray,
+    py: np.ndarray,
+    poly_idx: np.ndarray,
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    hole_flat: np.ndarray | None = None,
+    hole_offsets: np.ndarray | None = None,
+    hole_poly: np.ndarray | None = None,
+) -> np.ndarray:
+    """Pairwise PiP where row i tests point i against polygon
+    ``poly_idx[i]`` of a SHARED ragged polygon table — the broadcast
+    refine kernel: the polygon geometry crosses the JVM->Python
+    boundary once per worker (broadcast), not once per candidate row.
+
+    hole_flat/hole_offsets hold ALL hole rings of the table;
+    hole_poly[j] = polygon index owning hole ring j. Fully vectorized
+    (gather + the same reduceat ray cast).
+    """
+    poly_idx = np.asarray(poly_idx, dtype=np.int64)
+    starts = offsets[poly_idx]
+    counts = offsets[poly_idx + 1] - starts
+    total = int(counts.sum())
+    out = np.zeros(len(poly_idx), dtype=bool)
+    if total:
+        # per-row segment gather: vertex k of row i = flat[starts[i] + k]
+        row_off = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_off[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(row_off[:-1], counts)
+        vidx = np.repeat(starts, counts) + intra
+        nxt_intra = intra + 1
+        last = nxt_intra == np.repeat(counts, counts)
+        nxt_intra[last] = 0
+        nidx = np.repeat(starts, counts) + nxt_intra
+        x1, y1 = flat[vidx, 0], flat[vidx, 1]
+        x2, y2 = flat[nidx, 0], flat[nidx, 1]
+        pxs = np.repeat(np.asarray(px, dtype=np.float64), counts)
+        pys = np.repeat(np.asarray(py, dtype=np.float64), counts)
+        straddle = (y1 > pys) != (y2 > pys)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (pys - y1) / (y2 - y1) + x1
+        hit = straddle & (pxs < xint)
+        nonempty = counts > 0
+        if nonempty.any():
+            parity = np.add.reduceat(hit.astype(np.int64), row_off[:-1][nonempty]) & 1
+            out[nonempty] = (parity == 1) & (counts[nonempty] >= 3)
+    if hole_flat is not None and hole_poly is not None and len(hole_poly):
+        inside_rows = np.flatnonzero(out)
+        if len(inside_rows):
+            # candidate (row, hole_ring) pairs: rows whose polygon has holes
+            order = np.argsort(hole_poly, kind="stable")
+            hp_sorted = hole_poly[order]
+            lo = np.searchsorted(hp_sorted, poly_idx[inside_rows], side="left")
+            hi = np.searchsorted(hp_sorted, poly_idx[inside_rows], side="right")
+            nh = hi - lo
+            has = nh > 0
+            if has.any():
+                rows = np.repeat(inside_rows[has], nh[has])
+                intra = np.arange(int(nh[has].sum())) - np.repeat(
+                    np.concatenate([[0], np.cumsum(nh[has])[:-1]]), nh[has]
+                )
+                ring_j = order[np.repeat(lo[has], nh[has]) + intra]
+                in_hole = points_in_polygons_indexed(
+                    np.asarray(px, dtype=np.float64)[rows],
+                    np.asarray(py, dtype=np.float64)[rows],
+                    ring_j,
+                    hole_flat,
+                    hole_offsets,
+                )
+                bad = np.zeros(len(out), dtype=bool)
+                np.logical_or.at(bad, rows, in_hole)
+                out &= ~bad
+    return out
 
 
 # ---------------------------------------------------------------------------

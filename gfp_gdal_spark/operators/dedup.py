@@ -102,16 +102,29 @@ def minhash_dedup(
     text: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    exact_clusters: bool = False,
     **kw,
 ) -> DataFrame:
-    """Near-dup clusters (one-hop union): every doc maps to the minimum
-    id among its >=threshold neighbors (itself included). A full
-    connected-components (iterate to fixpoint) is the multi-round
-    extension; one hop already collapses the mirror/copy clusters that
-    dominate web corpora."""
+    """Near-dup clusters: every doc gets a ``cluster_id``.
+
+    Default (one-hop union): minimum id among its >=threshold neighbors
+    (itself included) — collapses the mirror/copy clusters that dominate
+    web corpora in a single join. ``exact_clusters=True`` runs full
+    connected components (plans.graph label propagation) so transitive
+    chains a~b~c land in ONE cluster even when a~c is below threshold.
+    """
     pairs = minhash_lsh_pairs(df, text=text, id_col=id_col, **kw).where(
         F.col("est_jaccard") >= threshold
     )
+    if exact_clusters:
+        from gfp_gdal_spark.plans.graph import connected_components
+
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        return (
+            df.join(comp, df[id_col] == comp["vertex"], "left")
+            .withColumn("cluster_id", F.coalesce("component", df[id_col]))
+            .drop("vertex", "component")
+        )
     fwd = pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("peer"))
     bwd = pairs.select(F.col("id_a").alias("_id"), F.col("id_b").alias("peer"))
     links = fwd.unionByName(bwd)

@@ -19,6 +19,7 @@ Scale design notes (100 TB / 10^12 rows):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,17 +73,163 @@ def tile_cover(df: DataFrame, z: int, bbox_cols=("min_lon", "min_lat", "max_lon"
     return df
 
 
-def cover_cells_tile(polys: DataFrame, z: int, ring: str = "ring") -> DataFrame:
+def cover_cells_hex(
+    polys: DataFrame, res: int, ring: str = "ring", keep_bbox: bool = False
+) -> DataFrame:
+    """Polygon -> covering hex cells (superset bbox cover, see
+    kernels.cells.hex_cover_bbox). Distributed (pandas UDF + explode)
+    — the shuffle-scale twin of the driver-side cover used by the
+    broadcast path."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(min_lon: pd.Series, min_lat: pd.Series, max_lon: pd.Series, max_lat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from gfp_gdal_spark.kernels import cells as _c
+
+        cells, row = _c.hex_cover_bbox(
+            min_lon.to_numpy(), min_lat.to_numpy(), max_lon.to_numpy(), max_lat.to_numpy(), res
+        )
+        n = len(min_lon)
+        counts = np.bincount(row, minlength=n)
+        out = np.split(cells, np.cumsum(counts)[:-1])
+        return pd.Series([c.tolist() for c in out])
+
+    out = ring_bbox_cols(polys, ring)
+    out = out.withColumn(
+        "cell",
+        F.explode(_cover(F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat"))),
+    )
+    if not keep_bbox:
+        out = out.drop("min_lon", "min_lat", "max_lon", "max_lat")
+    return out
+
+
+def cover_cells_tile(
+    polys: DataFrame, z: int, ring: str = "ring", keep_bbox: bool = False
+) -> DataFrame:
     """Polygon -> covering tile cells (cell = packed z/x/y long)."""
     out = tile_cover(ring_bbox_cols(polys, ring), z)
-    return out.withColumn(
+    out = out.withColumn(
         "cell", (F.col("tile_x") * F.lit(1 << (z + 1)) + F.col("tile_y"))
-    ).drop("tile_x", "tile_y", "tile_z", "min_lon", "min_lat", "max_lon", "max_lat")
+    ).drop("tile_x", "tile_y", "tile_z")
+    if not keep_bbox:
+        out = out.drop("min_lon", "min_lat", "max_lon", "max_lat")
+    return out
 
 
 # ---------------------------------------------------------------------------
 # point-in-polygon join
 # ---------------------------------------------------------------------------
+
+def _pip_join_broadcast_rings(
+    points: DataFrame, polys: DataFrame, z: int, lon: str, lat: str,
+    ring: str, holes: str | None, bucket: str = "tile", res: int | None = None,
+) -> DataFrame:
+    """Broadcast PiP with the geometry OUT of the join: the candidate
+    rows carry only a polygon index; ring/hole arrays reach the Python
+    refine workers once per worker via a Spark broadcast variable of
+    ragged numpy arrays.
+
+    Rationale (measured): shipping each candidate's ring through Arrow
+    made the refine stage memory-bandwidth-bound — local[32] ran only
+    1.7x faster than local[8]. With rings broadcast, the per-candidate
+    Arrow payload drops ~10x and the refine scales with cores.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from gfp_gdal_spark.kernels import cells as _c
+    from gfp_gdal_spark.kernels import geom as _g
+
+    spark = points.sparkSession
+    pdf = polys.toPandas()  # broadcast-side: small by contract
+    n = len(pdf)
+    flat, offsets = _g.ragged_from_lists(pdf[ring].tolist())
+    hflat = hoff = hpoly = None
+    if holes is not None and holes in pdf.columns:
+        hole_rows, hole_rings = [], []
+        for i, h in enumerate(pdf[holes].tolist()):
+            if h is not None and len(h) > 0:
+                for r in h:
+                    hole_rows.append(i)
+                    hole_rings.append(r)
+        if hole_rows:
+            hflat, hoff = _g.ragged_from_lists(hole_rings)
+            hpoly = np.asarray(hole_rows, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((flat, offsets, hflat, hoff, hpoly))
+
+    # driver-side covering cells (numpy; polygon side is small)
+    bb = _g.ring_bbox(flat, offsets)
+    if bucket == "hex":
+        cell, pidx = _c.hex_cover_bbox(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], res)
+    else:
+        x0, x1, y0, y1 = _c.tile_range_for_bbox(bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], z)
+        counts = ((x1 - x0 + 1) * (y1 - y0 + 1)).astype(np.int64)
+        pidx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        intra = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        w = np.repeat(y1 - y0 + 1, counts)
+        xs = np.repeat(x0, counts) + intra // w
+        ys = np.repeat(y0, counts) + intra % w
+        cell = xs * np.int64(1 << (z + 1)) + ys
+
+    import pandas as pd
+
+    attrs = pdf.drop(columns=[c for c in (ring, holes) if c and c in pdf.columns])
+    attrs = attrs.assign(
+        _pidx=np.arange(n), _bx0=bb[:, 0], _by0=bb[:, 1], _bx1=bb[:, 2], _by1=bb[:, 3]
+    )
+    cells_pdf = pd.DataFrame({"cell": cell, "_pidx": pidx}).merge(attrs, on="_pidx")
+    cells_df = spark.createDataFrame(cells_pdf)
+
+    if bucket == "hex":
+        pts = points.withColumn("cell", hex_cell(F.col(lon), F.col(lat), res))
+    else:
+        xt, yt = tile_cols(F.col(lon), F.col(lat), z)
+        pts = points.withColumn("cell", xt * F.lit(1 << (z + 1)) + yt)
+    # bbox prefilter runs JVM-side (whole-stage codegen) BEFORE the
+    # Python boundary: candidates that can't be inside never pay the
+    # Arrow round-trip. Closed bounds — never drops a true inside point.
+    joined = pts.join(F.broadcast(cells_df), "cell").where(
+        (F.col(lon) >= F.col("_bx0")) & (F.col(lon) <= F.col("_bx1"))
+        & (F.col(lat) >= F.col("_by0")) & (F.col(lat) <= F.col("_by1"))
+    )
+    internal = {"cell", "_pidx", "_bx0", "_by0", "_bx1", "_by1"}
+    out_names = [c for c in joined.columns if c not in internal]
+
+    from pyspark.sql.types import StructType
+
+    fields = {f.name: f for f in joined.schema.fields}
+    out_schema = StructType([fields[c] for c in out_names])
+    lon_name, lat_name = lon, lat
+
+    def op(batches):
+        from gfp_gdal_spark.functions.worker_tuning import tune_worker
+
+        tune_worker()
+        bflat, boff, bhflat, bhoff, bhpoly = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            px = batch.column(names.index(lon_name)).to_numpy(zero_copy_only=False)
+            py = batch.column(names.index(lat_name)).to_numpy(zero_copy_only=False)
+            pi = batch.column(names.index("_pidx")).to_numpy(zero_copy_only=False)
+            mask = _g.points_in_polygons_indexed(
+                px, py, pi, bflat, boff, bhflat, bhoff, bhpoly
+            )
+            pruned = pa.RecordBatch.from_arrays(
+                [batch.column(names.index(c)) for c in out_names], names=out_names
+            )
+            if mask.any():
+                yield pruned.filter(pa.array(mask))
+
+    return joined.mapInArrow(op, out_schema)
+
 
 def pip_join(
     points: DataFrame,
@@ -95,14 +242,17 @@ def pip_join(
     broadcast: bool | None = None,
     how: str = "inner",
     keep_geometry: bool = False,
+    bucket: str = "tile",
+    res: int | None = None,
 ) -> DataFrame:
     """Cell-bucketed point-in-polygon join.
 
     points x polys -> rows where point (lon,lat) is strictly inside the
     polygon (exterior ring minus holes; ray-cast refine). Bucketing
-    cell = WebMercator tile at zoom ``z`` (exact rectangular cover, so
-    the bucket stage is pure JVM math; hex/S2 encoders remain available
-    as index columns via functions.spatial).
+    cell: ``bucket="tile"`` uses WebMercator tiles at zoom ``z`` (exact
+    rectangular cover, pure JVM math); ``bucket="hex"`` uses hexlite
+    cells at ``res`` (H3-style; superset bbox cover). Either way the
+    refine is exact — the bucket scheme only shapes the equi-join.
 
     broadcast=True  -> force broadcast of the (replicated) polygon side
     broadcast=False -> force shuffle (sort-merge / shuffle-hash) join
@@ -115,14 +265,35 @@ def pip_join(
     """
     from gfp_gdal_spark.functions.arrow_geom import pip_filter_arrow
 
-    pcells = cover_cells_tile(polys, z, ring)
+    if bucket == "hex" and res is None:
+        res = 5
+    hole_arg = holes if (holes is not None and holes in polys.columns) else None
+    if broadcast is True and how == "inner" and not keep_geometry:
+        return _pip_join_broadcast_rings(
+            points, polys, z, lon, lat, ring, hole_arg, bucket=bucket, res=res
+        )
+
+    if bucket == "hex":
+        pcells = cover_cells_hex(polys, res, ring, keep_bbox=True)
+    else:
+        pcells = cover_cells_tile(polys, z, ring, keep_bbox=True)
     if broadcast is True:
         pcells = F.broadcast(pcells)
     elif broadcast is False:
         pcells = pcells.hint("shuffle_hash")
-    xt, yt = tile_cols(F.col(lon), F.col(lat), z)
-    pts = points.withColumn("cell", xt * F.lit(1 << (z + 1)) + yt)
+    if bucket == "hex":
+        pts = points.withColumn("cell", hex_cell(F.col(lon), F.col(lat), res))
+    else:
+        xt, yt = tile_cols(F.col(lon), F.col(lat), z)
+        pts = points.withColumn("cell", xt * F.lit(1 << (z + 1)) + yt)
     joined = pts.join(pcells, "cell", how)
+    if how == "inner":
+        # JVM-side bbox prefilter ahead of the Python refine boundary
+        joined = joined.where(
+            (F.col(lon) >= F.col("min_lon")) & (F.col(lon) <= F.col("max_lon"))
+            & (F.col(lat) >= F.col("min_lat")) & (F.col(lat) <= F.col("max_lat"))
+        )
+    joined = joined.drop("min_lon", "min_lat", "max_lon", "max_lat")
     hole_col = holes if (holes is not None and holes in polys.columns) else None
     if keep_geometry:
         return pip_filter_arrow(joined, lon, lat, ring, hole_col).drop("cell")
@@ -136,14 +307,15 @@ def pip_join(
 # ---------------------------------------------------------------------------
 
 def _kring_topk(
-    q: DataFrame, p: DataFrame, k, res, kring, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+    q: DataFrame, pc: DataFrame, k, res, kring, q_id, q_lon, q_lat, p_id, p_lon, p_lat
 ) -> DataFrame:
-    """One k-ring candidate pass -> top-k per query (no guarantee)."""
+    """One k-ring candidate pass -> top-k per query (no guarantee).
+    ``pc`` is the point side with its hex ``cell`` column pre-computed
+    (it is invariant across escalation rounds)."""
     from pyspark.sql import Window
 
     qc = q.withColumn("qcell", hex_cell(F.col(q_lon), F.col(q_lat), res))
     qc = qc.withColumn("cell", F.explode(hex_kring(F.col("qcell"), kring))).drop("qcell")
-    pc = p.withColumn("cell", hex_cell(F.col(p_lon), F.col(p_lat), res))
     cand = qc.join(pc, "cell").drop("cell")
     cand = cand.withColumn(
         "dist_m", haversine_m(F.col(q_lon), F.col(q_lat), F.col(p_lon), F.col(p_lat))
@@ -190,22 +362,28 @@ def knn_join(
     returned as-is (the cheap approximate mode).
     """
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     from gfp_gdal_spark.kernels.cells import HEX_BASE_SIZE_DEG
 
     size = HEX_BASE_SIZE_DEG * (7.0 ** (-res / 2.0))
-    out_cols = None
+    pc = points.withColumn("cell", hex_cell(F.col(p_lon), F.col(p_lat), res))
     if not exact:
         return _kring_topk(
-            queries, points, k, res, kring, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+            queries, pc, k, res, kring, q_id, q_lon, q_lat, p_id, p_lon, p_lat
         )
 
+    # Each round MATERIALIZES its verdict (persist): without this the
+    # round-N plan recursively contains rounds 1..N-1 (the `remaining`
+    # anti-join lineage) and the final union re-executes every round.
     remaining = queries
+    out_cols = None
     done_parts: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     kr = kring
     for _ in range(max_rounds):
         topk = _kring_topk(
-            remaining, points, k, res, kr, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+            remaining, pc, k, res, kr, q_id, q_lon, q_lat, p_id, p_lon, p_lat
         )
         covered_deg = max(size * (1.5 * kr - 2.0), 0.0)
         safe_m = (
@@ -217,13 +395,16 @@ def knn_join(
         per_q = topk.withColumn(
             "_ok",
             (F.count(F.lit(1)).over(wq) >= k) & (F.max("dist_m").over(wq) <= safe_m),
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(per_q)
         if out_cols is None:
             out_cols = [c for c in per_q.columns if c != "_ok"]
-        satisfied = per_q.where(F.col("_ok")).select(*out_cols)
-        done_parts.append(satisfied)
+        done_parts.append(per_q.where(F.col("_ok")).select(*out_cols))
         sat_q = per_q.where(F.col("_ok")).select(q_id).distinct()
-        remaining = remaining.join(sat_q, q_id, "left_anti")
+        remaining = remaining.join(sat_q, q_id, "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        persisted.append(remaining)
         # driver-side short-circuit: escalation re-plans only the tail
         if remaining.isEmpty():
             remaining = None
@@ -237,6 +418,8 @@ def knn_join(
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)
+    # hand back an un-parented result; the intermediates stay cached
+    # until the session evicts them (caller may materialize first)
     return out
 
 

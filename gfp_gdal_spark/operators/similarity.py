@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine_sim_col", "cosine_topk", "lsh_cosine_topk"]
+__all__ = ["cosine_sim_col", "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk"]
 
 
 def cosine_sim_col(a: Column, b: Column) -> Column:
@@ -72,6 +72,73 @@ def _bucket_udf(dim: int, bits: int, seed: int = 42):
         return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
 
     return _b
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+    sample_rows: int = 4096,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus to ``n_centroids``
+    data-derived centroids (greedy max-min pick over a driver-side
+    sample — kmeans++-style seeding, deterministic); each corpus vector
+    joins its nearest centroid's inverted list; each query probes its
+    ``n_probe`` nearest centroids; exact cosine refine + top-k.
+
+    Scale shape: corpus assignment is one vectorized pandas-UDF pass;
+    the probe join is an equi-join on centroid id whose build side is
+    the (replicated x n_probe) QUERY side — candidates ~= corpus *
+    n_probe / n_centroids.
+    """
+    from pyspark.sql import Window
+
+    sample = corpus.select(c_vec).limit(sample_rows).toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[c_vec]])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    first = int(rng.integers(0, len(mat)))
+    cent_idx = [first]
+    d = 1.0 - mat @ mat[first]
+    for _ in range(1, min(n_centroids, len(mat))):
+        nxt = int(np.argmax(d))
+        cent_idx.append(nxt)
+        d = np.minimum(d, 1.0 - mat @ mat[nxt])
+    centroids = mat[cent_idx]  # (n_centroids, dim), unit norm
+
+    def assign_udf(top_n: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _assign(vecs: pd.Series) -> pd.Series:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            sims = m @ centroids.T
+            top = np.argsort(-sims, axis=1)[:, :top_n].astype(np.int32)
+            return pd.Series(list(top))
+
+        return _assign
+
+    cb = corpus.withColumn("_clist", assign_udf(1)(F.col(c_vec))).withColumn(
+        "_centroid", F.col("_clist")[0]
+    ).drop("_clist")
+    qb = queries.withColumn(
+        "_centroid", F.explode(assign_udf(n_probe)(F.col(q_vec)))
+    )
+    cand = cb.join(F.broadcast(qb), "_centroid").withColumn(
+        "cosine", cosine_sim_col(F.col(q_vec), F.col(c_vec))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine", "rank")
+    )
 
 
 def lsh_cosine_topk(

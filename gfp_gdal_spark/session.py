@@ -36,8 +36,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 4096, not the stock 10000: multi-MB Arrow batches in many
+        # concurrent Python workers trigger allocator large-extent
+        # mmap/madvise churn (kernel-dominated walls measured at 32
+        # workers); ~4-8MB batches sidestep it with no throughput cost.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # NOTE: bigger is not better — a 48g heap showed multi-second GC
+        # spirals on the 1.6M-group aggregate (runs degraded 5s -> 47s);
+        # 16g is stable. On a real cluster this is executor memory and
+        # the same lesson applies: size the heap to the working set.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # ANSI off: the engine relies on wrap-around 64-bit hash arithmetic

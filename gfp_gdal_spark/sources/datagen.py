@@ -141,3 +141,43 @@ def vector_layer_pandas(m: int, seed: int = 42) -> pd.DataFrame:
 
 def vector_layer(spark: SparkSession, m: int, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(vector_layer_pandas(m, seed), schema=VECTOR_SCHEMA)
+
+
+def vector_layer_zones_pandas(m: int, seed: int = 42, max_radius_deg: float = 2.0) -> pd.DataFrame:
+    """Realistic zone-scale polygon layer for benchmarks: city-sized
+    k-gons (radius <= max_radius_deg), mostly non-overlapping. The grid
+    fixture above intentionally over-covers the globe (radius up to 3x
+    its grid pitch) to stress overlap handling; THIS layer models the
+    actual workload shape of a zones table at planet scale."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for j in range(m):
+        cx = rng.uniform(-178.0, 178.0)
+        cy = rng.uniform(-83.0, 83.0)
+        rad = rng.uniform(0.2, max_radius_deg)
+        k = 3 + (j % 6)
+        ang = rng.uniform(0, 2 * np.pi) + np.arange(k) * 2 * np.pi / k
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        holes = None
+        if j % 5 == 0:
+            hr = rad * 0.3
+            holes = [
+                [[cx - hr, cy - hr], [cx - hr, cy + hr], [cx + hr, cy + hr], [cx + hr, cy - hr]]
+            ]
+        rows.append(
+            {
+                "polygon_id": j,
+                "ring": ring.tolist(),
+                "holes": holes,
+                "name": f"zone_{j}",
+                "category": _CATS[j % 4],
+                "valid_from": (pd.Timestamp("2020-01-01") + pd.Timedelta(days=j)).date(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def vector_layer_zones(spark: SparkSession, m: int, seed: int = 42, max_radius_deg: float = 2.0) -> DataFrame:
+    return spark.createDataFrame(
+        vector_layer_zones_pandas(m, seed, max_radius_deg), schema=VECTOR_SCHEMA
+    )

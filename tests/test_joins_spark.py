@@ -50,6 +50,20 @@ def test_pip_join_matches_brute_force(spark, points, brute_lonlat, broadcast):
     assert got_pairs == brute_pip_pairs(lon, lat, datagen.vector_layer_pandas(N_POLY))
 
 
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_pip_join_hex_bucket_matches_brute_force(spark, points, brute_lonlat, broadcast):
+    """Hex bucketing (H3-style). Zone-scale polygons: hex cover cost is
+    (extent/cell_size)^2 per polygon, so the res must match the layer's
+    polygon extent — continent-sized test polygons would explode a
+    res>=2 cover (that's a real operating constraint, not a test
+    artifact)."""
+    vl = datagen.vector_layer_zones(spark, 150)
+    got = J.pip_join(points, vl, broadcast=broadcast, bucket="hex", res=2)
+    got_pairs = set(map(tuple, got.select("image_id", "polygon_id").toPandas().values))
+    lon, lat = brute_lonlat
+    assert got_pairs == brute_pip_pairs(lon, lat, datagen.vector_layer_zones_pandas(150))
+
+
 def test_pip_join_invariant_under_repartition(spark, points, brute_lonlat):
     vl = datagen.vector_layer(spark, N_POLY)
     a = J.pip_join(points.repartition(13), vl, z=5)

@@ -1,0 +1,82 @@
+"""Raster operators + per-partition metrics tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gfp_gdal_spark.functions.spatial import with_footprint
+from gfp_gdal_spark.kernels import codec as C
+from gfp_gdal_spark.operators import raster as R
+from gfp_gdal_spark.plans.metrics import partition_metrics
+from gfp_gdal_spark.sources import datagen
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return with_footprint(datagen.images_table(spark, 60, with_bytes=True)).cache()
+
+
+def test_raster_stats_matches_numpy(spark, images):
+    got = R.raster_stats(images, band=1).toPandas().set_index("image_id")
+    for i in [0, 7, 33]:
+        pix = C.synth_pixels(i, [16, 32, 64][i % 3], [16, 24, 48][i % 3])
+        row = got.loc[f"img{i:08d}"]
+        assert row["px_min"] == pix[..., 1].min()
+        assert row["px_max"] == pix[..., 1].max()
+        assert row["px_mean"] == pytest.approx(pix[..., 1].mean())
+
+
+def test_raster_to_points_grid(spark, images):
+    one = images.where(F.col("image_id") == "img00000000")
+    pts = R.raster_to_points(one, band=0).toPandas()
+    pix = C.synth_pixels(0, 16, 16)
+    assert len(pts) == 16 * 16
+    # values match the decoded band in row-major order
+    assert np.array_equal(
+        np.sort(pts["z"].to_numpy()), np.sort(pix[..., 0].astype(float).ravel())
+    )
+    # all points inside the footprint bbox
+    r = one.select("lon_c", "lat_c", "dlon", "dlat").collect()[0]
+    assert ((pts.x > r.lon_c - r.dlon) & (pts.x < r.lon_c + r.dlon)).all()
+    assert ((pts.y > r.lat_c - r.dlat) & (pts.y < r.lat_c + r.dlat)).all()
+
+
+def test_raster_to_points_thinning(spark, images):
+    one = images.where(F.col("image_id") == "img00000001")
+    full = R.raster_to_points(one).count()
+    thin = R.raster_to_points(one, thin_nth=5).count()
+    assert thin == (full + 4) // 5
+
+
+def test_write_tiles_partitioned(spark, images, tmp_path):
+    out = str(tmp_path / "tiles")
+    R.write_tiles(images.select("image_id", "lon_c", "lat_c"), out, z=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 60
+    assert {"tile_z", "tile_x", "tile_y"} <= set(back.columns)
+    # partition pruning works on tile dirs
+    one_tile = back.where("tile_x = 0 and tile_y = 0")
+    assert one_tile.count() >= 0  # prunes without error
+
+
+def test_flatten_multipolygon(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], [[5.0, 5.0], [6.0, 5.0], [6.0, 6.0]]], "a"),
+            (2, [[[9.0, 9.0], [9.5, 9.0], [9.5, 9.5]]], "b"),
+        ],
+        "fid int, parts array<array<array<double>>>, tag string",
+    )
+    out = R.flatten_multipolygon(df).toPandas()
+    assert len(out) == 3
+    assert out[out.fid == 1]["part_seq"].tolist() == [0, 1]
+    assert (out[out.fid == 1]["tag"] == "a").all()  # attrs replicated
+
+
+def test_partition_metrics(spark):
+    df = spark.range(0, 10000, 1, 8).withColumn("cell", F.pmod("id", F.lit(50)))
+    m = partition_metrics(df, cell_col="cell").toPandas()
+    assert len(m) == 8
+    assert m["rows"].sum() == 10000
+    assert (m["bytes"] > 0).all()
+    assert (m["n_cells"] <= 50).all() and m["n_cells"].max() == 50

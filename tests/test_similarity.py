@@ -54,6 +54,20 @@ def test_cosine_self_is_rank_one(spark, corpus):
     assert top["vec_id"] == 17 and top["cosine"] == pytest.approx(1.0)
 
 
+def test_ivf_topk_recall(spark, corpus, corpus_pdf):
+    q = corpus.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = S.ivf_cosine_topk(q, corpus, k=5, n_centroids=16, n_probe=4).toPandas()
+    exp = brute_topk(corpus_pdf, range(10), 5)
+    recalls = []
+    for qid in range(10):
+        sub = got[got.q_id == qid].sort_values("rank")
+        assert sub["vec_id"].iloc[0] == qid  # self survives probing
+        recalls.append(len(set(sub["vec_id"]) & set(exp[qid])) / 5.0)
+    assert sum(recalls) / len(recalls) > 0.5  # 4/16 probes on gaussians
+
+
 def test_lsh_topk_contains_self_and_is_subset_quality(spark, corpus, corpus_pdf):
     q = corpus.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
