@@ -67,7 +67,12 @@ def orient_ring(ring: Column, ccw: bool = True) -> Column:
 
 
 def ring_wkt(ring: Column, holes: Column | None = None) -> Column:
-    """WKT emit — OGRLoader `wkt` terminal (ogr_reader_node.cpp:245)."""
+    """WKT emit — OGRLoader `wkt` terminal (ogr_reader_node.cpp:245).
+
+    NOTE: triply-nested array columns (holes) cross the Arrow boundary
+    as JSON strings — this environment's pyarrow segfaults converting a
+    null/empty outer list<list<list<double>>> to pandas; to_json round-
+    trips doubles exactly (shortest-repr) and sidesteps the crash."""
     if holes is None:
         @F.pandas_udf(T.StringType())
         def _f(s: pd.Series) -> pd.Series:
@@ -76,12 +81,15 @@ def ring_wkt(ring: Column, holes: Column | None = None) -> Column:
 
         return _f(ring)
 
+    import json
+
     @F.pandas_udf(T.StringType())
     def _fh(s: pd.Series, hs: pd.Series) -> pd.Series:
         flat, off = _ragged(s)
-        return pd.Series(_g.rings_to_wkt(flat, off, hs.tolist()))
+        holes_rows = [None if h is None else json.loads(h) for h in hs]
+        return pd.Series(_g.rings_to_wkt(flat, off, holes_rows))
 
-    return _fh(ring, holes)
+    return _fh(ring, F.to_json(holes))
 
 
 def simplify_ring(ring: Column, tolerance: float) -> Column:
@@ -101,20 +109,122 @@ def simplify_ring(ring: Column, tolerance: float) -> Column:
     return _f(ring)
 
 
-def buffer_ring(ring: Column, offset: float) -> Column:
-    """v1 bbox buffer -> struct(ring, ok) (PolygonBufferGEOS analog,
-    geos_nodes.cpp:187-213; invalid result passes original through)."""
+def buffer_ring(ring: Column, offset: float, method: str = "round", quad_segs: int = 8) -> Column:
+    """Buffer -> struct(ring, ok) (PolygonBufferGEOS analog,
+    geos_nodes.cpp:187-213; invalid result passes original through).
+
+    method="round": Minkowski round-join buffer for convex rings
+    (GEOS quadrantSegments semantics; negative = inward miter).
+    method="bbox": the axis-aligned bbox kernel (exact for the
+    engine's footprint quads, cheaper)."""
     out_t = T.StructType(
         [T.StructField("ring", RING_T), T.StructField("ok", T.BooleanType())]
     )
+    kern = _g.buffer_convex_rings if method == "round" else _g.buffer_bbox_rings
 
     @F.pandas_udf(out_t)
     def _f(s: pd.Series) -> pd.DataFrame:
         flat, off = _ragged(s)
-        nf, no, ok = _g.buffer_bbox_rings(flat, off, offset)
+        if method == "round":
+            nf, no, ok = kern(flat, off, offset, quad_segs)
+        else:
+            nf, no, ok = kern(flat, off, offset)
         return pd.DataFrame({"ring": _g.ragged_to_lists(nf, no), "ok": ok})
 
     return _f(ring)
+
+
+# ---------------------------------------------------------------------------
+# z / 2.5D helpers — reference geometry is xyz (arr3f,
+# ogr_reader_node.cpp:93), with a base_elevation z-override (:93-97)
+# ---------------------------------------------------------------------------
+
+def ring_set_z(ring: Column, z: Column) -> Column:
+    """Lift a 2D ring to xyz at constant z (or override an existing z)
+    — the base_elevation knob, pure JVM."""
+    return F.transform(ring, lambda p: F.array(p[0], p[1], z))
+
+
+def ring_z0(ring: Column) -> Column:
+    """z of the first vertex (null for 2D rings) — pure JVM."""
+    return F.element_at(F.element_at(ring, 1), 3)
+
+
+# ---------------------------------------------------------------------------
+# WKT parse (input direction — OGR accepts WKT; interchange must be
+# two-way). Pure JVM string ops: no Python stage in a WKT-ingest scan.
+# ---------------------------------------------------------------------------
+
+def parse_wkt_polygon(wkt: Column) -> Column:
+    """'POLYGON ((x y[ z], ...))' -> exterior ring array<array<double>>
+    in the engine canon (UNCLOSED: the closing vertex is dropped).
+    Holes, if present, are ignored here — use parse_wkt_polygon_holes.
+    Returns null for 'POLYGON EMPTY'."""
+    body = F.regexp_extract(wkt, r"\(\(([^()]*)[\)]", 1)
+    pts = F.split(body, r",\s*")
+    ring = F.transform(
+        pts, lambda p: F.transform(F.split(F.trim(p), r"\s+"), lambda v: v.cast("double"))
+    )
+    ring = F.slice(ring, 1, F.size(ring) - 1)  # drop the closing vertex
+    return F.when(F.length(body) > 0, ring)
+
+
+def parse_wkt_polygon_holes(wkt: Column) -> Column:
+    """Hole rings of a POLYGON wkt as array<array<array<double>>>
+    (empty array when none)."""
+    inner = F.regexp_extract(wkt, r"^[A-Z Z]*\s*\((.*)\)\s*$", 1)
+    rings = F.split(inner, r"\)\s*,\s*\(")
+    rings = F.transform(rings, lambda s: F.regexp_replace(s, r"[()]", ""))
+    parsed = F.transform(
+        rings,
+        lambda s: F.transform(
+            F.split(s, r",\s*"),
+            lambda p: F.transform(F.split(F.trim(p), r"\s+"), lambda v: v.cast("double")),
+        ),
+    )
+    hole_rings = F.slice(parsed, 2, F.greatest(F.size(parsed) - 1, F.lit(0)))
+    return F.transform(hole_rings, lambda r: F.slice(r, 1, F.size(r) - 1))
+
+
+# ---------------------------------------------------------------------------
+# LineString column ops (reference reads line_strings first-class,
+# ogr_reader_node.cpp:254-263)
+# ---------------------------------------------------------------------------
+
+def line_length_col(points: Column) -> Column:
+    """Planar length of a polyline array<array<double>> — pure JVM
+    (zip consecutive vertices, aggregate hypot)."""
+    n = F.size(points)
+    segs = F.sequence(F.lit(0), n - 2)
+    return F.when(
+        n >= 2,
+        F.aggregate(
+            segs,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.sqrt(
+                F.pow(F.get(points, i + 1)[0] - F.get(points, i)[0], 2)
+                + F.pow(F.get(points, i + 1)[1] - F.get(points, i)[1], 2)
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def linestring_wkt(points: Column) -> Column:
+    """LINESTRING wkt from a points array — pure JVM formatting (%.9g
+    parity with kernels.rings_to_wkt's float format is NOT claimed;
+    this uses repr-style doubles)."""
+    return F.concat(
+        F.lit("LINESTRING ("),
+        F.array_join(
+            F.transform(
+                points,
+                lambda p: F.concat_ws(" ", F.transform(p, lambda v: v.cast("string"))),
+            ),
+            ", ",
+        ),
+        F.lit(")"),
+    )
 
 
 def pip_refine(px: Column, py: Column, ring: Column, holes: Column | None = None) -> Column:
@@ -130,16 +240,20 @@ def pip_refine(px: Column, py: Column, ring: Column, holes: Column | None = None
 
         return _f(px, py, ring)
 
+    import json
+
     @F.pandas_udf(T.BooleanType())
     def _fh(x: pd.Series, y: pd.Series, r: pd.Series, hs: pd.Series) -> pd.Series:
         flat, off = _ragged(r)
+        holes_rows = [None if h is None else json.loads(h) for h in hs]
         return pd.Series(
             _g.point_in_polygon_pairwise(
-                x.to_numpy(float), y.to_numpy(float), flat, off, hs.tolist()
+                x.to_numpy(float), y.to_numpy(float), flat, off, holes_rows
             )
         )
 
-    return _fh(px, py, ring, holes)
+    # holes cross the Arrow boundary as JSON (see ring_wkt note)
+    return _fh(px, py, ring, F.to_json(holes))
 
 
 def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:

@@ -95,18 +95,103 @@ def tile_cover_cols(
 
 
 # ---------------------------------------------------------------------------
-# hex / s2 cells (pandas UDFs over the numpy kernels)
+# hex cells — pure Column expressions (JVM, whole-stage codegen).
+#
+# Exactly the hexlite spec of kernels/cells.py, bit-for-bit: same
+# float64 op order, and F.bround (HALF_EVEN) == np.rint for the cube
+# rounding, so JVM and numpy ids agree on every input (parity-tested
+# in tests/test_kernels_cells.py). Keeping hex encode/kring JVM-side
+# removes the last Python stage from pip_join/knn_join hot paths.
 # ---------------------------------------------------------------------------
 
-def hex_cell(lon: Column, lat: Column, res: int) -> Column:
-    @F.pandas_udf(T.LongType())
-    def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
-        return pd.Series(_cells.hex_encode(lo.to_numpy(), la.to_numpy(), res))
+_SQ3 = 1.7320508075688772  # math.sqrt(3.0), same double as kernels
 
-    return _enc(lon, lat)
+
+def _zigzag_col(v: Column) -> Column:
+    return F.shiftleft(v, 1).bitwiseXOR(F.shiftright(v, 63))
+
+
+def _unzigzag_col(u: Column) -> Column:
+    return F.shiftrightunsigned(u, 1).bitwiseXOR(-(u.bitwiseAND(F.lit(1))))
+
+
+def _hex_pack_col(res: int, q: Column, r: Column) -> Column:
+    return (
+        F.lit(res << _cells.HEX_RES_SHIFT)
+        .bitwiseOR(F.shiftleft(_zigzag_col(q), _cells.HEX_Q_SHIFT))
+        .bitwiseOR(_zigzag_col(r))
+    )
+
+
+def _hex_axial_f(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
+    size = _cells._hex_size(res)
+    qf = (F.lit(_SQ3 / 3.0) * lon - lat / F.lit(3.0)) / F.lit(size)
+    rf = (F.lit(2.0 / 3.0) * lat) / F.lit(size)
+    return qf, rf
+
+
+def hex_cell(lon: Column, lat: Column, res: int) -> Column:
+    """hexlite cell id at ``res`` — pure JVM (h3.latlng_to_cell analog)."""
+    if res > _cells.HEX_MAX_RES:
+        raise ValueError(f"hexlite res {res} > max {_cells.HEX_MAX_RES}")
+    qf, rf = _hex_axial_f(lon, lat, res)
+    sf = -qf - rf
+    q0, r0, s0 = F.bround(qf, 0), F.bround(rf, 0), F.bround(sf, 0)
+    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    q = F.when(fix_q, -r0 - s0).otherwise(q0).cast("long")
+    r = F.when(fix_r, -q0 - s0).otherwise(r0).cast("long")
+    return _hex_pack_col(res, q, r)
+
+
+def hex_kring(cell: Column, k: int) -> Column:
+    """array<long> of the 3k(k+1)+1 cells within hex distance k
+    (h3.grid_disk analog) — pure JVM unpack/offset/repack. Explode to
+    turn a kNN search into an equi-join on cell id."""
+    res_bits = F.shiftleft(F.shiftrightunsigned(cell, _cells.HEX_RES_SHIFT), _cells.HEX_RES_SHIFT)
+    q = _unzigzag_col(
+        F.shiftrightunsigned(cell, _cells.HEX_Q_SHIFT).bitwiseAND(F.lit(_cells.HEX_Q_MASK))
+    )
+    r = _unzigzag_col(cell.bitwiseAND(F.lit(_cells.HEX_R_MASK)))
+    ids = [
+        res_bits.bitwiseOR(
+            F.shiftleft(_zigzag_col(q + F.lit(int(dq))), _cells.HEX_Q_SHIFT)
+        ).bitwiseOR(_zigzag_col(r + F.lit(int(dr))))
+        for dq, dr in _cells.hex_disk_offsets(k)
+    ]
+    return F.array(*ids)
+
+
+def hex_cover_range_cols(
+    min_lon: Column, min_lat: Column, max_lon: Column, max_lat: Column, res: int
+) -> tuple[Column, Column, Column, Column]:
+    """Inclusive axial ranges (q0, q1, r0, r1) of the superset hex cover
+    of a bbox (same ±2-cell margin as kernels.cells.hex_cover_bbox) —
+    pure JVM, explodable with F.sequence like the tile cover."""
+    corners = [
+        _hex_axial_f(min_lon, min_lat, res),
+        _hex_axial_f(max_lon, min_lat, res),
+        _hex_axial_f(min_lon, max_lat, res),
+        _hex_axial_f(max_lon, max_lat, res),
+    ]
+    qs = [c[0] for c in corners]
+    rs = [c[1] for c in corners]
+    q0 = (F.floor(F.least(*qs)) - 2).cast("long")
+    q1 = (F.ceil(F.greatest(*qs)) + 2).cast("long")
+    r0 = (F.floor(F.least(*rs)) - 2).cast("long")
+    r1 = (F.ceil(F.greatest(*rs)) + 2).cast("long")
+    return q0, q1, r0, r1
+
+
+def hex_pack_cols(res: int, q: Column, r: Column) -> Column:
+    """(q, r) axial ints -> hexlite id (JVM)."""
+    return _hex_pack_col(res, q, r)
 
 
 def s2_cell(lon: Column, lat: Column, level: int) -> Column:
+    """S2-style cell id (cube face + Hilbert) — pandas UDF over the
+    numpy kernel (the Hilbert bit loop isn't worth expressing in SQL)."""
     @F.pandas_udf(T.LongType())
     def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
         return pd.Series(_cells.s2_encode(lo.to_numpy(), la.to_numpy(), level))
@@ -114,13 +199,38 @@ def s2_cell(lon: Column, lat: Column, level: int) -> Column:
     return _enc(lon, lat)
 
 
-def hex_kring(cell: Column, k: int) -> Column:
-    """array<long> of the 3k(k+1)+1 cells within hex distance k
-    (h3.grid_disk analog). Explode to turn a kNN search into an
-    equi-join on cell id."""
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _disk(c: pd.Series) -> pd.Series:
-        ids = _cells.hex_neighbors_of(c.to_numpy(), k)
-        return pd.Series(list(ids))
+# ---------------------------------------------------------------------------
+# point-in-polygon refine — pure Column expression (JVM higher-order
+# functions). Bit-for-bit the same half-open ray cast as
+# kernels.geom.points_in_rings_pairwise: same float64 formula
+#   xint = (x2-x1)*(py-y1)/(y2-y1) + x1 ; hit = straddle & (px < xint)
+# so the JVM and Arrow refine paths return identical rows. Keeping the
+# refine JVM-side is what makes pip_join scale linearly with cores —
+# the Python-worker path was the measured non-scaling component.
+# ---------------------------------------------------------------------------
 
-    return _disk(cell)
+def ring_crossings_col(px: Column, py: Column, ring: Column) -> Column:
+    """Ray-cast parity test: point strictly inside the (unclosed) ring."""
+    n = F.size(ring)
+
+    def _hit(i: Column) -> Column:
+        p1 = F.get(ring, i)
+        p2 = F.get(ring, (i + 1) % n)
+        x1, y1 = p1[0], p1[1]
+        x2, y2 = p2[0], p2[1]
+        straddle = (y1 > py) != (y2 > py)
+        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        return straddle & (px < xint)
+
+    crossings = F.size(F.filter(F.sequence(F.lit(0), n - 1), _hit))
+    return (crossings % 2 == 1) & (n >= 3)
+
+
+def pip_refine_col(px: Column, py: Column, ring: Column, holes: Column | None = None) -> Column:
+    """Exact PiP (exterior ring minus holes) as a pure JVM expression —
+    the zero-Python refine stage of pip_join."""
+    inside = ring_crossings_col(px, py, ring)
+    if holes is not None:
+        in_hole = F.exists(holes, lambda h: ring_crossings_col(px, py, h))
+        inside = inside & ~F.coalesce(in_hole, F.lit(False))
+    return inside

@@ -69,12 +69,22 @@ def tile_range_for_bbox(min_lon, min_lat, max_lon, max_lat, z: int):
 #   qf = (sqrt(3)/3 * x - 1/3 * y) / size ; rf = (2/3 * y) / size
 #   (q, r) = cube_round(qf, rf)
 # Cell id packing (fits a positive int64):
-#   id = (res << 58) | (zigzag(q) << 29) | zigzag(r)
-# with zigzag(v) = (v << 1) ^ (v >> 63) bounded to 29 bits (q, r are
-# bounded by the lon/lat domain for res <= 15).
+#   id = (res << 59) | (zigzag(q) << 28) | zigzag(r)
+# with zigzag(v) = (v << 1) ^ (v >> 63). Field widths (worst case at
+# res 15, size = 7^-7.5 ≈ 4.6e-7 deg, lon in ±180, lat in ±90):
+#   |q| <= (sqrt(3)/3*180 + 90/3)/size ≈ 2.92e8  -> zigzag < 2^31 (31 bits)
+#   |r| <= (2/3*90)/size               ≈ 1.31e8  -> zigzag < 2^28 (28 bits)
+#   res <= 15                                     -> 4 bits at 59..62
+# so the id stays a positive int64 through res 15 for the full lon/lat
+# domain (res 15 << 59 = 8.65e18 < 2^63). res > 15 raises.
 # ---------------------------------------------------------------------------
 
 HEX_BASE_SIZE_DEG = 1.0
+HEX_MAX_RES = 15
+HEX_RES_SHIFT = 59
+HEX_Q_SHIFT = 28
+HEX_R_MASK = (1 << 28) - 1
+HEX_Q_MASK = (1 << 31) - 1
 _SQ3 = math.sqrt(3.0)
 
 
@@ -106,14 +116,16 @@ def _unzigzag(u: np.ndarray) -> np.ndarray:
 
 
 def _pack(res: int, q: np.ndarray, r: np.ndarray) -> np.ndarray:
-    return (np.int64(res) << 58) | (_zigzag(q) << 29) | _zigzag(r)
+    if res > HEX_MAX_RES:
+        raise ValueError(f"hexlite res {res} > max {HEX_MAX_RES} (id packing overflows)")
+    return (np.int64(res) << HEX_RES_SHIFT) | (_zigzag(q) << HEX_Q_SHIFT) | _zigzag(r)
 
 
 def _unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     cell = np.asarray(cell, dtype=np.int64)
-    res = cell >> 58
-    q = _unzigzag((cell >> 29) & ((1 << 29) - 1))
-    r = _unzigzag(cell & ((1 << 29) - 1))
+    res = cell >> HEX_RES_SHIFT
+    q = _unzigzag((cell >> HEX_Q_SHIFT) & HEX_Q_MASK)
+    r = _unzigzag(cell & HEX_R_MASK)
     return res, q, r
 
 
@@ -162,7 +174,7 @@ def hex_neighbors_of(cell, k: int) -> np.ndarray:
     offs = hex_disk_offsets(k)
     qq = q[:, None] + offs[None, :, 0]
     rr = r[:, None] + offs[None, :, 1]
-    return (res[:, None] << 58) | (_zigzag(qq) << 29) | _zigzag(rr)
+    return (res[:, None] << HEX_RES_SHIFT) | (_zigzag(qq) << HEX_Q_SHIFT) | _zigzag(rr)
 
 
 def hex_cover_bbox(min_lon, min_lat, max_lon, max_lat, res: int):
@@ -178,6 +190,8 @@ def hex_cover_bbox(min_lon, min_lat, max_lon, max_lat, res: int):
     of P, so its axial coords lie within the corner axial range +-
     ceil(s-effect) <= 2 cells. Superset covers only cost join width,
     never correctness (the refine is exact)."""
+    if res > HEX_MAX_RES:
+        raise ValueError(f"hexlite res {res} > max {HEX_MAX_RES} (id packing overflows)")
     min_lon = np.asarray(min_lon, dtype=np.float64)
     min_lat = np.asarray(min_lat, dtype=np.float64)
     max_lon = np.asarray(max_lon, dtype=np.float64)
@@ -217,7 +231,7 @@ def hex_cover_bbox(min_lon, min_lat, max_lon, max_lat, res: int):
     q = np.repeat(q0, counts) + intra // nr_rep
     r = np.repeat(r0, counts) + intra % nr_rep
     res_arr = np.full(total, res, dtype=np.int64)
-    cells = (res_arr << 58) | (_zigzag(q) << 29) | _zigzag(r)
+    cells = (res_arr << HEX_RES_SHIFT) | (_zigzag(q) << HEX_Q_SHIFT) | _zigzag(r)
     return cells, row
 
 

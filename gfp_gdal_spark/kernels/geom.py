@@ -19,6 +19,8 @@ kernels stay fully vectorized across an entire Arrow batch.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 __all__ = [
@@ -33,6 +35,7 @@ __all__ = [
     "rings_valid",
     "simplify_rings",
     "buffer_bbox_rings",
+    "buffer_convex_rings",
     "rings_to_wkt",
     "haversine",
 ]
@@ -42,15 +45,20 @@ __all__ = [
 # ragged conversion
 # ---------------------------------------------------------------------------
 
-def _ring_flat(r) -> np.ndarray:
-    """One ring (list of [x,y] / ndarray of ndarrays from Arrow) -> flat xy."""
+def _ring_pts(r) -> np.ndarray:
+    """One ring (list of [x,y(,z)] / ndarray of ndarrays from Arrow) ->
+    (n_pts, width) float64 array; width 2 (xy) or 3 (xyz)."""
     if isinstance(r, np.ndarray) and r.dtype == object:
-        return np.concatenate(list(r)).astype(np.float64, copy=False)
-    return np.asarray(r, dtype=np.float64).reshape(-1)
+        return np.stack([np.asarray(p, dtype=np.float64) for p in r])
+    return np.atleast_2d(np.asarray(r, dtype=np.float64))
 
 
 def ragged_from_lists(rings) -> tuple[np.ndarray, np.ndarray]:
-    """list-of-(list of [x,y]) -> (flat[N,2], offsets[M+1]). Empty/None rings ok.
+    """list-of-(list of [x,y(,z)]) -> (flat[N,width], offsets[M+1]).
+    Empty/None rings ok. width is 2 for xy rings, 3 for xyz rings
+    (reference geometry is xyz throughout — arr3f,
+    ogr_reader_node.cpp:93); all the planar kernels read columns 0..1
+    and carry any z column through untouched.
 
     Accepts both plain Python nested lists and the object-ndarray form
     Arrow/pandas hands to a pandas UDF for array<array<double>>.
@@ -62,8 +70,11 @@ def ragged_from_lists(rings) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(counts, out=offsets[1:])
     if offsets[-1] == 0:
         return np.empty((0, 2), dtype=np.float64), offsets
-    parts = [_ring_flat(r) for r in rings if r is not None and len(r)]
-    flat = np.concatenate(parts).reshape(-1, 2)
+    parts = [_ring_pts(r) for r in rings if r is not None and len(r)]
+    width = parts[0].shape[1]
+    if any(p.shape[1] != width for p in parts):
+        raise ValueError("mixed 2D/3D rings in one batch")
+    flat = np.concatenate(parts, axis=0)
     return flat, offsets
 
 
@@ -365,7 +376,7 @@ def simplify_rings(flat: np.ndarray, offsets: np.ndarray, tol: float):
         closed = np.vstack([pts, pts[:1]])
         keep = _dp_mask(closed, tol)
         simp = closed[keep][:-1]
-        area = signed_area(simp.reshape(-1, 2), np.array([0, len(simp)]))[0]
+        area = signed_area(simp, np.array([0, len(simp)]))[0]
         if simp.shape[0] < 3 or area == 0.0 or _ring_self_intersects(simp):
             out_rings.append(pts)  # pass-through on failure (collapsed/invalid)
             continue
@@ -413,15 +424,128 @@ def buffer_bbox_rings(flat: np.ndarray, offsets: np.ndarray, offset: float):
     return new_flat, new_off, ok
 
 
+def _is_convex_ccw(pts: np.ndarray) -> bool:
+    """All turns left (cross >= 0, at least one > 0) for an unclosed ring."""
+    n = pts.shape[0]
+    if n < 3:
+        return False
+    a = pts[:, :2]
+    b = np.roll(a, -1, axis=0)
+    c = np.roll(a, -2, axis=0)
+    cr = (b[:, 0] - a[:, 0]) * (c[:, 1] - b[:, 1]) - (b[:, 1] - a[:, 1]) * (c[:, 0] - b[:, 0])
+    return bool((cr > -1e-30).all() and (cr > 0).any())
+
+
+def buffer_convex_rings(
+    flat: np.ndarray, offsets: np.ndarray, offset: float, quad_segs: int = 8
+):
+    """General polygon buffer for CONVEX rings — the PolygonBufferGEOS
+    analog (geos_nodes.cpp:187-213) with GEOS's round-join semantics:
+
+    - offset > 0: Minkowski sum with a disc; each edge shifts outward
+      by ``offset`` along its outward normal, each vertex gets a
+      circular arc polygonalized at ``quad_segs`` segments per quarter
+      circle (the GEOS quadrantSegments parameter). For a convex ring
+      with exterior angles θ_i the result area is EXACTLY
+          A + P·offset + Σ_i (offset²/2)·m_i·sin(θ_i/m_i),
+      m_i = ceil(θ_i / (π/2/quad_segs)) — the closed form the SQL
+      oracle checks.
+    - offset < 0: inward offset by miter intersection of adjacent
+      shifted edges; a collapsed/inverted result passes the ORIGINAL
+      ring through with ok=False (geos_nodes.cpp:202-207).
+    - non-convex or degenerate input: pass-through, ok=False (the
+      bbox kernel buffer_bbox_rings remains for axis-aligned quads).
+
+    Returns (flat', offsets', ok[bool]); output rings CCW, xy only.
+    """
+    n = len(offsets) - 1
+    step_max = math.pi / 2.0 / quad_segs
+    out_rings, ok = [], np.zeros(n, dtype=bool)
+    for i in range(n):
+        pts = flat[offsets[i]: offsets[i + 1], :2]
+        if pts.shape[0] < 3:
+            out_rings.append(pts)
+            continue
+        ring = pts
+        if signed_area(ring, np.array([0, len(ring)]))[0] < 0:
+            ring = ring[::-1]
+        if not _is_convex_ccw(ring):
+            out_rings.append(pts)
+            continue
+        m = ring.shape[0]
+        d = np.roll(ring, -1, axis=0) - ring              # edge vectors
+        ln = np.hypot(d[:, 0], d[:, 1])
+        if (ln == 0).any():
+            out_rings.append(pts)
+            continue
+        nx, ny = d[:, 1] / ln, -d[:, 0] / ln              # outward normals (CCW)
+        if offset >= 0:
+            verts: list[np.ndarray] = []
+            for j in range(m):
+                n_in = np.array([nx[j - 1], ny[j - 1]])   # normal of incoming edge
+                n_out = np.array([nx[j], ny[j]])
+                a0 = math.atan2(n_in[1], n_in[0])
+                a1 = math.atan2(n_out[1], n_out[0])
+                theta = a1 - a0
+                while theta < 0:
+                    theta += 2 * math.pi
+                steps = max(int(math.ceil(theta / step_max - 1e-12)), 1)
+                angs = a0 + theta * np.arange(steps + 1) / steps
+                arc = ring[j] + offset * np.stack([np.cos(angs), np.sin(angs)], axis=1)
+                verts.append(arc)
+            new = np.concatenate(verts, axis=0)
+        else:
+            r = -offset
+            # shifted edge lines: point p_j - r*n_j, direction d_j;
+            # new vertex j = intersection of shifted edges (j-1) and j
+            p_in = ring + 0.0
+            new = np.empty_like(ring)
+            bad = False
+            for j in range(m):
+                jm = (j - 1) % m
+                p1 = p_in[jm] - r * np.array([nx[jm], ny[jm]])
+                d1 = d[jm]
+                p2 = p_in[j] - r * np.array([nx[j], ny[j]])
+                d2 = d[j]
+                den = d1[0] * d2[1] - d1[1] * d2[0]
+                if abs(den) < 1e-30:
+                    bad = True
+                    break
+                t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / den
+                new[j] = p1 + t * d1
+            # collapse check: a ring shrunk past its inradius inverts
+            # (point reflection keeps CCW orientation, so area alone
+            # can't catch it) — every offset edge must keep the
+            # ORIGINAL edge direction.
+            if not bad:
+                new_d = np.roll(new, -1, axis=0) - new
+                if (new_d * d).sum(axis=1).min() <= 0:
+                    bad = True
+            if bad or signed_area(new, np.array([0, m]))[0] <= 0 or not _is_convex_ccw(new):
+                out_rings.append(pts)
+                continue
+        out_rings.append(new)
+        ok[i] = True
+    counts = np.array([r.shape[0] for r in out_rings], dtype=np.int64)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    new_flat = (
+        np.concatenate(out_rings, axis=0) if new_off[-1] else np.empty((0, 2), np.float64)
+    )
+    return new_flat, new_off, ok
+
+
 # ---------------------------------------------------------------------------
 # WKT emit — S8 `wkt` output (ogr_reader_node.cpp:245)
 # ---------------------------------------------------------------------------
 
 def rings_to_wkt(flat, offsets, holes_per_row=None) -> list[str]:
     """POLYGON wkt per row (ring re-closed on emit, like writers re-close:
-    ogr_writer_node.cpp:47,59). Empty ring -> 'POLYGON EMPTY'."""
+    ogr_writer_node.cpp:47,59). Empty ring -> 'POLYGON EMPTY'; xyz
+    rings emit 'POLYGON Z' (the reference's 2.5D output shape)."""
     out = []
     n = len(offsets) - 1
+    tag = "POLYGON Z" if flat.shape[0] and flat.shape[1] == 3 else "POLYGON"
     for i in range(n):
         pts = flat[offsets[i]: offsets[i + 1]]
         if pts.shape[0] == 0:
@@ -429,13 +553,13 @@ def rings_to_wkt(flat, offsets, holes_per_row=None) -> list[str]:
             continue
         def fmt(ring_pts):
             closed = np.vstack([ring_pts, ring_pts[:1]])
-            return "(" + ", ".join(f"{x:.9g} {y:.9g}" for x, y in closed) + ")"
+            return "(" + ", ".join(" ".join(f"{v:.9g}" for v in p) for p in closed) + ")"
         parts = [fmt(pts)]
         hi = holes_per_row[i] if holes_per_row is not None else None
         if hi is not None and len(hi) > 0:
             for h in hi:
-                parts.append(fmt(_ring_flat(h).reshape(-1, 2)))
-        out.append("POLYGON (" + ", ".join(parts) + ")")
+                parts.append(fmt(_ring_pts(h)))
+        out.append(tag + " (" + ", ".join(parts) + ")")
     return out
 
 

@@ -6,7 +6,9 @@ turn-a-theta-join-into-an-equi-join rewrite as the spatial joins.
 
 Scale notes: candidate pairs are generated per LSH band bucket with a
 size cap (a degenerate bucket of b identical docs would otherwise emit
-b^2 pairs); verification recomputes true Jaccard only on candidates.
+b^2 pairs); minhash pairs carry the ESTIMATED Jaccard (signature match
+fraction) — exact verification, when needed, is ngram_jaccard_pairs
+restricted to the candidate set.
 """
 
 from __future__ import annotations
@@ -25,18 +27,32 @@ __all__ = [
 ]
 
 
-def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", keep_text: bool = False
+) -> DataFrame:
     """Exact duplicate removal: keep the minimum id per identical text.
 
-    Returns (keeper id, n_dupes, text). groupBy = map-side partial agg
-    + one shuffle on a hash of the text; at 100 TB group on
-    xxhash64(text) first and resolve collisions within groups.
+    Groups on a 192-bit fingerprint (md5 + two seeded xxhash64), NOT on
+    the text column, so the shuffle key is ~28 bytes instead of the
+    document body — at 100 TB the groupBy key traffic drops by the mean
+    doc size. Collision probability across the three independent hashes
+    is ~0 at any corpus size (birthday bound ≪ 2^-60 at 10^12 docs).
+
+    Returns (keeper_id, n_dupes[, text]). ``keep_text=True`` carries
+    one representative text per group through the map-side partial agg
+    (one text per distinct fingerprint per partition crosses the wire).
     """
-    return (
-        df.groupBy(text)
-        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dupes"))
-        .select("keeper_id", "n_dupes", text)
+    fp = F.struct(
+        F.md5(F.col(text)).alias("h0"),
+        F.xxhash64(F.col(text)).alias("h1"),
+        F.xxhash64(F.col(text), F.lit(1)).alias("h2"),
     )
+    aggs = [F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dupes")]
+    if keep_text:
+        aggs.append(F.min(text).alias(text))
+    out = df.withColumn("_fp", fp).groupBy("_fp").agg(*aggs)
+    cols = ["keeper_id", "n_dupes"] + ([text] if keep_text else [])
+    return out.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -106,6 +122,11 @@ def minhash_dedup(
     **kw,
 ) -> DataFrame:
     """Near-dup clusters: every doc gets a ``cluster_id``.
+
+    Pairs are thresholded on the minhash-ESTIMATED Jaccard (matching
+    signature fraction) — the standard LSH-dedup operating point; for
+    exact-Jaccard verification of candidates, join the pairs back to
+    ngram_jaccard_pairs or the shingle sets before clustering.
 
     Default (one-hop union): minimum id among its >=threshold neighbors
     (itself included) — collapses the mirror/copy clusters that dominate
@@ -184,11 +205,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram (word) Jaccard similarity for all pairs sharing at
     least one n-gram — pure DataFrame ops (explode + self-join on the
     n-gram + count algebra), no UDF: |A∩B| from the join, |A|,|B| from
-    per-doc distinct counts, J = inter / (|A|+|B|-inter)."""
+    per-doc distinct counts, J = inter / (|A|+|B|-inter).
+
+    ``max_df`` (document-frequency cap) drops grams appearing in more
+    than ``max_df`` docs BEFORE the self-join: one stop-phrase gram
+    shared by 10^6 docs would otherwise emit 10^12 candidate rows. The
+    cap changes the semantics to Jaccard over the capped gram sets
+    (|A|,|B| are recomputed after the cap) — standard stop-gram removal,
+    mirrored verbatim in the SQL oracle. REQUIRED at scale; None only
+    for small fixture corpora.
+    """
     toks = F.split(F.lower(F.col(text)), " ")
     grams = df.select(
         F.col(id_col).alias("_id"),
@@ -199,6 +230,10 @@ def ngram_jaccard_pairs(
             )
         ).alias("gram"),
     ).where(F.length("gram") > 0).distinct()
+    if max_df is not None:
+        # cheap pre-aggregation: gram -> document frequency; hot grams out
+        dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        grams = grams.join(dfreq.where(F.col("_df") <= max_df), "gram").drop("_df")
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = grams.select(F.col("_id").alias("id_a"), "gram")
     b = grams.select(F.col("_id").alias("id_b"), "gram")

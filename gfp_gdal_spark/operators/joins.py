@@ -24,7 +24,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gfp_gdal_spark.functions.geometry import haversine_m, pip_refine
-from gfp_gdal_spark.functions.spatial import hex_cell, hex_kring, tile_cols, tile_cover_cols
+from gfp_gdal_spark.functions.spatial import (
+    hex_cell,
+    hex_cover_range_cols,
+    hex_kring,
+    hex_pack_cols,
+    pip_refine_col,
+    tile_cols,
+    tile_cover_cols,
+)
 
 __all__ = [
     "tile_assign",
@@ -76,32 +84,16 @@ def tile_cover(df: DataFrame, z: int, bbox_cols=("min_lon", "min_lat", "max_lon"
 def cover_cells_hex(
     polys: DataFrame, res: int, ring: str = "ring", keep_bbox: bool = False
 ) -> DataFrame:
-    """Polygon -> covering hex cells (superset bbox cover, see
-    kernels.cells.hex_cover_bbox). Distributed (pandas UDF + explode)
-    — the shuffle-scale twin of the driver-side cover used by the
-    broadcast path."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _cover(min_lon: pd.Series, min_lat: pd.Series, max_lon: pd.Series, max_lat: pd.Series) -> pd.Series:
-        import numpy as np
-
-        from gfp_gdal_spark.kernels import cells as _c
-
-        cells, row = _c.hex_cover_bbox(
-            min_lon.to_numpy(), min_lat.to_numpy(), max_lon.to_numpy(), max_lat.to_numpy(), res
-        )
-        n = len(min_lon)
-        counts = np.bincount(row, minlength=n)
-        out = np.split(cells, np.cumsum(counts)[:-1])
-        return pd.Series([c.tolist() for c in out])
-
+    """Polygon -> covering hex cells (superset bbox cover, same ±2-cell
+    margin as kernels.cells.hex_cover_bbox) — pure JVM: axial range
+    columns + sequence/explode, no Python stage."""
     out = ring_bbox_cols(polys, ring)
-    out = out.withColumn(
-        "cell",
-        F.explode(_cover(F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat"))),
+    q0, q1, r0, r1 = hex_cover_range_cols(
+        F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat"), res
     )
+    out = out.withColumn("_q", F.explode(F.sequence(q0, q1)))
+    out = out.withColumn("_r", F.explode(F.sequence(r0, r1)))
+    out = out.withColumn("cell", hex_pack_cols(res, F.col("_q"), F.col("_r"))).drop("_q", "_r")
     if not keep_bbox:
         out = out.drop("min_lon", "min_lat", "max_lon", "max_lat")
     return out
@@ -145,7 +137,16 @@ def _pip_join_broadcast_rings(
     from gfp_gdal_spark.kernels import geom as _g
 
     spark = points.sparkSession
-    pdf = polys.toPandas()  # broadcast-side: small by contract
+    # guard the driver collect: a "broadcast" layer that isn't actually
+    # small must NOT silently OOM the driver — fail loud with the fix.
+    max_polys = 2_000_000
+    if len(polys.limit(max_polys + 1).select(F.lit(1)).collect()) > max_polys:
+        raise ValueError(
+            f"refine='arrow' broadcast path collects the polygon side to the "
+            f"driver; layer exceeds {max_polys} rows — use refine='jvm' "
+            f"(default) or broadcast=False"
+        )
+    pdf = polys.toPandas()  # broadcast-side: small by contract (guarded above)
     n = len(pdf)
     flat, offsets = _g.ragged_from_lists(pdf[ring].tolist())
     hflat = hoff = hpoly = None
@@ -244,6 +245,7 @@ def pip_join(
     keep_geometry: bool = False,
     bucket: str = "tile",
     res: int | None = None,
+    refine: str = "jvm",
 ) -> DataFrame:
     """Cell-bucketed point-in-polygon join.
 
@@ -251,27 +253,43 @@ def pip_join(
     polygon (exterior ring minus holes; ray-cast refine). Bucketing
     cell: ``bucket="tile"`` uses WebMercator tiles at zoom ``z`` (exact
     rectangular cover, pure JVM math); ``bucket="hex"`` uses hexlite
-    cells at ``res`` (H3-style; superset bbox cover). Either way the
-    refine is exact — the bucket scheme only shapes the equi-join.
+    cells at ``res`` (H3-style; superset bbox cover, also pure JVM).
+    Either way the refine is exact — the bucket scheme only shapes the
+    equi-join.
+
+    refine="jvm" (default): the ray-cast refine is a pure Column
+    expression — the WHOLE join plan has zero Python nodes, so it
+    scales with cores like any JVM job (the Python-worker path was the
+    measured non-scaling component at local[8]→local[32]).
+    refine="arrow": the numpy/Arrow kernel paths (rings shipped via a
+    Spark broadcast variable when broadcast=True) — kept for very
+    vertex-heavy rings where one numpy pass per batch can win.
 
     broadcast=True  -> force broadcast of the (replicated) polygon side
     broadcast=False -> force shuffle (sort-merge / shuffle-hash) join
     broadcast=None  -> let Catalyst/AQE decide from size stats
 
-    keep_geometry=False (default) drops the ring/holes/cell columns
-    from the output — they are consumed by the refine kernel and
-    pruning them from the Arrow return path halves the Python<->JVM
-    transfer on the hot path.
+    Only how='inner' is supported: unmatched points never reach the
+    refine, so an outer join here would silently degenerate to inner —
+    fail loud instead.
     """
-    from gfp_gdal_spark.functions.arrow_geom import pip_filter_arrow
-
+    if how != "inner":
+        raise ValueError(
+            "pip_join supports how='inner' only (the PiP refine drops "
+            "unmatched rows); for left semantics, left-join points "
+            "against the inner result on the point key"
+        )
     if bucket == "hex" and res is None:
         res = 5
     hole_arg = holes if (holes is not None and holes in polys.columns) else None
-    if broadcast is True and how == "inner" and not keep_geometry:
-        return _pip_join_broadcast_rings(
-            points, polys, z, lon, lat, ring, hole_arg, bucket=bucket, res=res
-        )
+
+    if refine == "arrow":
+        from gfp_gdal_spark.functions.arrow_geom import pip_filter_arrow
+
+        if broadcast is True and not keep_geometry:
+            return _pip_join_broadcast_rings(
+                points, polys, z, lon, lat, ring, hole_arg, bucket=bucket, res=res
+            )
 
     if bucket == "hex":
         pcells = cover_cells_hex(polys, res, ring, keep_bbox=True)
@@ -286,20 +304,27 @@ def pip_join(
     else:
         xt, yt = tile_cols(F.col(lon), F.col(lat), z)
         pts = points.withColumn("cell", xt * F.lit(1 << (z + 1)) + yt)
-    joined = pts.join(pcells, "cell", how)
-    if how == "inner":
-        # JVM-side bbox prefilter ahead of the Python refine boundary
-        joined = joined.where(
-            (F.col(lon) >= F.col("min_lon")) & (F.col(lon) <= F.col("max_lon"))
-            & (F.col(lat) >= F.col("min_lat")) & (F.col(lat) <= F.col("max_lat"))
-        )
+    joined = pts.join(pcells, "cell")
+    # JVM-side bbox prefilter: kills most false candidates with four
+    # comparisons before the ray cast touches the ring array
+    joined = joined.where(
+        (F.col(lon) >= F.col("min_lon")) & (F.col(lon) <= F.col("max_lon"))
+        & (F.col(lat) >= F.col("min_lat")) & (F.col(lat) <= F.col("max_lat"))
+    )
     joined = joined.drop("min_lon", "min_lat", "max_lon", "max_lat")
-    hole_col = holes if (holes is not None and holes in polys.columns) else None
+
+    if refine == "jvm":
+        hole_c = F.col(hole_arg) if hole_arg else None
+        refined = joined.where(pip_refine_col(F.col(lon), F.col(lat), F.col(ring), hole_c))
+        if keep_geometry:
+            return refined.drop("cell")
+        return refined.drop("cell", *([ring] + ([hole_arg] if hole_arg else [])))
+
     if keep_geometry:
-        return pip_filter_arrow(joined, lon, lat, ring, hole_col).drop("cell")
-    drop = {"cell", ring} | ({hole_col} if hole_col else set())
+        return pip_filter_arrow(joined, lon, lat, ring, hole_arg).drop("cell")
+    drop = {"cell", ring} | ({hole_arg} if hole_arg else set())
     out_cols = [c for c in joined.columns if c not in drop]
-    return pip_filter_arrow(joined, lon, lat, ring, hole_col, out_cols=out_cols)
+    return pip_filter_arrow(joined, lon, lat, ring, hole_arg, out_cols=out_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -338,6 +363,7 @@ def knn_join(
     p_lat: str = "lat_c",
     exact: bool = True,
     max_rounds: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """EXACT kNN join via hex k-ring expansion with escalation.
 
@@ -418,8 +444,14 @@ def knn_join(
     out = done_parts[0]
     for part in done_parts[1:]:
         out = out.unionByName(part)
-    # hand back an un-parented result; the intermediates stay cached
-    # until the session evicts them (caller may materialize first)
+    if materialize:
+        # cut the lineage (eager localCheckpoint) then release every
+        # per-round cache — a long-lived session must not accumulate
+        # round state. materialize=False returns the lazy union and
+        # leaves the caches to the caller (who must unpersist).
+        out = out.localCheckpoint(eager=True)
+        for p in persisted:
+            p.unpersist()
     return out
 
 

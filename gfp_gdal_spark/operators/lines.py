@@ -61,10 +61,18 @@ def merge_lines(
         comps.withColumnRenamed("vertex", "_sid"), "_sid", "left"
     ).withColumn("component", F.coalesce("component", F.col("_sid")))
 
-    out_schema = "line_id long, points array<array<double>>, n_segments int"
+    out_schema = (
+        "line_id long, chain_seq int, points array<array<double>>, n_segments int"
+    )
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # chain the segments of ONE component into an ordered polyline
+        # chain the segments of ONE component into ordered polylines.
+        # GEOSLineMerge emits MULTIPLE lines when a component branches
+        # (an endpoint with degree >= 3): we restart the walk from any
+        # remaining unused segment until every segment is consumed, so
+        # no segment is silently dropped. chain_seq disambiguates the
+        # chains of one component; n_segments counts THIS chain's
+        # segments.
         pts = {}
         adj: dict[str, list[int]] = {}
         segs = []
@@ -75,24 +83,38 @@ def merge_lines(
             segs.append((k1, k2))
             adj.setdefault(k1, []).append(i)
             adj.setdefault(k2, []).append(i)
-        # start at a degree-1 node if the component is a path, else anywhere
-        start = next((k for k, v in adj.items() if len(v) == 1), segs[0][0])
-        chain = [start]
-        used = set()
-        cur = start
-        while True:
-            nxt_i = next((i for i in adj.get(cur, []) if i not in used), None)
-            if nxt_i is None:
-                break
-            used.add(nxt_i)
-            k1, k2 = segs[nxt_i]
-            cur = k2 if k1 == cur else k1
-            chain.append(cur)
+        used: set[int] = set()
+        chains: list[list[str]] = []
+        while len(used) < len(segs):
+            # prefer a degree-1 endpoint with an unused segment; else any
+            start = next(
+                (
+                    k
+                    for k, v in adj.items()
+                    if len([i for i in v if i not in used]) == 1
+                ),
+                None,
+            )
+            if start is None:
+                start = segs[next(i for i in range(len(segs)) if i not in used)][0]
+            chain = [start]
+            cur = start
+            while True:
+                nxt_i = next((i for i in adj.get(cur, []) if i not in used), None)
+                if nxt_i is None:
+                    break
+                used.add(nxt_i)
+                k1, k2 = segs[nxt_i]
+                cur = k2 if k1 == cur else k1
+                chain.append(cur)
+            chains.append(chain)
+        comp = int(pdf["component"].iloc[0])
         return pd.DataFrame(
             {
-                "line_id": [int(pdf["component"].iloc[0])],
-                "points": [[pts[k] for k in chain]],
-                "n_segments": [len(pdf)],
+                "line_id": [comp] * len(chains),
+                "chain_seq": list(range(len(chains))),
+                "points": [[pts[k] for k in c] for c in chains],
+                "n_segments": [len(c) - 1 for c in chains],
             }
         )
 

@@ -100,7 +100,14 @@ def ivf_cosine_topk(
     """
     from pyspark.sql import Window
 
-    sample = corpus.select(c_vec).limit(sample_rows).toPandas()
+    # keyed deterministic sample: top-N by xxhash64(id) — a distributed
+    # TakeOrdered, invariant to partitioning (a bare limit() is not)
+    sample = (
+        corpus.select(c_id, c_vec)
+        .orderBy(F.xxhash64(F.col(c_id)), F.col(c_id))
+        .limit(sample_rows)
+        .toPandas()
+    )
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[c_vec]])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -152,16 +159,36 @@ def lsh_cosine_topk(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     seed: int = 42,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: same-sign-bucket candidates, exact
-    refine. Recall rises with fewer bits / multiprobe (v2); this is
-    the 10^12-row shape where brute force is impossible."""
+    """Approximate cosine top-k: sign-bucket candidates, exact refine —
+    the 10^12-row shape where brute force is impossible.
+
+    ``multiprobe`` probes every bucket within hamming distance
+    ``multiprobe`` of the query's own bucket (0 = single probe): only
+    the QUERY side fans out (sum_{i<=m} C(bits,i) probes), the corpus
+    stays bucketed once, and recall rises steeply because a near
+    neighbor differs from the query in at most a few hyperplane signs.
+    Candidates per query ~= corpus/2^bits * n_probes.
+    """
+    from itertools import combinations
+
     from pyspark.sql import Window
 
     bu = _bucket_udf(dim, bits, seed)
-    qb = queries.withColumn("_bucket", bu(F.col(q_vec)))
+    masks = [0]
+    for m in range(1, multiprobe + 1):
+        for fl in combinations(range(bits), m):
+            mask = 0
+            for b in fl:
+                mask |= 1 << b
+            masks.append(mask)
+    qb = queries.withColumn("_b0", bu(F.col(q_vec))).withColumn(
+        "_bucket",
+        F.explode(F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks])),
+    ).drop("_b0")
     cb = corpus.withColumn("_bucket", bu(F.col(c_vec)))
-    cand = qb.join(cb, "_bucket").withColumn(
+    cand = cb.join(F.broadcast(qb), "_bucket").withColumn(
         "cosine", cosine_sim_col(F.col(q_vec), F.col(c_vec))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())

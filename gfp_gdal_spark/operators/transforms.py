@@ -14,7 +14,7 @@ reference's parameter semantics preserved:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from gfp_gdal_spark.functions.geometry import (
@@ -31,6 +31,8 @@ __all__ = [
     "buffer_polygons",
     "orient_polygons",
     "enrich_geometry",
+    "set_base_elevation",
+    "crs_transform",
 ]
 
 
@@ -55,17 +57,59 @@ def simplify_polygons(
     return out
 
 
-def buffer_polygons(df: DataFrame, offset: float, ring: str = "ring") -> DataFrame:
+def buffer_polygons(
+    df: DataFrame,
+    offset: float,
+    ring: str = "ring",
+    method: str = "round",
+    quad_segs: int = 8,
+) -> DataFrame:
     """Buffer each polygon by ``offset`` (negative shrinks). Invalid
     results pass the original through with buffer_ok=False
-    (geos_nodes.cpp:202-207). v1 kernel is exact for the engine's
-    axis-aligned footprint quads (bbox Minkowski)."""
-    out = df.withColumn("_b", buffer_ring(F.col(ring), offset))
+    (geos_nodes.cpp:202-207).
+
+    method="round" (default): Minkowski round-join buffer for convex
+    rings — the GEOSBuffer parameter semantics incl. quadrantSegments
+    and inward (negative) offsets. method="bbox": axis-aligned bbox
+    expand, exact for footprint quads."""
+    out = df.withColumn("_b", buffer_ring(F.col(ring), offset, method=method, quad_segs=quad_segs))
     return (
         out.withColumn(ring, F.col("_b.ring"))
         .withColumn("buffer_ok", F.col("_b.ok"))
         .drop("_b")
     )
+
+
+def set_base_elevation(df: DataFrame, z, ring: str = "ring") -> DataFrame:
+    """Override/set every ring vertex's z (the reference's
+    base_elevation knob, ogr_reader_node.cpp:93-97). ``z`` may be a
+    float or a Column. Pure JVM."""
+    from gfp_gdal_spark.functions.geometry import ring_set_z
+
+    zc = z if isinstance(z, Column) else F.lit(float(z))
+    return df.withColumn(ring, ring_set_z(F.col(ring), zc))
+
+
+def crs_transform(
+    df: DataFrame,
+    src: str,
+    dst: str,
+    x: str | None = "lon_c",
+    y: str | None = "lat_c",
+    ring: str | None = None,
+) -> DataFrame:
+    """Transform coordinate columns and/or a ring column between CRSs —
+    the pipeline-level SRS transform of the reference
+    (ogr_reader_node.cpp:220-224 on read; ogr_writer_node.cpp:179
+    reversed on write). lonlat<->WebMercator legs are pure JVM."""
+    from gfp_gdal_spark.functions.crs import transform_cols, transform_ring_col
+
+    if x and y and x in df.columns and y in df.columns:
+        nx, ny = transform_cols(F.col(x), F.col(y), src, dst)
+        df = df.withColumns({x: nx, y: ny})
+    if ring and ring in df.columns:
+        df = df.withColumn(ring, transform_ring_col(F.col(ring), src, dst))
+    return df
 
 
 def orient_polygons(df: DataFrame, ring: str = "ring", ccw: bool = True) -> DataFrame:

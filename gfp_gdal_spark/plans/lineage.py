@@ -71,8 +71,17 @@ def run_bucketed(
         group = pend[i : i + buckets_per_job]
         t0 = time.time()
         part = work.where(F.col("bucket").isin(group))
-        # dynamic partition overwrite: re-running a crashed bucket is idempotent
-        part.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+        # dynamic partition overwrite set ON THE WRITER: with Spark's
+        # session default (static), this overwrite would delete EVERY
+        # previously committed bucket partition while the manifest still
+        # marks them done — silent data loss on resume. The writer-level
+        # option makes resume correct regardless of session conf.
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(out_path)
+        )
         wall = time.time() - t0
         # per-bucket metrics from the files just written
         stats = (

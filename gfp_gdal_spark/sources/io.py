@@ -28,7 +28,20 @@ __all__ = [
     "read_segments_csv",
     "write_csv",
     "apply_rename_map",
+    "ogr_time_struct",
 ]
+
+
+def ogr_time_struct(ts):
+    """K6 `Time` type bridging (ogr_reader_node.cpp:65-70): Spark has no
+    TIME logical type, so OGR Time fields bridge to a
+    struct<hour,minute,second> column (the same shape the reference's
+    Time struct carries); Date and DateTime bridge natively."""
+    return F.struct(
+        F.hour(ts).alias("hour"),
+        F.minute(ts).alias("minute"),
+        F.second(ts).alias("second"),
+    )
 
 
 def read_images(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
@@ -46,6 +59,10 @@ def read_vector_layer(
     columns: list[str] | None = None,
     with_fid: bool = False,
     fmt: str = "parquet",
+    source_crs: str | None = None,
+    target_crs: str = "EPSG:4326",
+    ring: str = "ring",
+    base_elevation: float | None = None,
 ) -> DataFrame:
     """Vector-layer scan (OGRLoader analog, ogr_reader_node.cpp:124-309).
 
@@ -58,6 +75,10 @@ def read_vector_layer(
       none (:209-210) — `monotonically_increasing_id` is
       partition-stable, matching OGR's scan-order FIDs only per file;
       prefer a real key column at scale.
+    - ``source_crs`` (when the stored layer is projected) applies the
+      pipeline-level SRS transform to ``ring`` on read (the reference's
+      per-feature transform, :220-224 applied :93-97,:257-261).
+    - ``base_elevation`` overrides every ring vertex's z (:93-97).
     """
     p = os.path.join(path, layer) if layer else path
     df = spark.read.format(fmt).load(p)
@@ -67,6 +88,14 @@ def read_vector_layer(
         df = df.select(*columns)
     if with_fid and "OGR_FID" not in df.columns:
         df = df.withColumn("OGR_FID", F.monotonically_increasing_id())
+    if source_crs and source_crs != target_crs and ring in df.columns:
+        from gfp_gdal_spark.functions.crs import transform_ring_col
+
+        df = df.withColumn(ring, transform_ring_col(F.col(ring), source_crs, target_crs))
+    if base_elevation is not None and ring in df.columns:
+        from gfp_gdal_spark.functions.geometry import ring_set_z
+
+        df = df.withColumn(ring, ring_set_z(F.col(ring), F.lit(float(base_elevation))))
     return df
 
 
@@ -92,10 +121,19 @@ def write_vector_layer(
     only_mapped: bool = False,
     partition_by: list[str] | None = None,
     fmt: str = "parquet",
+    target_crs: str | None = None,
+    source_crs: str = "EPSG:4326",
+    ring: str = "ring",
 ) -> None:
     """Vector sink (OGRWriter analog). mode='overwrite' is
     overwrite_file (:102-117); 'append' appends with schema merge
-    (:265-302 field-name reconciliation -> Parquet mergeSchema)."""
+    (:265-302 field-name reconciliation -> Parquet mergeSchema).
+    ``target_crs`` applies the REVERSE SRS transform on write
+    (ogr_writer_node.cpp:179, applied :42-57)."""
+    if target_crs and target_crs != source_crs and ring in df.columns:
+        from gfp_gdal_spark.functions.crs import transform_ring_col
+
+        df = df.withColumn(ring, transform_ring_col(F.col(ring), source_crs, target_crs))
     out = apply_rename_map(df, rename, only_mapped)
     w = out.write.format(fmt).mode(mode)
     if partition_by:
@@ -109,20 +147,22 @@ def read_points_csv(
     spark: SparkSession, path: str, thin_nth: int = 1, sep: str = " "
 ) -> DataFrame:
     """CSVPointLoader analog (gdal_nodes.cpp:32-51): whitespace CSV with
-    header x y z; keep every nth row (thinning, :43-47). The row index
-    used for thinning is the file order within each file — reproduced
-    with a per-file zipWithIndex-free trick: a monotonically increasing
-    id is NOT stable across partitioning, so thinning uses an explicit
-    row_number over the natural file order when exactness matters; at
-    scan scale prefer `df.sample`."""
+    header x y z; keep every nth row (thinning, :43-47).
+
+    Thinning index = the row's order WITHIN ITS FILE, via a window
+    partitioned by ``input_file_name()`` and ordered by
+    ``monotonically_increasing_id()`` (Spark assigns partition indices
+    in file-split offset order, so the mono id is monotone within a
+    file). The window is per-file, so a directory of N files thins with
+    N-way parallelism — never the single-task global window."""
     df = spark.read.csv(path, sep=sep, header=True, inferSchema=True)
     df = df.toDF(*[c.strip() for c in df.columns])
     if thin_nth > 1:
         from pyspark.sql import Window
 
-        # deterministic global row index; fine for fixture-scale files.
+        w = Window.partitionBy(F.input_file_name()).orderBy(F.monotonically_increasing_id())
         df = (
-            df.withColumn("_idx", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1)
+            df.withColumn("_idx", F.row_number().over(w) - 1)
             .where(F.pmod(F.col("_idx"), F.lit(thin_nth)) == 0)
             .drop("_idx")
         )

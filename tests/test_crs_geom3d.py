@@ -1,0 +1,247 @@
+"""CRS transforms, 3D/z geometry, WKT parse, general buffer, mesh
+fan-out, line ops — round-2 operator coverage."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gfp_gdal_spark.kernels import crs as K
+from gfp_gdal_spark.kernels import geom as G
+
+
+# ---------------------------------------------------------------------------
+# CRS kernels
+# ---------------------------------------------------------------------------
+
+def test_webmercator_known_point_and_roundtrip():
+    x, y = K.webmercator_fwd(np.array([0.0, 180.0]), np.array([0.0, 0.0]))
+    assert abs(x[0]) < 1e-9 and abs(y[0]) < 1e-9
+    assert abs(x[1] - math.pi * K.WEBMERC_R) < 1e-6
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179, 179, 3000)
+    lat = rng.uniform(-84, 84, 3000)
+    X, Y = K.webmercator_fwd(lon, lat)
+    lo, la = K.webmercator_inv(X, Y)
+    assert np.abs(lo - lon).max() < 1e-10 and np.abs(la - lat).max() < 1e-10
+
+
+def test_utm_central_meridian_and_roundtrip():
+    # on the central meridian of zone 31 (lon0=3): x = 500000 exactly
+    x, y = K.tm_fwd(np.array([3.0]), np.array([0.0]), **K.utm_params(31))
+    assert abs(x[0] - 500000.0) < 1e-6 and abs(y[0]) < 1e-6
+    # southern hemisphere false northing
+    x, y = K.tm_fwd(np.array([3.0]), np.array([-1.0]), **K.utm_params(31, south=True))
+    assert y[0] < 10_000_000.0 and y[0] > 9_800_000.0
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(0.1, 5.9, 3000)
+    lat = rng.uniform(-80, 84, 3000)
+    X, Y = K.transform(lon, lat, "EPSG:4326", "EPSG:32631")
+    lo, la = K.transform(X, Y, "EPSG:32631", "EPSG:4326")
+    assert np.abs(lo - lon).max() < 1e-8  # ~1 mm
+    assert np.abs(la - lat).max() < 1e-8
+
+
+def test_parse_crs_variants():
+    assert K.parse_crs("EPSG:4326")[0] == "lonlat"
+    assert K.parse_crs("EPSG:3857")[0] == "webmercator"
+    kind, p = K.parse_crs("EPSG:32733")
+    assert kind == "tm" and p["fn"] == 10000000.0 and p["lon0"] == 15.0
+    assert K.parse_crs("utm:31n")[1]["lon0"] == 3.0
+    with pytest.raises(ValueError):
+        K.parse_crs("EPSG:28992")
+
+
+def test_crs_transform_spark_jvm_parity(spark):
+    from gfp_gdal_spark.operators.transforms import crs_transform
+
+    pdf = pd.DataFrame({"lon_c": [4.9, -73.9, 151.2], "lat_c": [52.37, 40.7, -33.86]})
+    df = spark.createDataFrame(pdf)
+    got = crs_transform(df, "EPSG:4326", "EPSG:3857").toPandas()
+    ex, ey = K.webmercator_fwd(pdf["lon_c"].to_numpy(), pdf["lat_c"].to_numpy())
+    assert np.abs(got["lon_c"].to_numpy() - ex).max() < 1e-9
+    assert np.abs(got["lat_c"].to_numpy() - ey).max() < 1e-9
+    # no Python node for the webmercator leg
+    plan = crs_transform(df, "EPSG:4326", "EPSG:3857")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_read_vector_layer_crs_and_z(spark, tmp_path):
+    from gfp_gdal_spark.sources.io import read_vector_layer, write_vector_layer
+
+    ring = [[4.8, 52.3], [5.0, 52.3], [5.0, 52.4]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"polygon_id": [1], "ring": [ring]}),
+        schema="polygon_id long, ring array<array<double>>",
+    )
+    # write in UTM31 (reverse transform), read back with source_crs
+    p = str(tmp_path / "layer")
+    write_vector_layer(df, p, target_crs="EPSG:32631")
+    back = read_vector_layer(spark, p, source_crs="EPSG:32631", base_elevation=12.0)
+    got = back.collect()[0]["ring"]
+    assert np.abs(np.asarray(got)[:, :2] - np.asarray(ring)).max() < 1e-8
+    assert all(abs(p[2] - 12.0) < 1e-12 for p in got)
+
+
+# ---------------------------------------------------------------------------
+# general buffer
+# ---------------------------------------------------------------------------
+
+def test_buffer_convex_area_closed_form():
+    for k in range(3, 9):
+        ang = 0.3 + np.arange(k) * 2 * np.pi / k
+        ring = np.stack([5 + 1.7 * np.cos(ang), -3 + 1.7 * np.sin(ang)], 1)
+        flat, off = G.ragged_from_lists([ring.tolist()])
+        r = 0.25
+        nf, no, ok = G.buffer_convex_rings(flat, off, r, quad_segs=8)
+        assert ok[0]
+        A = G.signed_area(flat, off)[0]
+        P = np.hypot(*(np.roll(ring, -1, 0) - ring).T).sum()
+        theta = 2 * np.pi / k
+        m = math.ceil(theta / (np.pi / 2 / 8) - 1e-12)
+        expect = A + P * r + k * (r * r / 2) * m * math.sin(theta / m)
+        assert abs(G.signed_area(nf, no)[0] - expect) < 1e-9
+
+
+def test_buffer_negative_and_failures():
+    ring = np.array([[0.0, 0], [2, 0], [2, 2], [0, 2]])
+    flat, off = G.ragged_from_lists([ring.tolist()])
+    nf, no, ok = G.buffer_convex_rings(flat, off, -0.5)
+    assert ok[0] and abs(G.signed_area(nf, no)[0] - 1.0) < 1e-12
+    # collapse passes the original through
+    nf, no, ok = G.buffer_convex_rings(flat, off, -1.5)
+    assert not ok[0] and (nf == flat).all()
+    # non-convex passes through
+    flat2, off2 = G.ragged_from_lists([[[0, 0], [4, 0], [4, 4], [2, 1], [0, 4]]])
+    assert not G.buffer_convex_rings(flat2, off2, 0.5)[2][0]
+
+
+# ---------------------------------------------------------------------------
+# 3D rings
+# ---------------------------------------------------------------------------
+
+def test_ragged_3d_and_wkt_z():
+    flat, off = G.ragged_from_lists([[[0, 0, 5], [1, 0, 5], [1, 1, 5]]])
+    assert flat.shape == (3, 3)
+    assert G.signed_area(flat, off)[0] == 0.5
+    assert G.rings_to_wkt(flat, off)[0] == "POLYGON Z ((0 0 5, 1 0 5, 1 1 5, 0 0 5))"
+    out = G.orient_rings(flat, off)
+    assert (out[:, 2] == 5).all()
+    nf, no, ok = G.simplify_rings(
+        *G.ragged_from_lists([[[0, 0, 2], [1, 0, 2], [2, 0, 2], [2, 2, 2]]]), 0.01
+    )
+    assert ok[0] and nf.shape == (3, 3) and (nf[:, 2] == 2).all()
+
+
+def test_set_base_elevation_spark(spark):
+    from gfp_gdal_spark.operators.transforms import set_base_elevation
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"ring": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]]}),
+        schema="ring array<array<double>>",
+    )
+    out = set_base_elevation(df, 3.25).collect()[0]["ring"]
+    assert out == [[0, 0, 3.25], [1, 0, 3.25], [1, 1, 3.25]]
+
+
+# ---------------------------------------------------------------------------
+# WKT parse round-trip
+# ---------------------------------------------------------------------------
+
+def test_wkt_parse_roundtrip(spark):
+    from gfp_gdal_spark.functions.geometry import (
+        parse_wkt_polygon,
+        parse_wkt_polygon_holes,
+        ring_wkt,
+    )
+
+    rings = [
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]],
+        [[-1.5, 2.25], [3.0, -0.5], [2.0, 5.0]],
+    ]
+    holes = [[[[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0]]], None]
+    df = spark.createDataFrame(
+        pd.DataFrame({"ring": rings, "holes": holes}),
+        schema="ring array<array<double>>, holes array<array<array<double>>>",
+    )
+    wkt = df.select(ring_wkt(F.col("ring"), F.col("holes")).alias("wkt"))
+    back = wkt.select(
+        parse_wkt_polygon(F.col("wkt")).alias("ring"),
+        parse_wkt_polygon_holes(F.col("wkt")).alias("holes"),
+    ).collect()
+    assert back[0]["ring"] == rings[0]
+    assert back[0]["holes"] == holes[0]
+    assert back[1]["ring"] == rings[1]
+    assert back[1]["holes"] == []
+
+
+# ---------------------------------------------------------------------------
+# line ops / mesh fan-out
+# ---------------------------------------------------------------------------
+
+def test_line_length_and_wkt(spark):
+    from gfp_gdal_spark.functions.geometry import line_length_col, linestring_wkt
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"pts": [[[0.0, 0.0], [3.0, 4.0]], [[1.0, 1.0]]]}),
+        schema="pts array<array<double>>",
+    )
+    got = df.select(
+        line_length_col(F.col("pts")).alias("len"), linestring_wkt(F.col("pts")).alias("wkt")
+    ).collect()
+    assert got[0]["len"] == 5.0 and got[1]["len"] == 0.0
+    assert got[0]["wkt"] == "LINESTRING (0.0 0.0, 3.0 4.0)"
+
+
+def test_mesh_fanout(spark):
+    from gfp_gdal_spark.operators import mesh as M
+
+    tri = [[[0.0, 0, 10], [2, 0, 10], [0, 2, 10]], [[2, 0, 10], [2, 2, 10], [0, 2, 10]]]
+    df = spark.createDataFrame(
+        pd.DataFrame({"bid": [7], "parts": [[tri, tri[:1]]], "labels": [["roof", "wall"]]}),
+        schema="bid long, parts array<array<array<array<double>>>>, labels array<string>",
+    )
+    rows = (
+        M.triangles_stats(M.mesh_parts_to_rows(df, labels="labels"))
+        .orderBy("building_part_id")
+        .collect()
+    )
+    assert [r["building_part_id"] for r in rows] == [0, 1]
+    assert [r["n_triangles"] for r in rows] == [2, 1]
+    assert [r["tri_area"] for r in rows] == [4.0, 2.0]
+    assert [r["labels"] for r in rows] == ["roof", "wall"]
+    assert all(r["bid"] == 7 for r in rows)
+    w = (
+        M.mesh_parts_to_rows(df, labels="labels")
+        .select(M.triangles_wkt_col(F.col("triangles")).alias("w"))
+        .collect()
+    )
+    assert w[0]["w"].startswith("MULTIPOLYGON Z (((0 0 10, 2 0 10, 0 2 10, 0 0 10))")
+    # fan-out plan is JVM except the WKT UDF
+    plan = (
+        M.triangles_stats(M.mesh_parts_to_rows(df, labels="labels"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan
+
+
+def test_merge_lines_branching_keeps_all_segments(spark):
+    """A Y junction (3 segments sharing one endpoint) must emit every
+    segment across the component's chains (GEOSLineMerge emits multiple
+    lines at junctions)."""
+    from gfp_gdal_spark.operators.lines import merge_lines
+
+    segs = pd.DataFrame(
+        {
+            "x1": [0.0, 1.0, 1.0],
+            "y1": [0.0, 0.0, 0.0],
+            "x2": [1.0, 2.0, 1.0],
+            "y2": [0.0, 0.0, 1.0],
+        }
+    )
+    out = merge_lines(spark.createDataFrame(segs)).collect()
+    assert sum(r["n_segments"] for r in out) == 3
+    assert len({r["line_id"] for r in out}) == 1  # one component
+    assert len(out) >= 2  # junction forces >1 chain

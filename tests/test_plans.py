@@ -71,10 +71,72 @@ def test_pip_join_shuffle_plan(spark, images_path):
     assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan)
 
 
+PY_MARKERS = ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow", "MapInArrow", "FlatMapGroupsInPandas")
+
+
 def test_pip_join_bbox_prefilter_in_plan(spark, images_path):
-    """The bbox prefilter must appear as a JVM Filter BEFORE the Python
-    refine stage (ahead of the Arrow boundary)."""
+    """The bbox prefilter must appear as a JVM Filter ahead of the
+    ray-cast refine (min_lon/max_lon comparisons in the plan)."""
     pts = with_footprint(spark.read.parquet(images_path)).select("image_id", "lon_c", "lat_c")
     polys = datagen.vector_layer_zones(spark, 200)
     plan = plan_of(J.pip_join(pts, polys, z=6, broadcast=True))
-    assert "_bx0" in plan and "_bx1" in plan  # prefilter condition present
+    assert "min_lon" in plan and "max_lon" in plan  # prefilter condition present
+
+
+def test_pip_join_default_is_pure_jvm(spark, images_path):
+    """The default pip_join (JVM ray-cast refine) must contain ZERO
+    Python nodes — tile and hex bucketing both. This is the 8->32-core
+    scaling fix: the Python worker path was the non-scaling component."""
+    pts = with_footprint(spark.read.parquet(images_path)).select("image_id", "lon_c", "lat_c")
+    polys = datagen.vector_layer_zones(spark, 200)
+    for kwargs in ({"z": 6, "broadcast": True}, {"z": 6, "broadcast": False},
+                   {"bucket": "hex", "res": 4, "broadcast": True}):
+        plan = plan_of(J.pip_join(pts, polys, **kwargs))
+        for marker in PY_MARKERS:
+            assert marker not in plan, f"pip_join({kwargs}) leaked into Python: {marker}"
+
+
+def test_pip_join_arrow_refine_still_available(spark, images_path):
+    pts = with_footprint(spark.read.parquet(images_path)).select("image_id", "lon_c", "lat_c")
+    polys = datagen.vector_layer_zones(spark, 200)
+    plan = plan_of(J.pip_join(pts, polys, z=6, broadcast=True, refine="arrow"))
+    assert "_bx0" in plan and "_bx1" in plan  # prefilter ahead of the Arrow boundary
+
+
+def test_knn_join_plan_is_pure_jvm(spark):
+    """knn_join (hex encode + kring expansion + haversine, all Column
+    exprs) must plan zero Python nodes per round."""
+    from pyspark.sql import functions as F
+
+    q = spark.range(10).select(
+        F.col("id").alias("query_id"),
+        (F.col("id") * 1.0).alias("q_lon"),
+        (F.col("id") * 0.5).alias("q_lat"),
+    )
+    p = spark.range(1000).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") % 360 - 180.0).alias("lon_c"),
+        (F.col("id") % 170 - 85.0).alias("lat_c"),
+    )
+    df = J.knn_join(q, p, k=2, res=2, kring=1, exact=False)
+    plan = plan_of(df)
+    for marker in PY_MARKERS:
+        assert marker not in plan, f"knn_join plan leaked into Python: {marker}"
+
+
+def test_read_points_csv_thinning_window_is_partitioned(spark, tmp_path):
+    """Thinning must never plan a global (unpartitioned) window — the
+    per-file window keeps N-file reads N-way parallel."""
+    import gfp_gdal_spark.sources.io as io
+
+    p = tmp_path / "pts"
+    p.mkdir()
+    for f in range(3):
+        (p / f"f{f}.csv").write_text("x y z\n" + "\n".join(f"{i} {i} {i}" for i in range(20)) + "\n")
+    df = io.read_points_csv(spark, str(p), thin_nth=4)
+    plan = plan_of(df)
+    assert "Window" in plan
+    # a global window plans as 'Window [...], [mono_id ASC]' with a
+    # single-partition exchange; the per-file variant partitions by
+    # input_file_name -> 'PartitionBy' shows up as hashpartitioning
+    assert "SinglePartition" not in plan, "thinning window is global (single task)"
