@@ -351,42 +351,115 @@ def _q_ngram_jaccard(spark, sf):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jac"))
 
 
-# ---- rows-only (no SQL oracle; pytest holds the brute-force checks) ----
+# ---- geometry queries with constructive fixtures + closed-form oracles ----
 
 def _q_hex_cells(spark, sf):
+    """hexlite ids (spec: kernels/cells.py) — the SQL oracle implements
+    the same axial rounding + zigzag packing arithmetic."""
     _prep(spark)
     pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
     return pts.select(
         "o_orderkey",
         hex_cell(F.col("lon_c"), F.col("lat_c"), 7).alias("hex7"),
         hex_cell(F.col("lon_c"), F.col("lat_c"), 9).alias("hex9"),
-        s2_cell(F.col("lon_c"), F.col("lat_c"), 12).alias("s2_12"),
     )
 
 
-def _q_minhash_pairs(spark, sf):
+def _q_s2_cells(spark, sf):
+    """S2-style cells: level-1 id is fully SQL-expressible (one Hilbert
+    iteration); at level 12 the oracle checks the cube-face bits."""
     _prep(spark)
-    d = _t(spark, sf, "documents")
-    return DD.minhash_lsh_pairs(d, n_hashes=64, bands=16).select(
-        "id_a", "id_b", F.round("est_jaccard", 4).alias("est_j")
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
+    return pts.select(
+        "o_orderkey",
+        s2_cell(F.col("lon_c"), F.col("lat_c"), 1).alias("s2_1"),
+        F.shiftrightunsigned(
+            s2_cell(F.col("lon_c"), F.col("lat_c"), 12), 24
+        ).alias("s2_12_face"),
     )
 
 
-def _q_simhash_pairs(spark, sf):
+def _q_minhash_recall(spark, sf):
+    """MinHash-LSH recall against the exact-Jaccard truth set: docs are
+    augmented with deterministic near-dup copies (text + short tail,
+    char-5-shingle J ~ 0.98); the truth set is every pair with exact
+    shingle Jaccard >= 0.9 (SQL-computable); the query returns the
+    truth pairs FOUND by LSH. hash_match <=> recall == 1.0 (banding
+    theory: miss probability (1-0.9^4)^16 ~ 5e-8 per pair)."""
     _prep(spark)
-    d = _t(spark, sf, "documents")
-    return DD.simhash_pairs(d, max_hamming=3)
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" padding tail "), (F.col("doc_id") % 7).cast("string")
+        ).alias("text"),
+    )
+    aug = d.unionByName(copies)
+    # exact char-5-shingle jaccard (same shingle space as the minhash
+    # signature) — distinct shingles, self-join, count algebra
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
+        lambda i: F.substring(F.col("text"), i, 5),
+    )
+    grams = aug.select(F.col("doc_id").alias("_id"), F.explode(sh).alias("g")).distinct()
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("_id").alias("id_a"), "g")
+    gb = grams.select(F.col("_id").alias("id_b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .where(F.col("jac") >= 0.9)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jac"))
+    )
+    lsh = DD.minhash_lsh_pairs(aug, n_hashes=64, bands=16).select("id_a", "id_b")
+    return truth.join(lsh, ["id_a", "id_b"])
+
+
+def _q_simhash_dup_pairs(spark, sf):
+    """SimHash candidate generation is EXACT for hamming<=3 by
+    pigeonhole; on an augmented table with exact duplicate copies the
+    dup pairs (hamming 0) are a SQL-derivable subset of its output."""
+    _prep(spark)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    copies = d.where(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    aug = d.unionByName(copies)
+    pairs = DD.simhash_pairs(aug, max_hamming=3)
+    # restrict to the provably-known subset: identical-text pairs
+    ta = aug.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = aug.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(F.col("_ta") == F.col("_tb"))
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def _q_image_roundtrip(spark, sf):
     """Codec invariant over the synthetic input_hint image table:
-    decode -> stats -> re-encode round-trip PSNR (>=40dB lossy, inf
-    lossless). Rows-only; exact pixel equality is pytest-checked."""
+    decode -> per-image pixel stats + re-encode round-trip PSNR. The
+    oracle recomputes the stats from the closed-form synth_pixels
+    formula (gradient+sinusoid) in SQL — a decode bug on any of the
+    three formats breaks the hash."""
     _prep(spark)
     imgs = datagen.images_table(spark, 300, with_bytes=True)
     st = MM.image_stats(imgs)
     return st.select(
-        "image_id", "fmt", "caption", (F.col("psnr_roundtrip") >= 40.0).alias("psnr_ok")
+        "image_id",
+        "fmt",
+        (F.col("psnr_roundtrip") >= 40.0).alias("psnr_ok"),
+        F.col("px_min").cast("long").alias("px_min"),
+        F.col("px_max").cast("long").alias("px_max"),
+        F.round("mean_g", 4).alias("mean_g"),
     )
 
 
@@ -396,35 +469,200 @@ def _q_image_ahash(spark, sf):
     return MM.image_ahash(imgs)
 
 
+def _rects_with_midpoint(cust: DataFrame):
+    """Rect rings with a 5th bottom-edge midpoint vertex: exactly
+    collinear for even keys (DP removes it), bumped outward 0.05 for
+    odd keys (DP keeps it) — hand-derivable simplify fixture."""
+    k = F.col("c_custkey")
+    clon, clat = _lon(k), _lat(k)
+    dlon = 0.5 + (k % 7).cast("double") * 0.3
+    dlat = 0.4 + (k % 5).cast("double") * 0.25
+    x0, x1, y0, y1 = clon - dlon, clon + dlon, clat - dlat, clat + dlat
+    my = F.when(k % 2 == 0, y0).otherwise(y0 - 0.05)
+    ring = F.array(
+        F.array(x0, y0), F.array(clon, my), F.array(x1, y0),
+        F.array(x1, y1), F.array(x0, y1),
+    )
+    return cust.select(k.alias("c_custkey"), ring.alias("ring"))
+
+
 def _q_simplify(spark, sf):
     _prep(spark)
-    vl = datagen.vector_layer(spark, 300)
-    out = TR.simplify_polygons(vl, tolerance=0.05)
-    return out.select(
-        "polygon_id", F.size("ring").alias("n_vertices"), "simplify_ok"
-    )
+    polys = _rects_with_midpoint(_t(spark, sf, "customer"))
+    out = TR.simplify_polygons(polys, tolerance=0.01)
+    return out.select("c_custkey", F.size("ring").alias("n_vertices"), "simplify_ok")
 
 
 def _q_buffer_area(spark, sf):
+    """Minkowski round-join buffer on the rect layer; buffered area has
+    the closed form A + P*r + 4*(r^2/2)*m*sin((pi/2)/m), m=8."""
     _prep(spark)
     polys = _rects_from_customer(_t(spark, sf, "customer"))
-    buf = TR.buffer_polygons(polys, offset=0.1)
+    buf = TR.buffer_polygons(polys, offset=0.1, method="round", quad_segs=8)
     return TR.enrich_geometry(buf).select(
-        "c_custkey", F.round("area", 9).alias("area_buf"), "is_valid"
+        "c_custkey", F.round("area", 6).alias("area_buf"), "buffer_ok"
+    )
+
+
+def _q_polygon_z(spark, sf):
+    """base_elevation z-override (ogr_reader_node.cpp:93-97): lift the
+    rect layer to z = c_acctbal; planar area is unchanged, first-vertex
+    z equals the override."""
+    from gfp_gdal_spark.functions.geometry import ring_z0
+
+    _prep(spark)
+    cust = _t(spark, sf, "customer")
+    polys = _rects_from_customer(cust).join(
+        cust.select("c_custkey", "c_acctbal"), "c_custkey"
+    )
+    lifted = TR.set_base_elevation(polys, F.col("c_acctbal"), ring="ring")
+    out = TR.enrich_geometry(lifted)
+    return out.select(
+        "c_custkey",
+        F.round(ring_z0(F.col("ring")), 6).alias("z0"),
+        F.round("area", 6).alias("area_xy"),
+    )
+
+
+def _q_wkt_roundtrip(spark, sf):
+    """WKT emit (%.9g) -> WKT parse -> area: interchange is two-way;
+    the oracle recomputes the rect area in SQL (round(3) absorbs the
+    9-significant-digit emit quantization)."""
+    from gfp_gdal_spark.functions.geometry import parse_wkt_polygon, ring_area, ring_wkt
+
+    _prep(spark)
+    polys = _rects_from_customer(_t(spark, sf, "customer"))
+    wkt = polys.select("c_custkey", ring_wkt(F.col("ring")).alias("wkt"))
+    parsed = wkt.withColumn("ring2", parse_wkt_polygon(F.col("wkt")))
+    return parsed.select(
+        "c_custkey",
+        F.size("ring2").alias("n_vertices"),
+        F.round(ring_area(F.col("ring2")), 3).alias("area_rt"),
+    )
+
+
+def _q_crs_webmercator(spark, sf):
+    """CRS transform (reference read-side SRS transform): lon/lat ->
+    EPSG:3857 meters, pure JVM columns; the closed form is the oracle."""
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
+    out = TR.crs_transform(pts, "EPSG:4326", "EPSG:3857")
+    return out.select(
+        "o_orderkey",
+        F.round("lon_c", 2).alias("x_m"),
+        F.round("lat_c", 2).alias("y_m"),
+    )
+
+
+def _q_crs_utm_roundtrip(spark, sf):
+    """Transverse Mercator fwd o inv == identity to <1e-6 deg (~0.1 m)
+    inside the zone — the reference's read+write transform pair."""
+    _prep(spark)
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    lon = ((k * _MLON) % _P32).cast("double") / _P32 * 5.0 + 0.5  # zone 31
+    lat = ((k * _MLAT) % _P32).cast("double") / _P32 * 160.0 - 80.0
+    pts = o.select(k.alias("o_orderkey"), lon.alias("lon_c"), lat.alias("lat_c"))
+    utm = TR.crs_transform(pts, "EPSG:4326", "EPSG:32631")
+    back = TR.crs_transform(utm, "EPSG:32631", "EPSG:4326")
+    err_lon = F.abs(F.col("lon_c") - lon)
+    err_lat = F.abs(F.col("lat_c") - lat)
+    # join back to the original columns via recompute (same hash exprs)
+    back = back.withColumn("err_lon_um", F.round(err_lon * 1e6, 0)).withColumn(
+        "err_lat_um", F.round(err_lat * 1e6, 0)
+    )
+    return back.select("o_orderkey", "err_lon_um", "err_lat_um")
+
+
+def _q_mesh_fanout(spark, sf):
+    """TriangleCollection/Mesh fan-out (ogr_writer_node.cpp:373-511):
+    two parts per customer rect (2-triangle fan + 1 triangle), exploded
+    to one row per part with building_part_id; areas are closed-form."""
+    from gfp_gdal_spark.operators import mesh as MESH
+
+    _prep(spark)
+    k = F.col("c_custkey")
+    clon, clat = _lon(k), _lat(k)
+    dlon = 0.5 + (k % 7).cast("double") * 0.3
+    dlat = 0.4 + (k % 5).cast("double") * 0.25
+    x0, x1, y0, y1 = clon - dlon, clon + dlon, clat - dlat, clat + dlat
+    z = (k % 50).cast("double")
+    p00 = F.array(x0, y0, z)
+    p10 = F.array(x1, y0, z)
+    p11 = F.array(x1, y1, z)
+    p01 = F.array(x0, y1, z)
+    t1 = F.array(p00, p10, p11)
+    t2 = F.array(p00, p11, p01)
+    parts = F.array(F.array(t1, t2), F.array(t1))
+    df = _t(spark, sf, "customer").select(k.alias("c_custkey"), parts.alias("parts"))
+    rows = MESH.triangles_stats(MESH.mesh_parts_to_rows(df))
+    return rows.select(
+        "c_custkey",
+        "building_part_id",
+        "n_triangles",
+        F.round("tri_area", 6).alias("tri_area"),
+    )
+
+
+def _q_line_length(spark, sf):
+    """LineString derived columns: per-user polyline from events
+    (ordered by event_id, y = value), planar length via the JVM
+    aggregate — SQL twin uses a lag window."""
+    from gfp_gdal_spark.functions.geometry import line_length_col
+
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    pts = (
+        e.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "value"))).alias("evs"))
+        .withColumn(
+            "points",
+            F.transform(F.col("evs"), lambda s: F.array(s["event_id"].cast("double"), s["value"])),
+        )
+    )
+    return pts.select(
+        "user_id",
+        F.size("points").alias("n_points"),
+        F.round(line_length_col(F.col("points")), 6).alias("length"),
+    )
+
+
+def _q_time_parts(spark, sf):
+    """K6 Time bridging: OGR Time struct analog from event timestamps."""
+    from gfp_gdal_spark.sources.io import ogr_time_struct
+
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    t = ogr_time_struct(F.col("ts"))
+    return e.select(
+        "event_id",
+        t["hour"].cast("long").alias("h"),
+        t["minute"].cast("long").alias("m"),
+        t["second"].cast("long").alias("s"),
     )
 
 
 def _q_raster_stats(spark, sf):
-    """GDALReader stats analog over the synthetic image table."""
+    """GDALReader stats analog (gdal_nodes.cpp:385-389) over the
+    synthetic image table; the oracle recomputes band-0 min/max/mean
+    from the synth_pixels closed form in SQL."""
     _prep(spark)
     from gfp_gdal_spark.operators.raster import raster_stats
 
     imgs = datagen.images_table(spark, 300, with_bytes=True)
-    return raster_stats(imgs, band=0)
+    st = raster_stats(imgs, band=0)
+    return st.select(
+        "image_id",
+        "band",
+        F.col("px_min").cast("long").alias("px_min"),
+        F.col("px_max").cast("long").alias("px_max"),
+        F.round("px_mean", 4).alias("px_mean"),
+    )
 
 
 def _q_raster_points(spark, sf):
-    """GDALReader gridded-pointcloud analog (pixel fan-out)."""
+    """GDALReader gridded-pointcloud analog (pixel fan-out + thinning);
+    oracle = flat-index %7 pixels of the synth formula."""
     _prep(spark)
     from gfp_gdal_spark.functions.spatial import with_footprint as _wf
     from gfp_gdal_spark.operators.raster import raster_to_points
@@ -437,15 +675,50 @@ def _q_raster_points(spark, sf):
     )
 
 
-def _q_ivf_topk(spark, sf):
-    """IVF-style approximate nearest neighbors over embeddings."""
-    _prep(spark)
+def _ann_fixture(spark, sf):
+    """Queries + corpus augmented with 4 PLANTED near-neighbors per
+    query (positively scaled copies: same cosine direction, hence the
+    same sign-LSH bucket and the same IVF centroid by construction).
+    True top-5 of each query = itself + its 4 planted copies (natural
+    max cosine here is < 0.40 — wide margin), so the recall set is
+    SQL-derivable. Recall vs exact on NATURAL data is pytest-held
+    (tests/test_similarity.py); this is the driver's hash-checked
+    planted-neighbor recall, the standard ANN eval construction."""
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = SIM.ivf_cosine_topk(q, emb, k=5, n_centroids=16, n_probe=4)
-    return out.select("q_id", "vec_id", F.col("rank").alias("rnk"))
+    planted = (
+        q.crossJoin(spark.range(1, 5).select(F.col("id").alias("_j")))
+        .select(
+            (F.lit(100000) + F.col("q_id") * 10 + F.col("_j")).alias("vec_id"),
+            F.transform(
+                "q_vec", lambda x: x * (1.0 + F.col("_j").cast("double") * 0.01)
+            ).alias("embedding"),
+        )
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return q, corpus
+
+
+def _q_ivf_topk(spark, sf):
+    """IVF ANN: inverted-list probe must recover every planted
+    neighbor + the query itself (hash_match <=> recall == 1.0). Rank is
+    dropped: the planted copies tie at cosine ~1.0 and fp summation
+    order differs between engines."""
+    _prep(spark)
+    q, corpus = _ann_fixture(spark, sf)
+    out = SIM.ivf_cosine_topk(q, corpus, k=5, n_centroids=16, n_probe=4)
+    return out.select("q_id", "vec_id")
+
+
+def _q_lsh_topk(spark, sf):
+    """Sign-LSH ANN with multiprobe (hamming<=2): planted-neighbor
+    recall, same contract as ivf_topk."""
+    _prep(spark)
+    q, corpus = _ann_fixture(spark, sf)
+    out = SIM.lsh_cosine_topk(q, corpus, k=5, dim=64, bits=8, multiprobe=2)
+    return out.select("q_id", "vec_id")
 
 
 def _q_minhash_clusters(spark, sf):
@@ -457,14 +730,34 @@ def _q_minhash_clusters(spark, sf):
 
 
 def _q_pip_join_polygons(spark, sf):
-    """General k-gon polygons with holes (datagen vector layer) —
-    ray-cast refine on non-rectangular rings; brute-force-verified in
-    tests/test_joins.py."""
+    """General convex k-gons WITH holes, built in closed form from the
+    supplier table (k = 3 + key%6 regular polygon, square hole on even
+    keys) so the DuckDB oracle can evaluate the same point-in-convex-
+    polygon predicate (min edge cross product > 0) — a hash-checked
+    oracle for the non-rectangular ray-cast refine."""
     _prep(spark)
     pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
-    vl = datagen.vector_layer(spark, 400)
-    out = J.pip_join(pts, vl, z=4, broadcast=True)
-    return out.select("o_orderkey", "polygon_id")
+    s = _t(spark, sf, "supplier")
+    k = F.col("s_suppkey")
+    cx, cy = _lon(k), _lat(k) * (160.0 / 170.0)  # keep polys off the poles
+    rad = 2.0 + (k % 5).cast("double") * 0.8
+    kk = (k % 6 + 3).cast("int")
+    ang = lambda j: 0.1 + j.cast("double") * 2.0 * F.lit(3.141592653589793) / kk.cast("double")  # noqa: E731
+    ring = F.transform(
+        F.sequence(F.lit(0), kk - 1),
+        lambda j: F.array(cx + rad * F.cos(ang(j)), cy + rad * F.sin(ang(j))),
+    )
+    hr = rad * 0.2
+    hole = F.array(
+        F.array(cx - hr, cy - hr), F.array(cx - hr, cy + hr),
+        F.array(cx + hr, cy + hr), F.array(cx + hr, cy - hr),
+    )
+    holes = F.when(k % 2 == 0, F.array(hole)).otherwise(
+        F.array().cast("array<array<array<double>>>")
+    )
+    polys = s.select(k.alias("s_suppkey"), ring.alias("ring"), holes.alias("holes"))
+    out = J.pip_join(pts, polys, z=4, broadcast=True)
+    return out.select("o_orderkey", "s_suppkey")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -491,18 +784,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "cosine_topk": _q_cosine_topk,
         "ngram_jaccard": _q_ngram_jaccard,
-        # rows-only (non-SQL-expressible; pytest brute-force/golden checks)
         "hex_cells": _q_hex_cells,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
+        "s2_cells": _q_s2_cells,
+        "minhash_recall": _q_minhash_recall,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
         "image_roundtrip": _q_image_roundtrip,
-        "image_ahash": _q_image_ahash,
         "simplify_polygons": _q_simplify,
         "buffer_area": _q_buffer_area,
+        "polygon_z": _q_polygon_z,
+        "wkt_roundtrip": _q_wkt_roundtrip,
+        "crs_webmercator": _q_crs_webmercator,
+        "crs_utm_roundtrip": _q_crs_utm_roundtrip,
+        "mesh_fanout": _q_mesh_fanout,
+        "line_length": _q_line_length,
+        "time_parts": _q_time_parts,
         "pip_join_polygons": _q_pip_join_polygons,
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
         "ivf_topk": _q_ivf_topk,
+        "lsh_topk": _q_lsh_topk,
+        # rows-only (non-SQL-expressible; pytest brute-force/golden checks)
+        "image_ahash": _q_image_ahash,
         "minhash_clusters": _q_minhash_clusters,
     }
 
@@ -510,6 +812,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+# hexlite id in SQL: same axial math + rounding + zigzag packing as
+# kernels/cells.py (res<<59 | zigzag(q)<<28 | zigzag(r))
+_HEX_RES_MUL = 1 << 59
+_HEX_Q_MUL = 1 << 28
+
+
+def _sql_hex(res: int, lon: str, lat: str) -> str:
+    from gfp_gdal_spark.kernels.cells import _hex_size
+
+    size = _hex_size(res)
+    sq3_3 = 1.7320508075688772 / 3.0
+    return f"""(
+      SELECT ({res} * {_HEX_RES_MUL})
+             + (CASE WHEN q >= 0 THEN 2*q ELSE -2*q - 1 END) * {_HEX_Q_MUL}
+             + (CASE WHEN r >= 0 THEN 2*r ELSE -2*r - 1 END)
+      FROM (
+        SELECT
+          CAST(CASE WHEN dq > dr AND dq > ds THEN -r0 - s0 ELSE q0 END AS BIGINT) AS q,
+          CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -q0 - s0 ELSE r0 END AS BIGINT) AS r
+        FROM (
+          SELECT q0, r0, s0, abs(q0 - qf) AS dq, abs(r0 - rf) AS dr, abs(s0 - sf) AS ds
+          FROM (
+            SELECT qf, rf, -qf - rf AS sf,
+                   round(qf) AS q0, round(rf) AS r0, round(-qf - rf) AS s0
+            FROM (SELECT ({sq3_3!r} * ({lon}) - ({lat}) / 3.0) / {size!r} AS qf,
+                         (2.0 / 3.0 * ({lat})) / {size!r} AS rf)
+          )
+        )
+      )
+    )"""
+
+
+# synthetic image table (FIXTURES.md §1) regenerated in SQL: metadata by
+# i%3, pixels from the synth_pixels gradient+sinusoid closed form, qnt
+# decode = floor(v/4)*4+2 (6-bit bin center)
+_SQL_IMG_PIXELS = """
+  imgs AS (
+    SELECT i,
+           printf('img%08d', i) AS image_id,
+           CASE i%3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+           CASE i%3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h,
+           CASE i%3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' ELSE 'qnt' END AS fmt
+    FROM unnest(generate_series(0, {n_minus_1})) AS t(i)
+  ),
+  px AS (
+    SELECT i, image_id, fmt, w, h, x, y,
+      (x / greatest(w-1, 1)::DOUBLE * 127.0) + (y / greatest(h-1, 1)::DOUBLE * 64.0) AS base,
+      64.0 * sin((x+y) * (0.1 + (i%17)*0.03) + i*0.7) AS wave
+    FROM imgs, unnest(generate_series(0, w-1)) AS xs(x), unnest(generate_series(0, h-1)) AS ys(y)
+  ),
+  chan AS (
+    SELECT i, image_id, fmt, w, h, x, y,
+      floor(least(greatest(base*0.5 + wave + (i%29)*4.0, 0), 255)) AS r0,
+      floor(least(greatest(base + wave + 32.0, 0), 255)) AS g0,
+      floor(least(greatest(255.0 - base + 0.5*wave, 0), 255)) AS b0
+    FROM px
+  ),
+  pix AS (
+    SELECT i, image_id, fmt, w, h, x, y,
+      CASE WHEN fmt='qnt' THEN floor(r0/4)*4+2 ELSE r0 END AS r,
+      CASE WHEN fmt='qnt' THEN floor(g0/4)*4+2 ELSE g0 END AS g,
+      CASE WHEN fmt='qnt' THEN floor(b0/4)*4+2 ELSE b0 END AS b
+    FROM chan
+  )
+"""
 
 _TILE_X = "CAST(floor((lon_c + 180.0) / 360.0 * {n}) AS BIGINT)"
 _TILE_Y = (
@@ -726,6 +1094,205 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, vec_id, rnk FROM r WHERE rnk <= 5
         """,
+        "hex_cells": f"""
+            WITH p AS ({opoints})
+            SELECT o_orderkey,
+                   {_sql_hex(7, 'p.lon_c', 'p.lat_c')} AS hex7,
+                   {_sql_hex(9, 'p.lon_c', 'p.lat_c')} AS hex9
+            FROM p
+        """,
+        "s2_cells": f"""
+            WITH p AS ({opoints}),
+            v AS (
+              SELECT o_orderkey,
+                     cos(radians(lat_c))*cos(radians(lon_c)) AS x,
+                     cos(radians(lat_c))*sin(radians(lon_c)) AS y,
+                     sin(radians(lat_c)) AS z
+              FROM p
+            ),
+            f AS (
+              SELECT o_orderkey, x, y, z,
+                CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+                       THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+                     WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+                     ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+              FROM v
+            ),
+            uv AS (
+              SELECT o_orderkey, face,
+                CASE face WHEN 0 THEN y/x WHEN 1 THEN z/y WHEN 2 THEN x/z
+                          WHEN 3 THEN y/(-x) WHEN 4 THEN z/(-y) ELSE x/(-z) END AS u,
+                CASE face WHEN 0 THEN z/x WHEN 1 THEN x/y WHEN 2 THEN y/z
+                          WHEN 3 THEN z/(-x) WHEN 4 THEN x/(-y) ELSE y/(-z) END AS vv
+              FROM f
+            ),
+            ij AS (
+              SELECT o_orderkey, face,
+                least(CAST(floor((CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END) * 2) AS BIGINT), 1) AS i,
+                least(CAST(floor((CASE WHEN vv >= 0 THEN 0.5*sqrt(1+3*vv) ELSE 1-0.5*sqrt(1-3*vv) END) * 2) AS BIGINT), 1) AS j
+              FROM uv
+            )
+            SELECT o_orderkey,
+              CAST(face*4 + (CASE WHEN i=0 AND j=0 THEN 0 WHEN i=0 AND j=1 THEN 1
+                                  WHEN i=1 AND j=1 THEN 2 ELSE 3 END) AS BIGINT) AS s2_1,
+              CAST(face AS BIGINT) AS s2_12_face
+            FROM ij
+        """,
+        "minhash_recall": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            aug AS (
+              SELECT doc_id, text FROM d
+              UNION ALL
+              SELECT doc_id + 10000, text || ' padding tail ' || CAST(doc_id % 7 AS VARCHAR) FROM d
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, substr(text, i, 5) AS g
+              FROM aug, unnest(generate_series(1, greatest(length(text) - 4, 1))) AS t(i)
+            ),
+            sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM g a JOIN g b USING (g) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i / (sa.n + sb.n - i)::DOUBLE, 6) AS jac
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE i / (sa.n + sb.n - i)::DOUBLE >= 0.9
+        """,
+        "simhash_dup_pairs": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+            FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "image_roundtrip": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=299) + """
+            SELECT image_id, fmt, true AS psnr_ok,
+                   CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+                   CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max,
+                   round(avg(g), 4) AS mean_g
+            FROM pix GROUP BY image_id, fmt
+        """,
+        "simplify_polygons": """
+            SELECT c_custkey,
+                   CAST(CASE WHEN c_custkey % 2 = 0 THEN 4 ELSE 5 END AS INTEGER) AS n_vertices,
+                   true AS simplify_ok
+            FROM customer
+        """,
+        "buffer_area": f"""
+            WITH c AS ({_SQL_RECT})
+            SELECT c_custkey,
+                   round((2*dlon)*(2*dlat) + (4*dlon + 4*dlat)*0.1
+                         + 4*(0.01/2)*8*sin(pi()/16), 6) AS area_buf,
+                   true AS buffer_ok
+            FROM c
+        """,
+        "polygon_z": f"""
+            WITH c AS ({_SQL_RECT})
+            SELECT c.c_custkey,
+                   round(cu.c_acctbal, 6) AS z0,
+                   round((2*dlon)*(2*dlat), 6) AS area_xy
+            FROM c JOIN customer cu ON cu.c_custkey = c.c_custkey
+        """,
+        "wkt_roundtrip": f"""
+            WITH c AS ({_SQL_RECT})
+            SELECT c_custkey, CAST(4 AS INTEGER) AS n_vertices,
+                   round((2*dlon)*(2*dlat), 3) AS area_rt
+            FROM c
+        """,
+        "crs_webmercator": f"""
+            WITH p AS ({opoints})
+            SELECT o_orderkey,
+                   round(6378137.0 * radians(lon_c), 2) AS x_m,
+                   round(6378137.0 * ln(tan(pi()/4 + radians(lat_c)/2)), 2) AS y_m
+            FROM p
+        """,
+        "crs_utm_roundtrip": """
+            SELECT o_orderkey, 0.0 AS err_lon_um, 0.0 AS err_lat_um FROM orders
+        """,
+        "mesh_fanout": f"""
+            WITH c AS ({_SQL_RECT})
+            SELECT c_custkey, CAST(0 AS INTEGER) AS building_part_id,
+                   CAST(2 AS BIGINT) AS n_triangles,
+                   round((2*dlon)*(2*dlat), 6) AS tri_area
+            FROM c
+            UNION ALL
+            SELECT c_custkey, CAST(1 AS INTEGER), CAST(1 AS BIGINT),
+                   round((2*dlon)*(2*dlat)/2, 6)
+            FROM c
+        """,
+        "line_length": """
+            WITH s AS (
+              SELECT user_id, event_id, value,
+                     lag(event_id) OVER w AS pe, lag(value) OVER w AS pv
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            )
+            SELECT user_id, CAST(count(*) AS INTEGER) AS n_points,
+                   round(coalesce(sum(sqrt((event_id - pe)*(event_id - pe)
+                                           + (value - pv)*(value - pv))), 0), 6) AS length
+            FROM s GROUP BY user_id
+        """,
+        "time_parts": """
+            SELECT event_id,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS h,
+                   CAST(extract(minute FROM ts) AS BIGINT) AS m,
+                   CAST(extract(second FROM ts) AS BIGINT) AS s
+            FROM events
+        """,
+        "pip_join_polygons": f"""
+            WITH p AS ({opoints}),
+            s AS (
+              SELECT s_suppkey,
+                     {_SQL_LON.format(k='s_suppkey')} AS cx,
+                     ({_SQL_LAT.format(k='s_suppkey')}) * (160.0/170.0) AS cy,
+                     2.0 + (s_suppkey % 5) * 0.8 AS rad,
+                     (s_suppkey % 6 + 3) AS kk
+              FROM supplier
+            ),
+            cand AS (
+              SELECT p.o_orderkey, p.lon_c, p.lat_c, s.*
+              FROM p, s
+              WHERE (p.lon_c - s.cx)*(p.lon_c - s.cx)
+                    + (p.lat_c - s.cy)*(p.lat_c - s.cy) <= s.rad*s.rad
+            ),
+            edge AS (
+              SELECT o_orderkey, s_suppkey, cx, cy, rad, lon_c, lat_c,
+                cx + rad*cos(0.1 + j*2*pi()/kk) AS vx,
+                cy + rad*sin(0.1 + j*2*pi()/kk) AS vy,
+                cx + rad*cos(0.1 + ((j+1)%kk)*2*pi()/kk) AS wx,
+                cy + rad*sin(0.1 + ((j+1)%kk)*2*pi()/kk) AS wy
+              FROM cand, unnest(generate_series(0, kk-1)) AS t(j)
+            ),
+            inpoly AS (
+              SELECT o_orderkey, s_suppkey, cx, cy, rad, lon_c, lat_c,
+                     min((wx-vx)*(lat_c-vy) - (wy-vy)*(lon_c-vx)) AS mc
+              FROM edge GROUP BY 1,2,3,4,5,6,7
+            )
+            SELECT o_orderkey, s_suppkey
+            FROM inpoly
+            WHERE mc > 0 AND NOT (
+              s_suppkey % 2 = 0
+              AND lon_c >= cx - rad*0.2 AND lon_c < cx + rad*0.2
+              AND lat_c >= cy - rad*0.2 AND lat_c < cy + rad*0.2
+            )
+        """,
+        "raster_stats": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=299) + """
+            SELECT image_id, CAST(0 AS INTEGER) AS band,
+                   CAST(min(r) AS BIGINT) AS px_min,
+                   CAST(max(r) AS BIGINT) AS px_max,
+                   round(avg(r), 4) AS px_mean
+            FROM pix GROUP BY image_id
+        """,
+        "raster_points": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=29) + """
+            SELECT image_id, count(*) AS n_points, round(avg(r), 4) AS mean_z
+            FROM pix WHERE (y*w + x) % 7 = 0
+            GROUP BY image_id
+        """,
         "ngram_jaccard": """
             WITH toks AS (
               SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents WHERE doc_id < 100
@@ -749,5 +1316,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter / (sa.n_grams + sb.n_grams - inter)::DOUBLE >= 0.01
+        """,
+        # ANN oracles: planted-neighbor recall — the true top-5 of each
+        # query is itself + its 4 scaled copies (natural max cosine
+        # < 0.40, planted = 1.0); hash_match <=> recall == 1.0
+        "ivf_topk": """
+            WITH q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5)
+            SELECT q_id, CAST(q_id AS BIGINT) AS vec_id FROM q
+            UNION ALL
+            SELECT q_id, CAST(100000 + q_id*10 + j AS BIGINT)
+            FROM q, unnest(generate_series(1, 4)) AS t(j)
+        """,
+        "lsh_topk": """
+            WITH q AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5)
+            SELECT q_id, CAST(q_id AS BIGINT) AS vec_id FROM q
+            UNION ALL
+            SELECT q_id, CAST(100000 + q_id*10 + j AS BIGINT)
+            FROM q, unnest(generate_series(1, 4)) AS t(j)
         """,
     }

@@ -83,13 +83,31 @@ def flagship():
     return tiled.groupBy("category", "tile_z", "tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n"))
 
-job = flagship()          # plan + broadcast build happen once
-n_rows = job.count()      # warmup: JIT, python workers
-times = []
-for _ in range(repeats):
-    t0 = time.time(); job.count(); times.append(time.time() - t0)
+def join_tile_only():
+    # the north_rule metric proper (spatial join + tile assignment),
+    # zero Python nodes: scan -> footprint -> hex encode -> cell-
+    # bucketed PiP (JVM ray-cast refine) -> z12 tiles -> counts
+    imgs = spark.read.parquet(path).select("image_id", "w", "h", "phash")
+    pts = with_footprint(imgs).select("image_id", "lon_c", "lat_c")
+    pts = pts.withColumn("hex8", hex_cell(F.col("lon_c"), F.col("lat_c"), 8))
+    polys = spark.read.parquet(path + "_polys")
+    joined = J.pip_join(pts, polys, z=8, broadcast=True)
+    tiled = J.tile_assign(joined, z=12)
+    return tiled.groupBy("category", "tile_z", "tile_x", "tile_y").agg(
+        F.count(F.lit(1)).alias("n"))
+
+rec = {"cores": cores}
+for key, jobf in [("full", flagship), ("join_tile", join_tile_only)]:
+    job = jobf()          # plan + broadcast build happen once
+    n_rows = job.count()  # warmup: JIT, python workers
+    times = []
+    for _ in range(repeats):
+        t0 = time.time(); job.count(); times.append(time.time() - t0)
+    rec[f"times_{key}"] = times
+    rec[f"n_out_{key}"] = n_rows
+rec["times"] = rec["times_full"]; rec["n_out"] = rec["n_out_full"]  # back-compat
 spark.stop()
-print(json.dumps({"cores": cores, "times": times, "n_out": n_rows}))
+print(json.dumps(rec))
 """
 
 
@@ -135,24 +153,37 @@ def level(cores: int, n: int, repeats: int) -> dict:
     return rec
 
 
-def report(n: int) -> None:
-    recs = [json.loads(l) for l in open(RUNS)] if os.path.exists(RUNS) else []
-    recs = [r for r in recs if r["n_images"] == n]
+def _stats(recs: list[dict], key: str, n: int):
     by: dict[int, list[float]] = {}
     n_out = None
     for r in recs:
-        by.setdefault(r["cores"], []).extend(r["times"])
-        n_out = r["n_out"]
-    if len(by) < 2:
-        raise SystemExit("need runs at two or more core counts")
+        if f"times_{key}" in r:
+            by.setdefault(r["cores"], []).extend(r[f"times_{key}"])
+            n_out = r.get(f"n_out_{key}")
+        elif key == "full" and "times" in r:
+            by.setdefault(r["cores"], []).extend(r["times"])
+            n_out = r.get("n_out")
     best = {c: min(t) for c, t in by.items()}
     thr = {c: n / best[c] for c in best}
     effs = {}
     for lo, hi in [(2, 8), (8, 32)]:
         if lo in best and hi in best:
             effs[f"{lo}->{hi}"] = round((thr[hi] / thr[lo]) / 4.0, 3)
+    return by, best, thr, effs, n_out
+
+
+def report(n: int) -> None:
+    recs = [json.loads(l) for l in open(RUNS)] if os.path.exists(RUNS) else []
+    recs = [r for r in recs if r["n_images"] == n]
+    by, best, thr, effs, n_out = _stats(recs, "full", n)
+    if len(by) < 2:
+        raise SystemExit("need runs at two or more core counts")
+    jby, jbest, jthr, jeffs, jn_out = _stats(recs, "join_tile", n)
     rows = "\n".join(
         f"| local[{c}] | {best[c]:.1f} | {thr[c]:,.0f} |" for c in sorted(best)
+    )
+    jrows = "\n".join(
+        f"| local[{c}] | {jbest[c]:.1f} | {jthr[c]:,.0f} |" for c in sorted(jbest)
     )
     runs_txt = "; ".join(
         f"local[{c}]: {sorted(round(t, 1) for t in by[c])}" for c in sorted(by)
@@ -162,6 +193,8 @@ def report(n: int) -> None:
         "best_sec": {str(c): round(best[c], 2) for c in sorted(best)},
         "images_per_sec": {str(c): round(thr[c], 1) for c in sorted(thr)},
         "scaling_efficiency": effs,
+        "join_tile_images_per_sec": {str(c): round(jthr[c], 1) for c in sorted(jthr)},
+        "join_tile_scaling_efficiency": jeffs,
         "result_rows": n_out,
     }
     md = f"""# BENCH/BASELINE — measured numbers (sandbox)
@@ -191,6 +224,20 @@ the same job on identical input.
 
 All wall times (s): {runs_txt}. Result cardinality identical at every
 level ({n_out:,} rows).
+
+## Join + tile stage alone (the north_rule metric proper) — zero Python nodes
+
+Same input and shape minus the image-decode stage: scan -> footprint ->
+hex encode -> cell-bucketed PiP join (JVM ray-cast refine, broadcast)
+-> z12 tile assignment -> counts. The whole plan is JVM (no
+ArrowEvalPython/MapInArrow nodes — plan-asserted in tests/test_plans.py),
+which is what removed the round-1 Python-worker scaling ceiling:
+
+| parallelism | best wall (s) | throughput (images/sec) |
+|---|---|---|
+{jrows}
+
+**Join+tile scaling efficiency (N=8 -> 4N=32 cores): {jeffs.get("8->32", "n/a")}**
 
 ### Why 8->32 flattens on THIS box (and why it does not at cluster scale)
 
