@@ -209,7 +209,7 @@ def _q_knn(spark, sf):
         _lat(F.col("n_nationkey").cast("long")).alias("q_lat"),
     )
     p = _points_from(_t(spark, sf, "customer"), "c_custkey", "point_id")
-    out = J.knn_join(q, p, k=3, res=3, kring=2)
+    out = J.knn_join(q, p, k=3, res="auto", kring=2)
     return out.select(
         F.col("query_id").alias("n_nationkey"),
         F.col("point_id").alias("c_custkey"),
@@ -464,8 +464,13 @@ def _q_image_roundtrip(spark, sf):
 
 
 def _q_image_ahash(spark, sf):
+    """64-bit average-hash from DECODED pixels; the oracle recomputes
+    the sample grid + mean threshold + bit packing in SQL. 230 images:
+    image 234 has a sample EXACTLY equal to the 8x8 mean (a knife-edge
+    tie where engine fp summation order decides the bit); 0..229 all
+    carry a >=0.01 threshold margin."""
     _prep(spark)
-    imgs = datagen.images_table(spark, 300, with_bytes=True)
+    imgs = datagen.images_table(spark, 230, with_bytes=True)
     return MM.image_ahash(imgs)
 
 
@@ -721,6 +726,22 @@ def _q_lsh_topk(spark, sf):
     return out.select("q_id", "vec_id")
 
 
+def _q_connected_components(spark, sf):
+    """Distributed CC (min-label propagation + pointer jumping) on a
+    deterministic chain graph (orders: key -> key+1 unless key%8==7,
+    so components are chains of up to 8). The oracle computes the same
+    min-reachable-label with a recursive CTE."""
+    from gfp_gdal_spark.plans.graph import connected_components
+
+    _prep(spark)
+    o = _t(spark, sf, "orders")
+    edges = o.where(F.pmod("o_orderkey", F.lit(8)) != 7).select(
+        F.col("o_orderkey").alias("src"), (F.col("o_orderkey") + 1).alias("dst")
+    )
+    comp = connected_components(edges, max_iter=12)
+    return comp.select("vertex", "component")
+
+
 def _q_minhash_clusters(spark, sf):
     """Near-dup clustering with exact connected components."""
     _prep(spark)
@@ -803,8 +824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_points": _q_raster_points,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
-        # rows-only (non-SQL-expressible; pytest brute-force/golden checks)
+        "connected_components": _q_connected_components,
         "image_ahash": _q_image_ahash,
+        # rows-only (non-SQL-expressible; pytest brute-force/golden checks)
         "minhash_clusters": _q_minhash_clusters,
     }
 
@@ -1333,5 +1355,45 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT q_id, CAST(100000 + q_id*10 + j AS BIGINT)
             FROM q, unnest(generate_series(1, 4)) AS t(j)
+        """,
+        "connected_components": """
+            WITH RECURSIVE
+            e AS (SELECT o_orderkey AS a, o_orderkey + 1 AS b
+                  FROM orders WHERE o_orderkey % 8 <> 7),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            lab(v, c) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+              UNION
+              SELECT sym.a, lab.c FROM sym JOIN lab ON lab.v = sym.b
+            )
+            SELECT v AS vertex, min(c) AS component FROM lab GROUP BY v
+        """,
+        "image_ahash": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=229) + """,
+            grid AS (
+              SELECT i, image_id, w, h,
+                     least((gy.g8 * h) // 8, h - 1) AS sy,
+                     least((gx.g8 * w) // 8, w - 1) AS sx,
+                     gy.g8 AS bi, gx.g8 AS bj
+              FROM imgs,
+                   unnest(generate_series(0, 7)) AS gy(g8),
+                   unnest(generate_series(0, 7)) AS gx(g8)
+            ),
+            samp AS (
+              SELECT g.image_id, g.bi, g.bj, (p.r + p.g + p.b) / 3.0 AS gray
+              FROM grid g JOIN pix p
+                ON p.image_id = g.image_id AND p.y = g.sy AND p.x = g.sx
+            ),
+            m AS (SELECT image_id, avg(gray) AS mu FROM samp GROUP BY image_id),
+            bits AS (
+              SELECT s.image_id,
+                     sum(CASE WHEN s.gray > m.mu
+                         THEN CAST(power(2, s.bi * 8 + s.bj) AS HUGEINT)
+                         ELSE 0 END) AS u
+              FROM samp s JOIN m USING (image_id) GROUP BY s.image_id
+            )
+            SELECT image_id,
+                   CAST(u - CASE WHEN u >= 9223372036854775808
+                                 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS ahash
+            FROM bits
         """,
     }

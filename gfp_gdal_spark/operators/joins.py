@@ -353,7 +353,7 @@ def knn_join(
     queries: DataFrame,
     points: DataFrame,
     k: int = 5,
-    res: int = 5,
+    res: int | str = "auto",
     kring: int = 2,
     q_id: str = "query_id",
     q_lon: str = "q_lon",
@@ -390,7 +390,25 @@ def knn_join(
     from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
-    from gfp_gdal_spark.kernels.cells import HEX_BASE_SIZE_DEG
+    from gfp_gdal_spark.kernels.cells import HEX_BASE_SIZE_DEG, HEX_MAX_RES
+
+    if res == "auto":
+        # pick the hex res so the round-1 k-ring disk holds ~2k points
+        # in expectation (one cheap aggregate over the point side): too
+        # fine a grid makes every ring round a miss and pushes every
+        # query to the brute-force tail; too coarse floods the refine.
+        import math
+
+        st = points.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(p_lon).alias("x0"), F.max(p_lon).alias("x1"),
+            F.min(p_lat).alias("y0"), F.max(p_lat).alias("y1"),
+        ).first()
+        area = max((st.x1 - st.x0) * (st.y1 - st.y0), 1e-9)
+        ncells = 3 * kring * (kring + 1) + 1
+        hex_area = 2.598  # (3*sqrt(3)/2) * size^2 per cell, size factored below
+        s = math.sqrt(2.0 * k * area / (max(st.n, 1) * ncells * hex_area))
+        res = int(min(max(round(-2.0 * math.log(s / HEX_BASE_SIZE_DEG, 7.0)), 0), HEX_MAX_RES))
 
     size = HEX_BASE_SIZE_DEG * (7.0 ** (-res / 2.0))
     pc = points.withColumn("cell", hex_cell(F.col(p_lon), F.col(p_lat), res))

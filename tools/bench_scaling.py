@@ -39,6 +39,7 @@ from gfp_gdal_spark.operators import joins as J
 from pyspark.sql import functions as F
 
 cores = int(sys.argv[1]); path = sys.argv[2]; repeats = int(sys.argv[3])
+jt_path = sys.argv[4]  # 10x larger, bytes-free table for the JVM-only job
 spark = get_spark(app=f"scaling_{cores}", cores=cores)
 
 DEC_SCHEMA = "image_id string, w int, h int, phash long, ahash long, mean_px double"
@@ -86,8 +87,11 @@ def flagship():
 def join_tile_only():
     # the north_rule metric proper (spatial join + tile assignment),
     # zero Python nodes: scan -> footprint -> hex encode -> cell-
-    # bucketed PiP (JVM ray-cast refine) -> z12 tiles -> counts
-    imgs = spark.read.parquet(path).select("image_id", "w", "h", "phash")
+    # bucketed PiP (JVM ray-cast refine) -> z12 tiles -> counts.
+    # Runs on the 10x bytes-free table: the JVM path is so much faster
+    # that the 2M-row job finishes in ~1.5s — too short to measure
+    # core scaling against this VM's scheduling noise.
+    imgs = spark.read.parquet(jt_path).select("image_id", "w", "h", "phash")
     pts = with_footprint(imgs).select("image_id", "lon_c", "lat_c")
     pts = pts.withColumn("hex8", hex_cell(F.col("lon_c"), F.col("lat_c"), 8))
     polys = spark.read.parquet(path + "_polys")
@@ -115,12 +119,17 @@ def _path(n: int) -> str:
     return f"/tmp/spark_graft_bench_cache/imagesb_{n}"
 
 
+def _jt_path(n: int) -> str:
+    return f"/tmp/spark_graft_bench_cache/imagesnb_{n * 10}"
+
+
 def gen(n: int) -> None:
     sys.path.insert(0, REPO)
     from gfp_gdal_spark.session import get_spark
     from gfp_gdal_spark.sources import datagen
 
     path = _path(n)
+    jt = _jt_path(n)
     spark = get_spark(app="scaling_datagen", cores=32)
     try:
         ok = spark.read.parquet(path).count() == n
@@ -130,14 +139,20 @@ def gen(n: int) -> None:
     if not ok:
         datagen.images_table(spark, n, with_bytes=True).write.mode("overwrite").parquet(path)
         datagen.vector_layer_zones(spark, 2000).write.mode("overwrite").parquet(path + "_polys")
+    try:
+        ok2 = spark.read.parquet(jt).count() == n * 10
+    except Exception:
+        ok2 = False
+    if not ok2:
+        datagen.images_table(spark, n * 10, with_bytes=False).write.mode("overwrite").parquet(jt)
     spark.stop()
-    print(f"input ready: {path}")
+    print(f"inputs ready: {path}, {jt}")
 
 
 def level(cores: int, n: int, repeats: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD % {"repo": REPO}, str(cores), _path(n), str(repeats)],
-        capture_output=True, text=True, timeout=1200,
+        [sys.executable, "-c", _CHILD % {"repo": REPO}, str(cores), _path(n), str(repeats), _jt_path(n)],
+        capture_output=True, text=True, timeout=1800,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
     if out.returncode != 0:
@@ -157,12 +172,11 @@ def _stats(recs: list[dict], key: str, n: int):
     by: dict[int, list[float]] = {}
     n_out = None
     for r in recs:
+        # only new-format records (both jobs measured in one JVM) — old
+        # rows predate the JVM-refine engine and would blur the report
         if f"times_{key}" in r:
             by.setdefault(r["cores"], []).extend(r[f"times_{key}"])
             n_out = r.get(f"n_out_{key}")
-        elif key == "full" and "times" in r:
-            by.setdefault(r["cores"], []).extend(r["times"])
-            n_out = r.get("n_out")
     best = {c: min(t) for c, t in by.items()}
     thr = {c: n / best[c] for c in best}
     effs = {}
@@ -178,7 +192,7 @@ def report(n: int) -> None:
     by, best, thr, effs, n_out = _stats(recs, "full", n)
     if len(by) < 2:
         raise SystemExit("need runs at two or more core counts")
-    jby, jbest, jthr, jeffs, jn_out = _stats(recs, "join_tile", n)
+    jby, jbest, jthr, jeffs, jn_out = _stats(recs, "join_tile", n * 10)
     rows = "\n".join(
         f"| local[{c}] | {best[c]:.1f} | {thr[c]:,.0f} |" for c in sorted(best)
     )
