@@ -168,7 +168,7 @@ def _q_pip_join_hex(spark, sf):
     _prep(spark)
     pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
     polys = _rects_from_customer(_t(spark, sf, "customer"))
-    out = J.pip_join(pts, polys, holes=None, broadcast=True, bucket="hex", res=3)
+    out = J.pip_join(pts, polys, holes=None, broadcast=True, bucket="hex", res="auto")
     return out.select("o_orderkey", "c_custkey")
 
 
@@ -208,11 +208,14 @@ def _q_knn(spark, sf):
         _lon(F.col("n_nationkey").cast("long")).alias("q_lon"),
         _lat(F.col("n_nationkey").cast("long")).alias("q_lat"),
     )
-    p = _points_from(_t(spark, sf, "customer"), "c_custkey", "point_id")
+    # orders-derived points: dense enough that auto-res engages the
+    # k-ring rounds (the sparse-density BNL shortcut is covered by
+    # tests/test_joins_spark.py)
+    p = _points_from(_t(spark, sf, "orders"), "o_orderkey", "point_id")
     out = J.knn_join(q, p, k=3, res="auto", kring=2)
     return out.select(
         F.col("query_id").alias("n_nationkey"),
-        F.col("point_id").alias("c_custkey"),
+        F.col("point_id").alias("o_orderkey"),
         F.col("rank").alias("rnk"),
     )
 
@@ -992,22 +995,22 @@ def oracle_sql() -> dict[str, str]:
               FROM nation
             ),
             p AS (
-              SELECT c_custkey,
-                     {_SQL_LON.format(k='c_custkey')} AS p_lon,
-                     {_SQL_LAT.format(k='c_custkey')} AS p_lat
-              FROM customer
+              SELECT o_orderkey,
+                     {_SQL_LON.format(k='o_orderkey')} AS p_lon,
+                     {_SQL_LAT.format(k='o_orderkey')} AS p_lat
+              FROM orders
             ),
             d AS (
-              SELECT q.n_nationkey, p.c_custkey, {hav} AS dist
+              SELECT q.n_nationkey, p.o_orderkey, {hav} AS dist
               FROM q, p
             ),
             r AS (
-              SELECT n_nationkey, c_custkey,
+              SELECT n_nationkey, o_orderkey,
                      row_number() OVER (PARTITION BY n_nationkey
-                                        ORDER BY dist ASC, c_custkey ASC) AS rnk
+                                        ORDER BY dist ASC, o_orderkey ASC) AS rnk
               FROM d
             )
-            SELECT n_nationkey, c_custkey, rnk FROM r WHERE rnk <= 3
+            SELECT n_nationkey, o_orderkey, rnk FROM r WHERE rnk <= 3
         """,
         "salted_cell_count": f"""
             WITH p AS (

@@ -279,8 +279,24 @@ def pip_join(
             "unmatched rows); for left semantics, left-join points "
             "against the inner result on the point key"
         )
-    if bucket == "hex" and res is None:
-        res = 5
+    if bucket == "hex" and (res is None or res == "auto"):
+        # size the bucket grid to the polygon extents: a too-fine res
+        # multiplies every polygon row (and its ring payload) by its
+        # cover-cell count — at res 3 a 4-degree footprint covers
+        # thousands of cells and the exploded build side OOMs a forced
+        # broadcast. Target ~16 cover cells per polygon (cell area =
+        # (3*sqrt(3)/2) s^2 = 2.598 s^2). One cheap aggregate over the
+        # (small) polygon side.
+        import math
+
+        from gfp_gdal_spark.kernels.cells import HEX_MAX_RES
+
+        bb = ring_bbox_cols(polys.select(ring), ring)
+        st = bb.agg(
+            F.avg((F.col("max_lon") - F.col("min_lon")) * (F.col("max_lat") - F.col("min_lat"))).alias("a")
+        ).first()
+        s = math.sqrt(max(st.a or 1e-6, 1e-6) / (2.598 * 16.0))
+        res = int(min(max(round(-2.0 * math.log(s, 7.0)), 0), HEX_MAX_RES))
     hole_arg = holes if (holes is not None and holes in polys.columns) else None
 
     if refine == "arrow":
@@ -304,6 +320,14 @@ def pip_join(
     else:
         xt, yt = tile_cols(F.col(lon), F.col(lat), z)
         pts = points.withColumn("cell", xt * F.lit(1 << (z + 1)) + yt)
+    if broadcast is True:
+        # a broadcast join preserves the probe side's partitioning; a
+        # small scan (one parquet row group) would run the whole join
+        # in ONE task. Fan narrow inputs out to the cluster width —
+        # a no-op at data scale where scans carry thousands of splits.
+        target = points.sparkSession.sparkContext.defaultParallelism
+        if pts.rdd.getNumPartitions() < max(target // 2, 1):
+            pts = pts.repartition(target)
     joined = pts.join(pcells, "cell")
     # JVM-side bbox prefilter: kills most false candidates with four
     # comparisons before the ray cast touches the ring array
@@ -405,9 +429,26 @@ def knn_join(
             F.min(p_lat).alias("y0"), F.max(p_lat).alias("y1"),
         ).first()
         area = max((st.x1 - st.x0) * (st.y1 - st.y0), 1e-9)
-        ncells = 3 * kring * (kring + 1) + 1
-        hex_area = 2.598  # (3*sqrt(3)/2) * size^2 per cell, size factored below
-        s = math.sqrt(2.0 * k * area / (max(st.n, 1) * ncells * hex_area))
+        density = max(st.n, 1) / area
+        # size the grid so ROUND 1 CERTIFIES: a query is proven done
+        # when its k-th neighbor lies inside the guaranteed-coverage
+        # radius covered = s*(1.5*kring - 2); require E[points within
+        # covered] >= 3k  =>  covered = sqrt(3k / (pi*density)).
+        # (Sizing by candidate count instead — the naive formula —
+        # picks a grid ~7x too fine and every query escalates through
+        # all rounds to the brute-force tail; measured 25s -> 4s.)
+        covered_needed = math.sqrt(3.0 * k / (math.pi * density))
+        s = covered_needed / max(1.5 * kring - 2.0, 0.5)
+        if exact and s > HEX_BASE_SIZE_DEG:
+            # the point density is so low that even res-0 cells cannot
+            # certify k neighbors in a k-ring: every ring round would
+            # miss and every query would land in the brute-force tail
+            # anyway — skip the rounds and run the tail directly. (At
+            # data scale density is high, res lands 5-10, and this
+            # branch never fires.)
+            return knn_join_bruteforce(
+                queries, points, k, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+            )
         res = int(min(max(round(-2.0 * math.log(s / HEX_BASE_SIZE_DEG, 7.0)), 0), HEX_MAX_RES))
 
     size = HEX_BASE_SIZE_DEG * (7.0 ** (-res / 2.0))
@@ -421,6 +462,7 @@ def knn_join(
     # round-N plan recursively contains rounds 1..N-1 (the `remaining`
     # anti-join lineage) and the final union re-executes every round.
     remaining = queries
+    n_rem = queries.count()
     out_cols = None
     done_parts: list[DataFrame] = []
     persisted: list[DataFrame] = []
@@ -444,15 +486,20 @@ def knn_join(
         if out_cols is None:
             out_cols = [c for c in per_q.columns if c != "_ok"]
         done_parts.append(per_q.where(F.col("_ok")).select(*out_cols))
+        # one action per round: count certified queries off the cached
+        # verdict. In the common everything-certified round the anti-
+        # join of `remaining` is never planned (the round-1 fixed cost
+        # is one window job + this count).
+        n_sat = per_q.where(F.col("_ok")).select(q_id).distinct().count()
+        if n_sat >= n_rem:
+            remaining = None
+            break
         sat_q = per_q.where(F.col("_ok")).select(q_id).distinct()
         remaining = remaining.join(sat_q, q_id, "left_anti").persist(
             StorageLevel.MEMORY_AND_DISK
         )
         persisted.append(remaining)
-        # driver-side short-circuit: escalation re-plans only the tail
-        if remaining.isEmpty():
-            remaining = None
-            break
+        n_rem = n_rem - n_sat
         kr *= 2
     if remaining is not None:
         bf = knn_join_bruteforce(

@@ -13,7 +13,12 @@ from gfp_gdal_spark.functions.spatial import with_footprint
 from gfp_gdal_spark.operators.joins import tile_assign
 from gfp_gdal_spark.sources.datagen import IMAGES_SCHEMA
 
-__all__ = ["read_image_stream", "streaming_tile_counts", "windowed_event_counts"]
+__all__ = [
+    "read_image_stream",
+    "streaming_tile_counts",
+    "windowed_event_counts",
+    "streaming_exact_dedup",
+]
 
 
 def read_image_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -44,4 +49,46 @@ def windowed_event_counts(
         events_stream.withWatermark("ts", watermark)
         .groupBy(w, "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState):
+    exact first-seen-wins dedup ACROSS micro-batches — the streaming
+    twin of operators.dedup.exact_dedup for continuous training-data
+    ingest.
+
+    Keyed by xxhash64(text) (JVM-side, so the shuffle key is 8 bytes,
+    not the document body — same design as the batch operator); per-key
+    state is a single 'seen' flag, so state size is O(distinct docs)
+    booleans and never grows with the stream. Within a first batch of a
+    key, the minimum id wins (deterministic). Append output mode."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = docs_stream.withColumn("_fp", F.xxhash64(F.col(text)))
+    out_schema = docs_stream.schema
+    out_cols = [f.name for f in out_schema.fields]
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        seen = state.get[0] if state.exists else 0
+        best = None  # one-row pandas slice — preserves column dtypes
+        for pdf in pdf_iter:
+            if seen or not len(pdf):
+                continue
+            i = pdf[id_col].idxmin()
+            row = pdf.loc[[i], out_cols]
+            if best is None or row[id_col].iloc[0] < best[id_col].iloc[0]:
+                best = row
+        if best is not None and not seen:
+            state.update((1,))
+            yield best
+
+    return keyed.groupBy("_fp").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType="seen integer",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1,0 +1,140 @@
+"""Round-2 operator regressions: CC pointer jumping, knn auto-res,
+dedup fingerprint grouping, ngram df cap, LSH multiprobe."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 200-edge chain has diameter 200: one-hop min-label propagation
+    needs 200 rounds; pointer jumping must converge in <= 12."""
+    from gfp_gdal_spark.plans.graph import connected_components
+
+    edges = spark.range(200).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    comp = connected_components(edges, max_iter=12)
+    rows = comp.collect()
+    assert len(rows) == 201
+    assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from gfp_gdal_spark.plans.graph import connected_components
+
+    edges = spark.range(300).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+
+
+def _pts(spark, n, seed):
+    rng = np.random.default_rng(seed)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": np.arange(n),
+                "lon_c": rng.uniform(-10, 10, n),
+                "lat_c": rng.uniform(40, 50, n),
+            }
+        )
+    )
+
+
+def test_knn_auto_res_matches_bruteforce(spark):
+    from gfp_gdal_spark.operators import joins as J
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1, 2], "q_lon": [0.0, 5.0, -7.0], "q_lat": [45.0, 42.0, 48.0]})
+    )
+    # dense: ring path; sparse: BNL shortcut — both must equal brute force
+    for n in (4000, 40):
+        p = _pts(spark, n, seed=n)
+        got = {
+            (r["query_id"], r["point_id"], r["rank"])
+            for r in J.knn_join(q, p, k=4, res="auto", kring=2).collect()
+        }
+        want = {
+            (r["query_id"], r["point_id"], r["rank"])
+            for r in J.knn_join_bruteforce(
+                q, p, 4, "query_id", "q_lon", "q_lat", "point_id", "lon_c", "lat_c"
+            ).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_exact_dedup_fingerprint_grouping(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(8),
+                "text": ["aa", "bb", "aa", "cc", "bb", "aa", "dd", "ee"],
+            }
+        )
+    )
+    from gfp_gdal_spark.operators.dedup import exact_dedup
+
+    out = {r["keeper_id"]: r["n_dupes"] for r in exact_dedup(docs).collect()}
+    assert out == {0: 3, 1: 2, 3: 1, 6: 1, 7: 1}
+    witht = exact_dedup(docs, keep_text=True).collect()
+    assert {r["text"] for r in witht} == {"aa", "bb", "cc", "dd", "ee"}
+    # the plan must NOT shuffle on the raw text column
+    plan = exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_fp" in plan
+
+
+def test_ngram_jaccard_max_df_drops_hot_grams(spark):
+    from gfp_gdal_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 'x y z' appears in every doc: with max_df=2 it cannot create pairs
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(4),
+                "text": [
+                    "x y z a b c",
+                    "x y z d e f",
+                    "x y z a b c g",
+                    "x y z h i j",
+                ],
+            }
+        )
+    )
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.01).count()
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_df=2).collect()
+    assert uncapped >= 6  # the hot gram links every pair
+    # only docs 0 and 2 share low-df grams ('a b c', 'y z a', 'z a b')
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(0, 2)}
+
+
+def test_lsh_multiprobe_recall_monotone(spark):
+    from gfp_gdal_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(400),
+                "embedding": [rng.standard_normal(16).tolist() for _ in range(400)],
+            }
+        ),
+        schema="vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(q, emb, k=5).collect()}
+
+    def recall(m):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in lsh_cosine_topk(q, emb, k=5, dim=16, bits=6, multiprobe=m).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0
+    assert r2 >= 0.5

@@ -66,3 +66,41 @@ def test_windowed_event_counts(spark, tmp_path):
         assert got == exp
     finally:
         q.stop()
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """First-seen-wins dedup must hold ACROSS micro-batches (keyed
+    state), not just within one batch."""
+    import pandas as pd
+
+    d = str(tmp_path / "docs")
+    schema = "doc_id long, text string"
+    b1 = pd.DataFrame({"doc_id": [3, 1, 2], "text": ["aa", "aa", "bb"]})
+    b2 = pd.DataFrame({"doc_id": [10, 11, 12], "text": ["aa", "bb", "cc"]})
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = SI.streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {
+            (r["doc_id"], r["text"])
+            for r in spark.sql("SELECT * FROM dedup_stream").collect()
+        }
+        assert got1 == {(1, "aa"), (2, "bb")}  # min id per text in batch 1
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got2 = {
+            (r["doc_id"], r["text"])
+            for r in spark.sql("SELECT * FROM dedup_stream").collect()
+        }
+        # batch-2 'aa'/'bb' suppressed by state; 'cc' is new
+        assert got2 == {(1, "aa"), (2, "bb"), (12, "cc")}
+    finally:
+        q.stop()
