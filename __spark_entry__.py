@@ -172,6 +172,17 @@ def _q_pip_join_hex(spark, sf):
     return out.select("o_orderkey", "c_custkey")
 
 
+def _q_pip_join_s2(spark, sf):
+    """Same join, S2 (cube-face Hilbert) bucketing — superset cover +
+    JVM s2 encode on the point side; identical result set by
+    construction (the refine is exact), sharing the rect-join oracle."""
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
+    polys = _rects_from_customer(_t(spark, sf, "customer"))
+    out = J.pip_join(pts, polys, holes=None, broadcast=True, bucket="s2", res="auto")
+    return out.select("o_orderkey", "c_custkey")
+
+
 def _q_merge_lines(spark, sf):
     """GEOSMergeLines analog: events-derived segments (9 per decade of
     event_id, gap at *9) merge into 10-point polylines; output is the
@@ -791,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cover": _q_tile_cover,
         "pip_join_rect": _q_pip_join_rect,
         "pip_join_hex": _q_pip_join_hex,
+        "pip_join_s2": _q_pip_join_s2,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "merge_lines": _q_merge_lines,
         "knn_join": _q_knn,
@@ -976,6 +988,13 @@ def oracle_sql() -> dict[str, str]:
               AND p.lat_c > c.clat - c.dlat AND p.lat_c < c.clat + c.dlat
         """,
         "pip_join_hex": f"""
+            WITH p AS ({opoints}), c AS ({rects})
+            SELECT p.o_orderkey, c.c_custkey
+            FROM p, c
+            WHERE p.lon_c > c.clon - c.dlon AND p.lon_c < c.clon + c.dlon
+              AND p.lat_c > c.clat - c.dlat AND p.lat_c < c.clat + c.dlat
+        """,
+        "pip_join_s2": f"""
             WITH p AS ({opoints}), c AS ({rects})
             SELECT p.o_orderkey, c.c_custkey
             FROM p, c

@@ -200,8 +200,75 @@ def hex_pack_cols(res: int, q: Column, r: Column) -> Column:
 
 
 def s2_cell(lon: Column, lat: Column, level: int) -> Column:
-    """S2-style cell id (cube face + Hilbert) — pandas UDF over the
-    numpy kernel (the Hilbert bit loop isn't worth expressing in SQL)."""
+    """S2-style cell id (cube face + quadratic ST + Hilbert) — pure
+    JVM, bit-identical to kernels.cells.s2_encode (parity-tested).
+
+    The Hilbert xy->d bit loop is an F.aggregate fold over the bit
+    positions with a struct(i, j, d) accumulator — the expression tree
+    stays LINEAR in `level` (naively substituting the loop would double
+    the tree each iteration)."""
+    rl, rp = F.radians(lon), F.radians(lat)
+    x = F.cos(rp) * F.cos(rl)
+    y = F.cos(rp) * F.sin(rl)
+    z = F.sin(rp)
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = (
+        F.when((ax >= ay) & (ax >= az), F.when(x >= 0, 0).otherwise(3))
+        .when(ay >= az, F.when(y >= 0, 1).otherwise(4))
+        .otherwise(F.when(z >= 0, 2).otherwise(5))
+    ).cast("long")
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, z / y)
+        .when(face == 2, x / z)
+        .when(face == 3, y / -x)
+        .when(face == 4, z / -y)
+        .otherwise(x / -z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, x / y)
+        .when(face == 2, y / z)
+        .when(face == 3, z / -x)
+        .when(face == 4, x / -y)
+        .otherwise(y / -z)
+    )
+
+    def st(w: Column) -> Column:
+        return F.when(w >= 0, 0.5 * F.sqrt(1 + 3 * w)).otherwise(
+            1 - 0.5 * F.sqrt(1 - 3 * w)
+        )
+
+    n = 1 << level
+    i0 = F.greatest(F.least(F.floor(st(u) * n).cast("long"), F.lit(n - 1)), F.lit(0))
+    j0 = F.greatest(F.least(F.floor(st(v) * n).cast("long"), F.lit(n - 1)), F.lit(0))
+
+    def step(acc: Column, b: Column) -> Column:
+        sbit = F.pow(F.lit(2.0), b).cast("long")
+        ii, jj, d = acc["i"], acc["j"], acc["d"]
+        rx = F.pmod(F.floor(ii / sbit).cast("long"), F.lit(2))
+        ry = F.pmod(F.floor(jj / sbit).cast("long"), F.lit(2))
+        d2 = d + sbit * sbit * (3 * rx).bitwiseXOR(ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        ii_f = F.when(flip, sbit - 1 - ii).otherwise(ii)
+        jj_f = F.when(flip, sbit - 1 - jj).otherwise(jj)
+        ii2 = F.when(swap, jj_f).otherwise(ii_f)
+        jj2 = F.when(swap, ii_f).otherwise(jj_f)
+        return F.struct(ii2.alias("i"), jj2.alias("j"), d2.alias("d"))
+
+    init = F.struct(i0.alias("i"), j0.alias("j"), F.lit(0).cast("long").alias("d"))
+    if level > 0:
+        bits = F.sequence(F.lit(level - 1), F.lit(0), F.lit(-1))
+        hilbert = F.aggregate(bits, init, step)["d"]
+    else:
+        hilbert = F.lit(0).cast("long")
+    return face * F.lit(1 << (2 * level)) + hilbert
+
+
+def s2_cell_pd(lon: Column, lat: Column, level: int) -> Column:
+    """numpy-kernel twin of s2_cell (pandas UDF) — kept as the parity
+    reference for tests."""
     @F.pandas_udf(T.LongType())
     def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
         return pd.Series(_cells.s2_encode(lo.to_numpy(), la.to_numpy(), level))

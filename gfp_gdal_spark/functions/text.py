@@ -119,40 +119,79 @@ def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
 
 def minhash_signature(text: Column, n_hashes: int = 64, shingle: int = 5) -> Column:
     """MinHash signature as array<long>: min over shingles of
-    (a_i * h + b_i) mod p for n_hashes seeded (a, b) pairs."""
+    (a_i * h + b_i) mod p for n_hashes seeded (a, b) pairs.
+
+    Vectorized ACROSS documents: shingle hashes of the whole Arrow
+    batch concatenate into one ragged array and the (shingles x
+    n_hashes) affine map + per-doc min run as numpy reduceat passes —
+    no per-document Python in the hot loop. Docs are chunked so the
+    intermediate matrix stays ~64 MB."""
     rng = np.random.default_rng(42)
     a = rng.integers(1, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
     bb = rng.integers(0, (1 << 61) - 1, size=n_hashes, dtype=np.uint64)
+    chunk_shingles = max(8_000_000 // n_hashes, 1024)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(s: pd.Series) -> pd.Series:
-        out = []
-        for txt in s:
-            h = _shingle_hashes(txt or "", shingle) % _MERSENNE
-            # (n_shingles, n_hashes) — bounded batch; fine per doc
-            vals = (h[:, None] * a[None, :] + bb[None, :]) % _MERSENNE
-            out.append(vals.min(axis=0).astype(np.int64))
+        hs = [_shingle_hashes(t or "", shingle) for t in s]
+        counts = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
+        out: list[np.ndarray] = []
+        i = 0
+        while i < len(hs):
+            j = i
+            tot = 0
+            while j < len(hs) and (tot == 0 or tot + counts[j] <= chunk_shingles):
+                tot += counts[j]
+                j += 1
+            allh = (
+                np.concatenate(hs[i:j]) % _MERSENNE
+                if tot
+                else np.empty(0, dtype=np.uint64)
+            )
+            vals = (allh[:, None] * a[None, :] + bb[None, :]) % _MERSENNE
+            offs = np.zeros(j - i, dtype=np.int64)
+            np.cumsum(counts[i:j][:-1], out=offs[1:])
+            mins = np.minimum.reduceat(vals, offs, axis=0)
+            out.extend(mins.astype(np.int64))
+            i = j
         return pd.Series(out)
 
     return _sig(text)
 
 
 def simhash64(text: Column, shingle: int = 3) -> Column:
-    """64-bit SimHash over char shingles (sign of per-bit weight sums)."""
+    """64-bit SimHash over char shingles (sign of per-bit weight sums).
+    Vectorized across the batch: one (shingles x 64) bit matrix + a
+    per-doc add.reduceat — no per-document Python in the hot loop."""
+
+    chunk_shingles = 250_000  # bit matrix ~128 MB per chunk
 
     @F.pandas_udf(T.LongType())
     def _sh(s: pd.Series) -> pd.Series:
-        out = np.zeros(len(s), dtype=np.uint64)
+        n_docs = len(s)
+        if n_docs == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        hs = [_shingle_hashes(t or "", shingle) for t in s]
+        counts = np.fromiter((len(h) for h in hs), dtype=np.int64, count=n_docs)
         bits = np.arange(64, dtype=np.uint64)
-        for i, txt in enumerate(s):
-            h = _shingle_hashes(txt or "", shingle)
-            if len(h) == 0:
-                continue
-            bitmat = (h[:, None] >> bits[None, :]) & np.uint64(1)
-            weights = bitmat.astype(np.int64) * 2 - 1
-            sig = (weights.sum(axis=0) > 0).astype(np.uint64)
-            out[i] = (sig << bits).sum(dtype=np.uint64)
-        return pd.Series(out.view(np.int64))
+        outs: list[np.ndarray] = []
+        i = 0
+        while i < n_docs:
+            j = i
+            tot = 0
+            while j < n_docs and (tot == 0 or tot + counts[j] <= chunk_shingles):
+                tot += counts[j]
+                j += 1
+            allh = np.concatenate(hs[i:j])
+            bitmat = ((allh[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
+            weights = bitmat * 2 - 1
+            offs = np.zeros(j - i, dtype=np.int64)
+            np.cumsum(counts[i:j][:-1], out=offs[1:])
+            sums = np.add.reduceat(weights, offs, axis=0)
+            sig = (sums > 0).astype(np.uint64)
+            outs.append((sig << bits[None, :]).sum(axis=1, dtype=np.uint64))
+            i = j
+        return pd.Series(np.concatenate(outs).view(np.int64))
 
     return _sh(text)
 

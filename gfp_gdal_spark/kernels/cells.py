@@ -27,6 +27,9 @@ __all__ = [
     "hex_neighbors_of",
     "hex_cover_bbox",
     "s2_encode",
+    "s2_encode_ij",
+    "s2_face_uv",
+    "s2_cover_bbox",
     "HEX_BASE_SIZE_DEG",
     "MAX_LAT_WEBMERC",
 ]
@@ -242,7 +245,41 @@ def hex_cover_bbox(min_lon, min_lat, max_lon, max_lat, res: int):
 # bit layout — we don't claim bit-compat, only the same geometry).
 # ---------------------------------------------------------------------------
 
-def s2_encode(lon, lat, level: int) -> np.ndarray:
+def _uv_to_st(w: np.ndarray) -> np.ndarray:
+    """Quadratic uv->st (public S2 transform), st in [0,1]."""
+    with np.errstate(invalid="ignore"):
+        return np.where(w >= 0, 0.5 * np.sqrt(1 + 3 * w), 1 - 0.5 * np.sqrt(1 - 3 * w))
+
+
+def _hilbert_xy2d(i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized Hilbert xy -> curve position (standard bit loop)."""
+    d = np.zeros_like(np.asarray(i, dtype=np.int64))
+    ii = np.asarray(i, dtype=np.int64).copy()
+    jj = np.asarray(j, dtype=np.int64).copy()
+    sbit = np.int64(1) << (level - 1) if level > 0 else np.int64(0)
+    while sbit > 0:
+        rx = ((ii & sbit) > 0).astype(np.int64)
+        ry = ((jj & sbit) > 0).astype(np.int64)
+        d += sbit * sbit * ((3 * rx) ^ ry)
+        # rotate
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        ii_f = np.where(flip, sbit - 1 - ii, ii)
+        jj_f = np.where(flip, sbit - 1 - jj, jj)
+        ii, jj = np.where(swap, jj_f, ii_f), np.where(swap, ii_f, jj_f)
+        sbit >>= 1
+    return d
+
+
+def s2_encode_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """(face, i, j) leaf coordinates -> cell id at ``level``."""
+    return np.asarray(face, dtype=np.int64) * (np.int64(1) << (2 * level)) + _hilbert_xy2d(
+        i, j, level
+    )
+
+
+def s2_face_uv(lon, lat):
+    """lon/lat degrees -> (face, u, v) of the cube projection."""
     lon = np.radians(np.asarray(lon, dtype=np.float64))
     lat = np.radians(np.asarray(lat, dtype=np.float64))
     x = np.cos(lat) * np.cos(lon)
@@ -254,7 +291,6 @@ def s2_encode(lon, lat, level: int) -> np.ndarray:
         np.where(x >= 0, 0, 3),
         np.where(ay >= az, np.where(y >= 0, 1, 4), np.where(z >= 0, 2, 5)),
     ).astype(np.int64)
-    # (u, v) on the face in [-1, 1]
     u = np.empty_like(x)
     v = np.empty_like(x)
     for f, (un, vn, dn) in enumerate(
@@ -268,30 +304,139 @@ def s2_encode(lon, lat, level: int) -> np.ndarray:
         sgn = 1.0 if f < 3 else -1.0
         u[m] = comps[un][m] / (sgn * denom)
         v[m] = comps[vn][m] / (sgn * denom)
-    # quadratic uv->st (public S2 transform), st in [0,1]
-    def uv_to_st(w):
-        with np.errstate(invalid="ignore"):
-            return np.where(w >= 0, 0.5 * np.sqrt(1 + 3 * w), 1 - 0.5 * np.sqrt(1 - 3 * w))
+    return face, u, v
 
-    s = np.clip(uv_to_st(u), 0, np.nextafter(1, 0))
-    t = np.clip(uv_to_st(v), 0, np.nextafter(1, 0))
+
+def s2_encode(lon, lat, level: int) -> np.ndarray:
+    face, u, v = s2_face_uv(lon, lat)
+    s = np.clip(_uv_to_st(u), 0, np.nextafter(1, 0))
+    t = np.clip(_uv_to_st(v), 0, np.nextafter(1, 0))
     n = np.int64(1) << level
     i = np.minimum((s * n).astype(np.int64), n - 1)
     j = np.minimum((t * n).astype(np.int64), n - 1)
-    # vectorized Hilbert d2xy inverse (xy2d), standard bit-twiddling loop
-    rx = np.zeros_like(i)
-    d = np.zeros_like(i)
-    ii, jj = i.copy(), j.copy()
-    sbit = np.int64(1) << (level - 1) if level > 0 else np.int64(0)
-    while sbit > 0:
-        rx = ((ii & sbit) > 0).astype(np.int64)
-        ry = ((jj & sbit) > 0).astype(np.int64)
-        d += sbit * sbit * ((3 * rx) ^ ry)
-        # rotate
-        swap = ry == 0
-        flip = swap & (rx == 1)
-        ii_f = np.where(flip, sbit - 1 - ii, ii)
-        jj_f = np.where(flip, sbit - 1 - jj, jj)
-        ii, jj = np.where(swap, jj_f, ii_f), np.where(swap, ii_f, jj_f)
-        sbit >>= 1
-    return face * (np.int64(1) << (2 * level)) + d
+    return s2_encode_ij(face, i, j, level)
+
+
+# Face centers (equatorial) in degrees; faces 2/5 are the poles.
+_S2_EQ_FACES = {0: 0.0, 1: 90.0, 3: 180.0, 4: -90.0}
+
+
+def _s2_face_uv_range(face: int, lon0, lon1, lat0, lat1):
+    """Over-approximate [umin,umax]x[vmin,vmax] of a lon/lat bbox's
+    image on ``face`` (None if no bbox point can map to this face).
+    Exact-or-superset via monotonicity/critical-point analysis of the
+    cube projection; clamped to the face square [-1,1]."""
+    d2r = math.radians
+    if face in _S2_EQ_FACES:
+        lam_f = _S2_EQ_FACES[face]
+        # re-center longitudes to (-180, 180] around the face center
+        a = (lon0 - lam_f + 180.0) % 360.0 - 180.0
+        b = a + (lon1 - lon0)
+        # the face only sees |dlam| < 90 (beyond that another axis
+        # dominates); clamp the window, reject disjoint ranges
+        if b < -89.99 or a > 89.99:
+            return None
+        ca, cb = max(a, -89.99), min(b, 89.99)
+        # the two coordinate families on an equatorial face:
+        #   t = tan(dlam)                  (monotone in dlam)
+        #   w = tan(lat)/cos(dlam)         (monotone in lat; 1/cos has
+        #                                   its max at the window ends,
+        #                                   min at dlam=0 when inside)
+        t_lo, t_hi = math.tan(d2r(ca)), math.tan(d2r(cb))
+        cos_cands = [math.cos(d2r(ca)), math.cos(d2r(cb))]
+        if ca <= 0.0 <= cb:
+            cos_cands.append(1.0)
+        ws = [math.tan(d2r(p)) / c for p in (lat0, lat1) for c in cos_cands]
+        w_lo, w_hi = min(ws), max(ws)
+        # per-face (u, v) in terms of (t, w) — derived from the cube
+        # component table in s2_face_uv:
+        #   face 0 (x+): u =  t, v =  w      face 1 (y+): u = w, v = -t
+        #   face 3 (x-): u = -t, v =  w      face 4 (y-): u = w, v =  t
+        if face == 0:
+            umin, umax, vmin, vmax = t_lo, t_hi, w_lo, w_hi
+        elif face == 3:
+            umin, umax, vmin, vmax = -t_hi, -t_lo, w_lo, w_hi
+        elif face == 1:
+            umin, umax, vmin, vmax = w_lo, w_hi, -t_hi, -t_lo
+        else:  # face 4
+            umin, umax, vmin, vmax = w_lo, w_hi, t_lo, t_hi
+    elif face == 2:
+        if lat1 <= 0.0:
+            return None
+        p0 = max(lat0, 0.01)
+        # u = cos(lam)/tan(lat), v = sin(lam)/tan(lat): separable
+        # products — extremes at factor-extreme combinations
+        cot = [1.0 / math.tan(d2r(p0)), 1.0 / math.tan(d2r(max(lat1, p0)))]
+        coss = [math.cos(d2r(lon0)), math.cos(d2r(lon1))]
+        sins = [math.sin(d2r(lon0)), math.sin(d2r(lon1))]
+        for crit, arr in ((0.0, coss), (180.0, coss), (-180.0, coss),
+                          (90.0, sins), (-90.0, sins)):
+            if lon0 <= crit <= lon1:
+                arr.append(math.cos(d2r(crit)) if arr is coss else math.sin(d2r(crit)))
+        us = [c * t for c in coss for t in cot]
+        vs = [sn * t for sn in sins for t in cot]
+        umin, umax, vmin, vmax = min(us), max(us), min(vs), max(vs)
+    else:  # face 5 (south): u = -cos(lam)/tan(lat), v = -sin(lam)/tan(lat)
+        if lat0 >= 0.0:
+            return None
+        p1 = min(lat1, -0.01)
+        cot = [-1.0 / math.tan(d2r(p1)), -1.0 / math.tan(d2r(min(lat0, p1)))]
+        coss = [math.cos(d2r(lon0)), math.cos(d2r(lon1))]
+        sins = [math.sin(d2r(lon0)), math.sin(d2r(lon1))]
+        for crit, arr in ((0.0, coss), (180.0, coss), (-180.0, coss),
+                          (90.0, sins), (-90.0, sins)):
+            if lon0 <= crit <= lon1:
+                arr.append(math.cos(d2r(crit)) if arr is coss else math.sin(d2r(crit)))
+        us = [c * t for c in coss for t in cot]
+        vs = [sn * t for sn in sins for t in cot]
+        umin, umax, vmin, vmax = min(us), max(us), min(vs), max(vs)
+    if umax < -1.0 or umin > 1.0 or vmax < -1.0 or vmin > 1.0:
+        return None
+    return (
+        max(umin, -1.0), min(umax, 1.0), max(vmin, -1.0), min(vmax, 1.0)
+    )
+
+
+def s2_cover_bbox(min_lon, min_lat, max_lon, max_lat, level: int, max_cells_side: int = 64):
+    """S2 cells covering each lon/lat bbox (SUPERSET cover): per face,
+    the uv-range over-approximation -> st -> inclusive ij ranges with a
+    ±1-cell margin, Hilbert-encoded. Returns (cell_ids, row_index) —
+    the explode feed of the s2-bucketed pip_join.
+
+    ``max_cells_side`` caps each face's ij grid per row (a planet-scale
+    bbox at a fine level would enumerate 4^level cells); covers that
+    would exceed it raise — pick a coarser level for huge geometries.
+    """
+    min_lon = np.atleast_1d(np.asarray(min_lon, dtype=np.float64))
+    min_lat = np.atleast_1d(np.asarray(min_lat, dtype=np.float64))
+    max_lon = np.atleast_1d(np.asarray(max_lon, dtype=np.float64))
+    max_lat = np.atleast_1d(np.asarray(max_lat, dtype=np.float64))
+    n = np.int64(1) << level
+    out_cells: list[np.ndarray] = []
+    out_rows: list[np.ndarray] = []
+    for r in range(len(min_lon)):
+        for face in range(6):
+            rng = _s2_face_uv_range(face, min_lon[r], max_lon[r], min_lat[r], max_lat[r])
+            if rng is None:
+                continue
+            s0, s1 = _uv_to_st(np.array([rng[0], rng[1]]))
+            t0, t1 = _uv_to_st(np.array([rng[2], rng[3]]))
+            i0 = max(int(s0 * n) - 1, 0)
+            i1 = min(int(s1 * n) + 1, int(n) - 1)
+            j0 = max(int(t0 * n) - 1, 0)
+            j1 = min(int(t1 * n) + 1, int(n) - 1)
+            if (i1 - i0 + 1) > max_cells_side or (j1 - j0 + 1) > max_cells_side:
+                raise ValueError(
+                    f"s2 cover at level {level} needs {(i1-i0+1)}x{(j1-j0+1)} cells "
+                    f"on face {face} (> {max_cells_side} per side); use a coarser level"
+                )
+            ii, jj = np.meshgrid(
+                np.arange(i0, i1 + 1, dtype=np.int64),
+                np.arange(j0, j1 + 1, dtype=np.int64),
+            )
+            ids = s2_encode_ij(np.full(ii.size, face, dtype=np.int64), ii.ravel(), jj.ravel(), level)
+            out_cells.append(ids)
+            out_rows.append(np.full(ids.size, r, dtype=np.int64))
+    if not out_cells:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(out_cells), np.concatenate(out_rows)

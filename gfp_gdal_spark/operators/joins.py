@@ -39,6 +39,8 @@ __all__ = [
     "tile_cover",
     "ring_bbox_cols",
     "cover_cells_tile",
+    "cover_cells_hex",
+    "cover_cells_s2",
     "pip_join",
     "knn_join",
     "knn_join_bruteforce",
@@ -94,6 +96,41 @@ def cover_cells_hex(
     out = out.withColumn("_q", F.explode(F.sequence(q0, q1)))
     out = out.withColumn("_r", F.explode(F.sequence(r0, r1)))
     out = out.withColumn("cell", hex_pack_cols(res, F.col("_q"), F.col("_r"))).drop("_q", "_r")
+    if not keep_bbox:
+        out = out.drop("min_lon", "min_lat", "max_lon", "max_lat")
+    return out
+
+
+def cover_cells_s2(
+    polys: DataFrame, level: int, ring: str = "ring", keep_bbox: bool = False
+) -> DataFrame:
+    """Polygon -> covering S2 cells (superset cover via the per-face
+    uv-range analysis of kernels.cells.s2_cover_bbox; property-tested
+    never to miss a containing cell). Vectorized pandas UDF + explode —
+    cover runs once per polygon, off the point hot path."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from gfp_gdal_spark.kernels import cells as _c
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(min_lon: pd.Series, min_lat: pd.Series, max_lon: pd.Series, max_lat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cells, row = _c.s2_cover_bbox(
+            min_lon.to_numpy(), min_lat.to_numpy(), max_lon.to_numpy(),
+            max_lat.to_numpy(), level,
+        )
+        n = len(min_lon)
+        counts = np.bincount(row, minlength=n)
+        out = np.split(cells, np.cumsum(counts)[:-1])
+        return pd.Series([c.tolist() for c in out])
+
+    out = ring_bbox_cols(polys, ring)
+    out = out.withColumn(
+        "cell",
+        F.explode(_cover(F.col("min_lon"), F.col("min_lat"), F.col("max_lon"), F.col("max_lat"))),
+    )
     if not keep_bbox:
         out = out.drop("min_lon", "min_lat", "max_lon", "max_lat")
     return out
@@ -279,6 +316,18 @@ def pip_join(
             "unmatched rows); for left semantics, left-join points "
             "against the inner result on the point key"
         )
+    if bucket == "s2" and (res is None or res == "auto"):
+        # same extent-based sizing as hex: target ~16 cover cells per
+        # polygon; an S2 cell at level L spans ~90/2^L degrees near a
+        # face center
+        import math
+
+        bb = ring_bbox_cols(polys.select(ring), ring)
+        st = bb.agg(
+            F.avg((F.col("max_lon") - F.col("min_lon")) * (F.col("max_lat") - F.col("min_lat"))).alias("a")
+        ).first()
+        s_deg = math.sqrt(max(st.a or 1e-6, 1e-6) / 16.0)
+        res = int(min(max(round(math.log2(90.0 / s_deg)), 0), 28))
     if bucket == "hex" and (res is None or res == "auto"):
         # size the bucket grid to the polygon extents: a too-fine res
         # multiplies every polygon row (and its ring payload) by its
@@ -309,6 +358,8 @@ def pip_join(
 
     if bucket == "hex":
         pcells = cover_cells_hex(polys, res, ring, keep_bbox=True)
+    elif bucket == "s2":
+        pcells = cover_cells_s2(polys, res, ring, keep_bbox=True)
     else:
         pcells = cover_cells_tile(polys, z, ring, keep_bbox=True)
     if broadcast is True:
@@ -317,6 +368,10 @@ def pip_join(
         pcells = pcells.hint("shuffle_hash")
     if bucket == "hex":
         pts = points.withColumn("cell", hex_cell(F.col(lon), F.col(lat), res))
+    elif bucket == "s2":
+        from gfp_gdal_spark.functions.spatial import s2_cell
+
+        pts = points.withColumn("cell", s2_cell(F.col(lon), F.col(lat), res))
     else:
         xt, yt = tile_cols(F.col(lon), F.col(lat), z)
         pts = points.withColumn("cell", xt * F.lit(1 << (z + 1)) + yt)

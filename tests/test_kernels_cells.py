@@ -102,3 +102,91 @@ def test_s2_hilbert_adjacent_cells_near():
     # consecutive samples map to equal-or-near cells most of the time
     same_or_close = np.abs(np.diff(ids)) < (1 << 14)
     assert same_or_close.mean() > 0.8
+
+
+def test_s2_cover_superset_property():
+    """Every cell containing a bbox point must be in the cover — 300
+    random bboxes incl. face boundaries and poles."""
+    import numpy as np
+
+    from gfp_gdal_spark.kernels import cells as C
+
+    rng = np.random.default_rng(17)
+    checked = 0
+    for _ in range(300):
+        lon0 = rng.uniform(-179, 175)
+        lat0 = rng.uniform(-84, 80)
+        lon1 = min(lon0 + rng.uniform(0.01, 8), 180)
+        lat1 = min(lat0 + rng.uniform(0.01, 8), 85)
+        level = int(rng.integers(3, 11))
+        try:
+            cells, rows = C.s2_cover_bbox([lon0], [lat0], [lon1], [lat1], level)
+        except ValueError:
+            continue  # level too fine for the bbox extent (documented)
+        cover = set(cells.tolist())
+        plon = rng.uniform(lon0, lon1, 200)
+        plat = rng.uniform(lat0, lat1, 200)
+        ids = C.s2_encode(plon, plat, level)
+        assert not set(ids.tolist()) - cover
+        checked += 1
+    assert checked > 200
+
+
+def test_s2_cell_jvm_matches_kernel(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gfp_gdal_spark.functions.spatial import s2_cell
+    from gfp_gdal_spark.kernels import cells as C
+
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 4000)
+    lat = rng.uniform(-85, 85, 4000)
+    df = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    for level in (1, 8, 14):
+        got = np.array(
+            df.select(s2_cell(F.col("lon"), F.col("lat"), level).alias("c")).toPandas()["c"]
+        )
+        assert (got == C.s2_encode(lon, lat, level)).all()
+    plan = (
+        df.select(s2_cell(F.col("lon"), F.col("lat"), 12))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pip_join_s2_matches_bruteforce(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gfp_gdal_spark.kernels import geom as G
+    from gfp_gdal_spark.operators import joins as J
+    from gfp_gdal_spark.sources import datagen
+
+    rng = np.random.default_rng(9)
+    pts_pdf = pd.DataFrame(
+        {
+            "pid": range(3000),
+            "lon_c": rng.uniform(-179, 179, 3000),
+            "lat_c": rng.uniform(-84, 84, 3000),
+        }
+    )
+    pts = spark.createDataFrame(pts_pdf)
+    vl_pdf = datagen.vector_layer_zones_pandas(150)
+    vl = datagen.vector_layer_zones(spark, 150)
+    got = {
+        (r["pid"], r["polygon_id"])
+        for r in J.pip_join(pts, vl, bucket="s2", res="auto", broadcast=True).collect()
+    }
+    # brute force via the numpy kernel
+    want = set()
+    for _, poly in vl_pdf.iterrows():
+        flat, off = G.ragged_from_lists([poly["ring"]] * len(pts_pdf))
+        inside = G.point_in_polygon_pairwise(
+            pts_pdf["lon_c"].to_numpy(), pts_pdf["lat_c"].to_numpy(),
+            flat, off, [poly["holes"]] * len(pts_pdf),
+        )
+        want |= {(int(pts_pdf["pid"][i]), int(poly["polygon_id"])) for i in np.flatnonzero(inside)}
+    assert got == want
