@@ -348,6 +348,49 @@ def _q_lang_id(spark, sf):
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
+def _q_token_bpe(spark, sf):
+    """BPE-ish (GPT-2 pretokenizer regex) token counting — the LLM
+    length signal; the oracle runs the same pattern under RE2."""
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TX.token_count_bpe(F.col("text")).alias("n_bpe"))
+
+
+def _q_quality_filter(spark, sf):
+    """Composite quality score + keep/drop verdict — the standard
+    corpus-filter shape; formula mirrored exactly in SQL."""
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    q = TX.quality_score(F.col("text"))
+    return d.select("doc_id", F.round(q, 6).alias("quality"), (q >= 0.5).alias("keep"))
+
+
+def _q_doc_fingerprint(spark, sf):
+    """64-bit rolling-hash document fingerprint (min of 8-byte shingle
+    polynomial hashes, mod-2^64 wraparound) — the oracle reimplements
+    the wrap arithmetic in HUGEINT SQL."""
+    _prep(spark)
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return d.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_embedding_dedup(spark, sf):
+    """Embedding-cosine near-dup clustering on the planted-copy
+    fixture: scaled copies (vec_id+100000 for vec_id%10==0, cosine 1.0
+    with their original, natural max < 0.40) must collapse onto the
+    original's cluster — LSH recall is structural (positive scaling
+    preserves every sign bucket)."""
+    _prep(spark)
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.pmod("vec_id", F.lit(10)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.25).alias("embedding"),
+    )
+    aug = emb.unionByName(copies)
+    out = SIM.embedding_dedup(aug, threshold=0.9, dim=64, bits=8, multiprobe=1)
+    return out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
 def _q_cosine_topk(spark, sf):
     _prep(spark)
     emb = _t(spark, sf, "embeddings")
@@ -816,7 +859,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": _q_topk_per_user,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
+        "token_bpe": _q_token_bpe,
         "text_quality": _q_text_quality,
+        "quality_filter": _q_quality_filter,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_dedup": _q_embedding_dedup,
         "lang_id": _q_lang_id,
         "cosine_topk": _q_cosine_topk,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -915,6 +962,13 @@ _SQL_IMG_PIXELS = """
     FROM chan
   )
 """
+
+# rolling 8-byte polynomial hash (functions.text._shingle_hashes):
+# h = sum(byte[i+k] * 1000003^k) wrapped mod 2^64
+_FP_POWS = [pow(1000003, k, 1 << 64) for k in range(8)]
+_SQL_FP_TERMS = " + ".join(
+    f"ascii(substr(text, i+{k}, 1))::HUGEINT * {_FP_POWS[k]}" for k in range(8)
+)
 
 _TILE_X = "CAST(floor((lon_c + 180.0) / 360.0 * {n}) AS BIGINT)"
 _TILE_Y = (
@@ -1101,6 +1155,52 @@ def oracle_sql() -> dict[str, str]:
                         x -> x IN ('the','and','of','to','in','is','that','it','was','for')))
                     / greatest(len(string_split(lower(text), ' ')), 1)::DOUBLE, 6) AS stop_r
             FROM documents
+        """,
+        "token_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+                   )) AS BIGINT) AS n_bpe
+            FROM documents
+        """,
+        "quality_filter": r"""
+            WITH r AS (
+              SELECT doc_id,
+                least(length(text) / 500.0, 1.0) AS lt,
+                (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))
+                  / greatest(length(text), 1)::DOUBLE AS pr,
+                (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / greatest(length(text), 1)::DOUBLE AS dr,
+                len(list_filter(string_split(lower(text), ' '),
+                    x -> x IN ('the','and','of','to','in','is','that','it','was','for')))
+                  / greatest(len(string_split(lower(text), ' ')), 1)::DOUBLE AS sr
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id,
+                0.25*lt + 0.25*greatest(0.0, 1.0 - pr*4.0)
+                + 0.25*greatest(0.0, 1.0 - dr*4.0) + 0.25*least(sr*5.0, 1.0) AS qv
+              FROM r
+            )
+            SELECT doc_id, round(qv, 6) AS quality, qv >= 0.5 AS keep FROM q
+        """,
+        "doc_fingerprint": f"""
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            w AS (
+              SELECT doc_id,
+                     ({_SQL_FP_TERMS}) % 18446744073709551616 AS h
+              FROM d, unnest(generate_series(1, length(text) - 7)) AS t(i)
+            ),
+            m AS (SELECT doc_id, min(h) AS u FROM w GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(u - CASE WHEN u >= 9223372036854775808
+                                 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp
+            FROM m
+        """,
+        "embedding_dedup": """
+            SELECT vec_id AS cluster_id,
+                   CAST(CASE WHEN vec_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_members
+            FROM embeddings
         """,
         "lang_id": """
             WITH h AS (

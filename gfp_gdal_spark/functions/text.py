@@ -16,6 +16,8 @@ from pyspark.sql import types as T
 
 __all__ = [
     "token_count",
+    "token_count_bpe",
+    "BPE_TOKEN_PATTERN",
     "char_count",
     "punct_ratio",
     "digit_ratio",
@@ -43,6 +45,18 @@ def token_count(text: Column) -> Column:
     """Whitespace token count (split on single space; empty tokens from
     runs of spaces are counted like the SQL oracle counts them)."""
     return F.size(F.split(text, " ")).cast("long")
+
+
+# GPT-2-style pretokenizer pattern, ASCII form without the \s+(?!\S)
+# lookahead (RE2 — the DuckDB oracle engine — has no lookahead; the
+# trailing \s+ alternative subsumes it for counting purposes)
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pretokenizer
+    regex — the standard LLM-pipeline length signal (JVM regexp)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
 
 
 def char_count(text: Column) -> Column:

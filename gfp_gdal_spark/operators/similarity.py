@@ -17,7 +17,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine_sim_col", "cosine_topk", "lsh_cosine_topk", "ivf_cosine_topk"]
+__all__ = [
+    "cosine_sim_col",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "embedding_dedup_pairs",
+    "embedding_dedup",
+]
 
 
 def cosine_sim_col(a: Column, b: Column) -> Column:
@@ -145,6 +152,88 @@ def ivf_cosine_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(q_id, c_id, "cosine", "rank")
+    )
+
+
+def embedding_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    bits: int = 8,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    seed: int = 42,
+    multiprobe: int = 1,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join
+    (side A fans out to hamming<=multiprobe buckets), exact cosine
+    verify >= threshold. The 10^12-row shape: candidates ~
+    n^2/2^bits * probes, never all-pairs; degenerate buckets capped."""
+    from pyspark.sql import Window
+
+    from itertools import combinations
+
+    bu = _bucket_udf(dim, bits, seed)
+    base = corpus.select(F.col(c_id).alias("_id"), F.col(c_vec).alias("_vec")).withColumn(
+        "_bucket", bu(F.col("_vec"))
+    )
+    # cap degenerate buckets (b^2 pair blowup)
+    w = Window.partitionBy("_bucket").orderBy("_id")
+    base = base.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= max_bucket).drop("_rn")
+    masks = [0]
+    for m in range(1, multiprobe + 1):
+        for fl in combinations(range(bits), m):
+            mm = 0
+            for b in fl:
+                mm |= 1 << b
+            masks.append(mm)
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("vec_a"),
+        F.explode(F.array(*[F.col("_bucket").bitwiseXOR(F.lit(m)) for m in masks])).alias("_bucket"),
+    )
+    b = base.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"), "_bucket")
+    pairs = (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_sim_col(F.col("vec_a"), F.col("vec_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+    return pairs
+
+
+def embedding_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    exact_clusters: bool = False,
+    **kw,
+) -> DataFrame:
+    """Embedding-cosine near-dup clustering: every row gets a
+    ``cluster_id`` (min id among its >=threshold neighbors, itself
+    included; exact_clusters=True runs full connected components) —
+    the embedding twin of minhash_dedup."""
+    pairs = embedding_dedup_pairs(corpus, threshold=threshold, c_id=c_id, c_vec=c_vec, **kw)
+    if exact_clusters:
+        from gfp_gdal_spark.plans.graph import connected_components
+
+        comp = connected_components(pairs, src="id_a", dst="id_b")
+        return (
+            corpus.join(comp, corpus[c_id] == comp["vertex"], "left")
+            .withColumn("cluster_id", F.coalesce("component", corpus[c_id]))
+            .drop("vertex", "component")
+        )
+    fwd = pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("peer"))
+    bwd = pairs.select(F.col("id_a").alias("_id"), F.col("id_b").alias("peer"))
+    rep = fwd.unionByName(bwd).groupBy("_id").agg(F.min("peer").alias("min_peer"))
+    return (
+        corpus.join(rep, corpus[c_id] == rep["_id"], "left")
+        .withColumn("cluster_id", F.least(F.coalesce("min_peer", corpus[c_id]), corpus[c_id]))
+        .drop("_id", "min_peer")
     )
 
 

@@ -138,3 +138,46 @@ def test_lsh_multiprobe_recall_monotone(spark):
     r0, r2 = recall(0), recall(2)
     assert r2 >= r0
     assert r2 >= 0.5
+
+
+def test_embedding_dedup_pairs_vs_bruteforce(spark):
+    """LSH-bucketed near-dup pairs must find every pair brute force
+    finds at the planted threshold (scaled copies share all buckets)."""
+    from gfp_gdal_spark.operators.similarity import embedding_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 16))
+    vecs = list(base) + [base[i] * 2.0 for i in range(0, 60, 5)]  # 12 copies
+    ids = list(range(60)) + [1000 + i for i in range(0, 60, 5)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]}),
+        schema="vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dedup_pairs(emb, threshold=0.95, dim=16, bits=6).collect()
+    }
+    # brute force
+    m = np.stack(vecs)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    want = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.95
+    }
+    assert want <= got  # planted pairs always found
+    assert got == want  # and nothing below threshold survives the verify
+
+
+def test_token_count_bpe(spark):
+    from gfp_gdal_spark.functions.text import token_count_bpe
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": ["It's 42 degrees, isn't it?", "", "hello   world"]})
+    )
+    got = [r["n"] for r in df.select(token_count_bpe(F.col("t")).alias("n")).collect()]
+    # "It|'s| 42| degrees|,| isn|'t| it|?" -> 9
+    # "hello|   |world" -> 3 (no-lookahead variant: \s+ eats the run)
+    assert got == [9, 0, 3]
