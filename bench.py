@@ -83,13 +83,16 @@ def main() -> None:
         "pip_join_rect",
         "pip_join_shuffle",
         "pip_join_polygons",
+        "pip_join_s2",
         "knn_join",
         "salted_cell_count",
         "agg_pricing",
         "group_segments",
         "topk_per_user",
         "exact_dedup",
+        "embedding_dedup",
         "token_stats",
+        "token_bpe",
         "cosine_topk",
         "minhash_recall",
         "hex_cells",

@@ -199,14 +199,8 @@ def hex_pack_cols(res: int, q: Column, r: Column) -> Column:
     return _hex_pack_col(res, q, r)
 
 
-def s2_cell(lon: Column, lat: Column, level: int) -> Column:
-    """S2-style cell id (cube face + quadratic ST + Hilbert) — pure
-    JVM, bit-identical to kernels.cells.s2_encode (parity-tested).
-
-    The Hilbert xy->d bit loop is an F.aggregate fold over the bit
-    positions with a struct(i, j, d) accumulator — the expression tree
-    stays LINEAR in `level` (naively substituting the loop would double
-    the tree each iteration)."""
+def _s2_face_ij_cols(lon: Column, lat: Column, level: int) -> tuple[Column, Column, Column]:
+    """(face, i, j) leaf coordinates as pure Column expressions."""
     rl, rp = F.radians(lon), F.radians(lat)
     x = F.cos(rp) * F.cos(rl)
     y = F.cos(rp) * F.sin(rl)
@@ -242,6 +236,29 @@ def s2_cell(lon: Column, lat: Column, level: int) -> Column:
     n = 1 << level
     i0 = F.greatest(F.least(F.floor(st(u) * n).cast("long"), F.lit(n - 1)), F.lit(0))
     j0 = F.greatest(F.least(F.floor(st(v) * n).cast("long"), F.lit(n - 1)), F.lit(0))
+    return face, i0, j0
+
+
+def s2_ij_cell(lon: Column, lat: Column, level: int) -> Column:
+    """Flat (face<<2L | i<<L | j) S2 cell id — the JOIN-KEY form: the
+    same cell partition as the Hilbert id (a bijection), evaluated in
+    a handful of codegen-able ops. kernels.cells.s2_pack_ij twin.
+    Use s2_cell (Hilbert) when curve locality matters."""
+    face, i0, j0 = _s2_face_ij_cols(lon, lat, level)
+    return face * F.lit(1 << (2 * level)) + i0 * F.lit(1 << level) + j0
+
+
+def s2_cell(lon: Column, lat: Column, level: int) -> Column:
+    """S2-style cell id (cube face + quadratic ST + Hilbert) — pure
+    JVM, bit-identical to kernels.cells.s2_encode (parity-tested).
+
+    The Hilbert xy->d bit loop is an F.aggregate fold over the bit
+    positions with a struct(i, j, d) accumulator — the expression tree
+    stays LINEAR in `level` (naively substituting the loop would
+    double the tree each iteration). NOTE: the fold runs interpreted
+    (~30us/row) — for join bucketing use s2_ij_cell, which partitions
+    identically and whole-stage-codegens."""
+    face, i0, j0 = _s2_face_ij_cols(lon, lat, level)
 
     def step(acc: Column, b: Column) -> Column:
         sbit = F.pow(F.lit(2.0), b).cast("long")

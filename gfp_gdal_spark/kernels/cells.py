@@ -278,6 +278,19 @@ def s2_encode_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> 
     )
 
 
+def s2_pack_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """(face, i, j) -> flat id WITHOUT the Hilbert curve:
+    face<<2L | i<<L | j. Same cell partition as the Hilbert id (a
+    bijection of it), so it is interchangeable as an equi-JOIN key —
+    and it evaluates in a handful of codegen-able integer ops, where
+    the Hilbert fold runs interpreted (~30us/row measured). Use the
+    Hilbert id when curve locality matters (range scans, ordering)."""
+    face = np.asarray(face, dtype=np.int64)
+    return (face << (2 * level)) | (np.asarray(i, dtype=np.int64) << level) | np.asarray(
+        j, dtype=np.int64
+    )
+
+
 def s2_face_uv(lon, lat):
     """lon/lat degrees -> (face, u, v) of the cube projection."""
     lon = np.radians(np.asarray(lon, dtype=np.float64))
@@ -397,46 +410,131 @@ def _s2_face_uv_range(face: int, lon0, lon1, lat0, lat1):
     )
 
 
-def s2_cover_bbox(min_lon, min_lat, max_lon, max_lat, level: int, max_cells_side: int = 64):
+def _s2_face_uv_range_vec(face: int, lon0, lon1, lat0, lat1):
+    """Vectorized _s2_face_uv_range over row arrays. Returns
+    (valid_mask, umin, umax, vmin, vmax) with invalid rows masked."""
+    n = len(lon0)
+    if face in _S2_EQ_FACES:
+        lam_f = _S2_EQ_FACES[face]
+        a = (lon0 - lam_f + 180.0) % 360.0 - 180.0
+        b = a + (lon1 - lon0)
+        valid = (b >= -89.99) & (a <= 89.99)
+        ca = np.clip(a, -89.99, None)
+        cb = np.clip(b, None, 89.99)
+        t_lo, t_hi = np.tan(np.radians(ca)), np.tan(np.radians(cb))
+        inside = (ca <= 0.0) & (0.0 <= cb)
+        cos_c = np.stack(
+            [np.cos(np.radians(ca)), np.cos(np.radians(cb)),
+             np.where(inside, 1.0, np.cos(np.radians(ca)))]
+        )  # (3, n)
+        tans = np.stack([np.tan(np.radians(lat0)), np.tan(np.radians(lat1))])  # (2, n)
+        ws = tans[:, None, :] / cos_c[None, :, :]  # (2, 3, n)
+        w_lo = ws.min(axis=(0, 1))
+        w_hi = ws.max(axis=(0, 1))
+        if face == 0:
+            umin, umax, vmin, vmax = t_lo, t_hi, w_lo, w_hi
+        elif face == 3:
+            umin, umax, vmin, vmax = -t_hi, -t_lo, w_lo, w_hi
+        elif face == 1:
+            umin, umax, vmin, vmax = w_lo, w_hi, -t_hi, -t_lo
+        else:  # face 4
+            umin, umax, vmin, vmax = w_lo, w_hi, t_lo, t_hi
+    else:
+        if face == 2:
+            valid = lat1 > 0.0
+            p0 = np.maximum(lat0, 0.01)
+            p1 = np.maximum(lat1, p0)
+            cot = np.stack([1.0 / np.tan(np.radians(p0)), 1.0 / np.tan(np.radians(p1))])
+        else:
+            valid = lat0 < 0.0
+            p1 = np.minimum(lat1, -0.01)
+            p0 = np.minimum(lat0, p1)
+            cot = np.stack([-1.0 / np.tan(np.radians(p1)), -1.0 / np.tan(np.radians(p0))])
+        # cos/sin candidates: the two lon bounds plus any contained
+        # critical longitude (fixed-width arrays, masked fill)
+        c0, c1 = np.cos(np.radians(lon0)), np.cos(np.radians(lon1))
+        s0_, s1_ = np.sin(np.radians(lon0)), np.sin(np.radians(lon1))
+        coss = [c0, c1]
+        sins = [s0_, s1_]
+        for crit in (0.0, 180.0, -180.0):
+            inside = (lon0 <= crit) & (crit <= lon1)
+            coss.append(np.where(inside, math.cos(math.radians(crit)), c0))
+        for crit in (90.0, -90.0):
+            inside = (lon0 <= crit) & (crit <= lon1)
+            sins.append(np.where(inside, math.sin(math.radians(crit)), s0_))
+        coss = np.stack(coss)  # (5, n)
+        sins = np.stack(sins)  # (4, n)
+        us = coss[:, None, :] * cot[None, :, :]  # (5, 2, n)
+        vs = sins[:, None, :] * cot[None, :, :]  # (4, 2, n)
+        umin, umax = us.min(axis=(0, 1)), us.max(axis=(0, 1))
+        vmin, vmax = vs.min(axis=(0, 1)), vs.max(axis=(0, 1))
+    valid = valid & (umax >= -1.0) & (umin <= 1.0) & (vmax >= -1.0) & (vmin <= 1.0)
+    return (
+        valid,
+        np.clip(umin, -1.0, 1.0), np.clip(umax, -1.0, 1.0),
+        np.clip(vmin, -1.0, 1.0), np.clip(vmax, -1.0, 1.0),
+    )
+
+
+def s2_cover_bbox(
+    min_lon, min_lat, max_lon, max_lat, level: int, max_cells_side: int = 64,
+    hilbert: bool = True,
+):
     """S2 cells covering each lon/lat bbox (SUPERSET cover): per face,
     the uv-range over-approximation -> st -> inclusive ij ranges with a
-    ±1-cell margin, Hilbert-encoded. Returns (cell_ids, row_index) —
-    the explode feed of the s2-bucketed pip_join.
+    ±1-cell margin, Hilbert-encoded. Fully vectorized across rows
+    (per-face range math + ragged ij expansion). Returns (cell_ids,
+    row_index) — the explode feed of the s2-bucketed pip_join.
 
     ``max_cells_side`` caps each face's ij grid per row (a planet-scale
     bbox at a fine level would enumerate 4^level cells); covers that
     would exceed it raise — pick a coarser level for huge geometries.
     """
-    min_lon = np.atleast_1d(np.asarray(min_lon, dtype=np.float64))
-    min_lat = np.atleast_1d(np.asarray(min_lat, dtype=np.float64))
-    max_lon = np.atleast_1d(np.asarray(max_lon, dtype=np.float64))
-    max_lat = np.atleast_1d(np.asarray(max_lat, dtype=np.float64))
+    lon0 = np.atleast_1d(np.asarray(min_lon, dtype=np.float64))
+    lat0 = np.atleast_1d(np.asarray(min_lat, dtype=np.float64))
+    lon1 = np.atleast_1d(np.asarray(max_lon, dtype=np.float64))
+    lat1 = np.atleast_1d(np.asarray(max_lat, dtype=np.float64))
     n = np.int64(1) << level
     out_cells: list[np.ndarray] = []
     out_rows: list[np.ndarray] = []
-    for r in range(len(min_lon)):
-        for face in range(6):
-            rng = _s2_face_uv_range(face, min_lon[r], max_lon[r], min_lat[r], max_lat[r])
-            if rng is None:
-                continue
-            s0, s1 = _uv_to_st(np.array([rng[0], rng[1]]))
-            t0, t1 = _uv_to_st(np.array([rng[2], rng[3]]))
-            i0 = max(int(s0 * n) - 1, 0)
-            i1 = min(int(s1 * n) + 1, int(n) - 1)
-            j0 = max(int(t0 * n) - 1, 0)
-            j1 = min(int(t1 * n) + 1, int(n) - 1)
-            if (i1 - i0 + 1) > max_cells_side or (j1 - j0 + 1) > max_cells_side:
-                raise ValueError(
-                    f"s2 cover at level {level} needs {(i1-i0+1)}x{(j1-j0+1)} cells "
-                    f"on face {face} (> {max_cells_side} per side); use a coarser level"
-                )
-            ii, jj = np.meshgrid(
-                np.arange(i0, i1 + 1, dtype=np.int64),
-                np.arange(j0, j1 + 1, dtype=np.int64),
+    for face in range(6):
+        valid, umin, umax, vmin, vmax = _s2_face_uv_range_vec(face, lon0, lon1, lat0, lat1)
+        if not valid.any():
+            continue
+        idx = np.flatnonzero(valid)
+        su0 = _uv_to_st(umin[idx])
+        su1 = _uv_to_st(umax[idx])
+        tv0 = _uv_to_st(vmin[idx])
+        tv1 = _uv_to_st(vmax[idx])
+        i0 = np.maximum((su0 * n).astype(np.int64) - 1, 0)
+        i1 = np.minimum((su1 * n).astype(np.int64) + 1, n - 1)
+        j0 = np.maximum((tv0 * n).astype(np.int64) - 1, 0)
+        j1 = np.minimum((tv1 * n).astype(np.int64) + 1, n - 1)
+        wi = i1 - i0 + 1
+        wj = j1 - j0 + 1
+        if (wi > max_cells_side).any() or (wj > max_cells_side).any():
+            raise ValueError(
+                f"s2 cover at level {level} needs up to {int(wi.max())}x{int(wj.max())} "
+                f"cells on face {face} (> {max_cells_side} per side); use a coarser level"
             )
-            ids = s2_encode_ij(np.full(ii.size, face, dtype=np.int64), ii.ravel(), jj.ravel(), level)
-            out_cells.append(ids)
-            out_rows.append(np.full(ids.size, r, dtype=np.int64))
+        counts = (wi * wj).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            continue
+        rowrep = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+        starts = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        intra = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], counts)
+        wj_rep = np.repeat(wj, counts)
+        ii = np.repeat(i0, counts) + intra // wj_rep
+        jj = np.repeat(j0, counts) + intra % wj_rep
+        pack = s2_encode_ij if hilbert else s2_pack_ij
+        ids = pack(np.full(total, face, dtype=np.int64), ii, jj, level)
+        out_cells.append(ids)
+        out_rows.append(idx[rowrep])
     if not out_cells:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-    return np.concatenate(out_cells), np.concatenate(out_rows)
+    cells = np.concatenate(out_cells)
+    rows = np.concatenate(out_rows)
+    order = np.argsort(rows, kind="stable")
+    return cells[order], rows[order]

@@ -117,9 +117,12 @@ def cover_cells_s2(
     def _cover(min_lon: pd.Series, min_lat: pd.Series, max_lon: pd.Series, max_lat: pd.Series) -> pd.Series:
         import numpy as np
 
+        # ij-packed ids (not Hilbert): the join key only needs the cell
+        # partition, and the point-side twin (s2_ij_cell) whole-stage-
+        # codegens where the Hilbert fold runs interpreted
         cells, row = _c.s2_cover_bbox(
             min_lon.to_numpy(), min_lat.to_numpy(), max_lon.to_numpy(),
-            max_lat.to_numpy(), level,
+            max_lat.to_numpy(), level, hilbert=False,
         )
         n = len(min_lon)
         counts = np.bincount(row, minlength=n)
@@ -369,9 +372,9 @@ def pip_join(
     if bucket == "hex":
         pts = points.withColumn("cell", hex_cell(F.col(lon), F.col(lat), res))
     elif bucket == "s2":
-        from gfp_gdal_spark.functions.spatial import s2_cell
+        from gfp_gdal_spark.functions.spatial import s2_ij_cell
 
-        pts = points.withColumn("cell", s2_cell(F.col(lon), F.col(lat), res))
+        pts = points.withColumn("cell", s2_ij_cell(F.col(lon), F.col(lat), res))
     else:
         xt, yt = tile_cols(F.col(lon), F.col(lat), z)
         pts = points.withColumn("cell", xt * F.lit(1 << (z + 1)) + yt)

@@ -26,7 +26,63 @@ from pyspark.sql import functions as F
 from gfp_gdal_spark.functions.worker_tuning import tune_worker
 from gfp_gdal_spark.kernels import codec as _codec
 
-__all__ = ["raster_stats", "raster_to_points", "write_tiles", "flatten_multipolygon"]
+__all__ = [
+    "raster_stats",
+    "raster_to_points",
+    "stack_bands",
+    "write_tiles",
+    "flatten_multipolygon",
+]
+
+
+def stack_bands(
+    images: DataFrame,
+    band_cols: list[str],
+    fmt: str = "ppm",
+    nodata: float | None = None,
+    nodata_fill: float = 0.0,
+    out_col: str = "bytes",
+) -> DataFrame:
+    """GDALWriter multiband analog (gdal_nodes.cpp:274-342): N aligned
+    single-band pixel buffers per row -> ONE encoded N-band image.
+
+    ``band_cols`` name array<double> columns of length w*h (row-major),
+    all same shape — the reference's \"N single-band float32 images as
+    one N-band raster\". ``nodata`` samples are replaced with the
+    harmonized ``nodata_fill`` in every band (the std::replace of
+    gdal_nodes.cpp:327-329). Values are clipped to 0..255 uint8 for
+    the sandbox codecs (a real GTiff sink would keep float32 — format
+    boundary, not engine semantics). mapInPandas; numpy stack + encode.
+    """
+    if fmt == "ppm" and len(band_cols) != 3:
+        raise ValueError("ppm encodes exactly 3 bands; use pgm for 1")
+    if fmt == "pgm" and len(band_cols) != 1:
+        raise ValueError("pgm encodes exactly 1 band")
+
+    out_fields = [f for f in images.schema.fields if f.name != out_col]
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema_str += f", {out_col} binary, fmt string"
+    keep = [f.name for f in out_fields]
+
+    def op(batches):
+        for pdf in batches:
+            blobs = []
+            for _, row in pdf.iterrows():
+                bands = [np.asarray(row[c], dtype=np.float64) for c in band_cols]
+                w, h = int(row["w"]), int(row["h"])
+                stack = np.stack([b.reshape(h, w) for b in bands], axis=-1)
+                if nodata is not None:
+                    stack[stack == nodata] = nodata_fill
+                pix = np.clip(stack, 0, 255).astype(np.uint8)
+                if pix.shape[-1] == 1:
+                    pix = pix[..., 0]
+                blobs.append(_codec.encode_image(pix, fmt))
+            out = pdf[keep].copy()
+            out[out_col] = blobs
+            out["fmt"] = fmt
+            yield out
+
+    return images.mapInPandas(op, schema_str)
 
 
 def raster_stats(images: DataFrame, band: int = 0) -> DataFrame:

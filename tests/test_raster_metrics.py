@@ -80,3 +80,37 @@ def test_partition_metrics(spark):
     assert m["rows"].sum() == 10000
     assert (m["bytes"] > 0).all()
     assert (m["n_cells"] <= 50).all() and m["n_cells"].max() == 50
+
+
+def test_stack_bands_multiband_roundtrip(spark):
+    """K11: N single-band buffers -> one N-band image, nodata
+    harmonized across bands (gdal_nodes.cpp:327-329)."""
+    import numpy as np
+    import pandas as pd
+
+    from gfp_gdal_spark.kernels import codec as C
+    from gfp_gdal_spark.operators.raster import stack_bands
+
+    w, h = 8, 6
+    r = np.arange(w * h, dtype=float) % 256
+    g = (np.arange(w * h, dtype=float) * 2) % 256
+    b = np.full(w * h, 9.0)
+    b[5] = -1.0  # nodata sample in band 3 only
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["a"], "w": [w], "h": [h],
+             "r": [r.tolist()], "g": [g.tolist()], "b": [b.tolist()]}
+        ),
+        schema="image_id string, w int, h int, r array<double>, g array<double>, b array<double>",
+    )
+    out = stack_bands(df, ["r", "g", "b"], fmt="ppm", nodata=-1.0, nodata_fill=7.0).collect()[0]
+    pix = C.decode_image(bytes(out["bytes"]), "ppm")
+    assert pix.shape == (h, w, 3)
+    assert (pix[..., 0].ravel() == r.astype(np.uint8)).all()
+    assert (pix[..., 1].ravel() == g.astype(np.uint8)).all()
+    # nodata sample replaced by the harmonized fill value
+    assert pix[..., 2].ravel()[5] == 7
+    assert pix[..., 2].ravel()[6] == 9
+    # single band pgm
+    out1 = stack_bands(df.drop("g", "b").withColumnsRenamed({}), ["r"], fmt="pgm").collect()[0]
+    assert C.decode_image(bytes(out1["bytes"]), "pgm").shape == (h, w)
