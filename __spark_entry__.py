@@ -689,6 +689,45 @@ def _q_line_length(spark, sf):
     )
 
 
+def _q_asof_join(spark, sf):
+    """As-of join (latest prior row per key) — single-shuffle union +
+    carry-forward window; DuckDB's native ASOF JOIN is the oracle.
+    Even events pick up the value of the latest odd event at or before
+    them (per user; event_id is the unique sequence key)."""
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    l = e.where(F.pmod("event_id", F.lit(2)) == 0).select("user_id", "event_id")
+    r = e.where(F.pmod("event_id", F.lit(2)) == 1).select(
+        "user_id", "event_id", F.round("value", 6).alias("prior_value")
+    )
+    out = asof_join(l, r, on="event_id", by="user_id", value_cols=["prior_value"])
+    return out.select("user_id", "event_id", "prior_value")
+
+
+def _q_range_join(spark, sf):
+    """Interval containment join (1-D twin of the PiP join): order-key
+    points vs nation-derived intervals, bin-bucketed equi-join +
+    exact refine; plain BETWEEN SQL is the oracle."""
+    from gfp_gdal_spark.operators.temporal import range_join
+
+    _prep(spark)
+    n = _t(spark, sf, "nation")
+    k = F.col("n_nationkey").cast("long")
+    iv = n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        (k * 400).cast("double").alias("lo"),
+        (k * 400 + 300 + (k % 7) * 50).cast("double").alias("hi"),
+    )
+    o = _t(spark, sf, "orders")
+    pts = o.select(
+        "o_orderkey", F.pmod("o_orderkey", F.lit(10000)).cast("double").alias("v")
+    )
+    out = range_join(pts, iv, val="v", lo="lo", hi="hi", bin_width=200.0)
+    return out.select("o_orderkey", "n_nationkey")
+
+
 def _q_time_parts(spark, sf):
     """K6 Time bridging: OGR Time struct analog from event timestamps."""
     from gfp_gdal_spark.sources.io import ogr_time_struct
@@ -881,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mesh_fanout": _q_mesh_fanout,
         "line_length": _q_line_length,
         "time_parts": _q_time_parts,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "pip_join_polygons": _q_pip_join_polygons,
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
@@ -1380,6 +1421,25 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(sum(sqrt((event_id - pe)*(event_id - pe)
                                            + (value - pv)*(value - pv))), 0), 6) AS length
             FROM s GROUP BY user_id
+        """,
+        "asof_join": """
+            WITH l AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 0),
+            r AS (SELECT user_id, event_id, round(value, 6) AS prior_value
+                  FROM events WHERE event_id % 2 = 1)
+            SELECT l.user_id, l.event_id, r.prior_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        """,
+        "range_join": """
+            WITH iv AS (
+              SELECT n_nationkey,
+                     CAST(n_nationkey * 400 AS DOUBLE) AS lo,
+                     CAST(n_nationkey * 400 + 300 + (n_nationkey % 7) * 50 AS DOUBLE) AS hi
+              FROM nation
+            ),
+            p AS (SELECT o_orderkey, CAST(o_orderkey % 10000 AS DOUBLE) AS v FROM orders)
+            SELECT p.o_orderkey, iv.n_nationkey
+            FROM p JOIN iv ON p.v >= iv.lo AND p.v <= iv.hi
         """,
         "time_parts": """
             SELECT event_id,

@@ -181,3 +181,45 @@ def test_token_count_bpe(spark):
     # "It|'s| 42| degrees|,| isn|'t| it|?" -> 9
     # "hello|   |world" -> 3 (no-lookahead variant: \s+ eats the run)
     assert got == [9, 0, 3]
+
+
+def test_asof_join_matches_naive(spark):
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    l_pdf = pd.DataFrame({"k": [1, 1, 1, 2, 2], "t": [5, 10, 2, 7, 1], "lid": range(5)})
+    r_pdf = pd.DataFrame({"k": [1, 1, 2], "t": [3, 10, 9], "v": [30.0, 100.0, 90.0]})
+    l = spark.createDataFrame(l_pdf)
+    r = spark.createDataFrame(r_pdf)
+    out = {r_["lid"]: r_["v"] for r_ in asof_join(l, r, on="t", by="k").collect()}
+    # lid0 t=5 -> v@3=30; lid1 t=10 -> v@10=100 (tie inclusive);
+    # lid2 t=2 -> none; lid3 t=7 -> none (r k=2 at 9 is later); lid4 -> none
+    assert out == {0: 30.0, 1: 100.0, 2: None, 3: None, 4: None}
+    # zero-python, single shuffle on the by key
+    plan = asof_join(l, r, on="t", by="k")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_range_join_matches_naive(spark):
+    from gfp_gdal_spark.operators.temporal import range_join
+
+    rng = np.random.default_rng(7)
+    pts_pdf = pd.DataFrame({"pid": range(500), "v": rng.uniform(0, 100, 500)})
+    iv_pdf = pd.DataFrame(
+        {"iid": range(30), "lo": rng.uniform(0, 90, 30)}
+    )
+    iv_pdf["hi"] = iv_pdf["lo"] + rng.uniform(0.5, 20, 30)
+    pts = spark.createDataFrame(pts_pdf)
+    iv = spark.createDataFrame(iv_pdf)
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, val="v", lo="lo", hi="hi", bin_width=5.0).collect()
+    }
+    want = {
+        (int(p.pid), int(i.iid))
+        for _, p in pts_pdf.iterrows()
+        for _, i in iv_pdf.iterrows()
+        if i.lo <= p.v <= i.hi
+    }
+    assert got == want
+    plan = range_join(pts, iv, val="v", lo="lo", hi="hi", bin_width=5.0)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
