@@ -27,6 +27,7 @@ __all__ = [
     "read_points_csv",
     "read_segments_csv",
     "write_csv",
+    "write_bucketed",
     "apply_rename_map",
     "ogr_time_struct",
 ]
@@ -141,6 +142,29 @@ def write_vector_layer(
     if mode == "append":
         w = w.option("mergeSchema", "true")
     w.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink: pre-hash-partition (and optionally sort) on
+    the join key at WRITE time so later equi-joins between two tables
+    bucketed on the same key plan with NO shuffle exchange — the
+    co-located-join half of the north_rule's partitioning story. Two
+    10^11-row tables bucketed on `cell` join shuffle-free; the plan
+    assertion lives in tests/test_plans.py."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 def read_points_csv(

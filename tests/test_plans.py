@@ -140,3 +140,32 @@ def test_read_points_csv_thinning_window_is_partitioned(spark, tmp_path):
     # single-partition exchange; the per-file variant partitions by
     # input_file_name -> 'PartitionBy' shows up as hashpartitioning
     assert "SinglePartition" not in plan, "thinning window is global (single task)"
+
+
+def test_bucketed_join_plans_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key must equi-join with no
+    shuffle exchange (the co-located-join half of the partitioning
+    story; at 10^11 rows per side this is the difference between a
+    metadata-only join and shuffling both corpora)."""
+    from gfp_gdal_spark.sources.io import write_bucketed
+
+    a = spark.range(0, 20000).select(
+        (F.col("id") % 512).alias("cell"), F.col("id").alias("pid")
+    )
+    b = spark.range(0, 3000).select(
+        (F.col("id") % 512).alias("cell"), F.col("id").alias("qid")
+    )
+    write_bucketed(a, "t_pts_b", ["cell"], n_buckets=16,
+                   sort_cols=["cell"], path=str(tmp_path / "pts"))
+    write_bucketed(b, "t_polys_b", ["cell"], n_buckets=16,
+                   sort_cols=["cell"], path=str(tmp_path / "polys"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_pts_b").join(spark.table("t_polys_b"), "cell")
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_pts_b")
+        spark.sql("DROP TABLE IF EXISTS t_polys_b")
