@@ -231,6 +231,22 @@ def _q_knn(spark, sf):
     )
 
 
+def _q_radius_join(spark, sf):
+    """Distance join: nation-derived queries x customer points within
+    500 km — hex k-ring cover + exact haversine refine; the SQL oracle
+    is the plain cross-join haversine filter."""
+    _prep(spark)
+    n = _t(spark, sf, "nation")
+    q = n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        _lon(F.col("n_nationkey").cast("long")).alias("q_lon"),
+        _lat(F.col("n_nationkey").cast("long")).alias("q_lat"),
+    )
+    p = _points_from(_t(spark, sf, "customer"), "c_custkey", "c_custkey")
+    out = J.radius_join(q, p, radius_m=500_000.0, l_lon="q_lon", l_lat="q_lat")
+    return out.select("n_nationkey", "c_custkey", F.round("dist_m", 3).alias("dist_m"))
+
+
 def _q_salted_cell_count(spark, sf):
     _prep(spark)
     pts = _points_from(_t(spark, sf, "lineitem"), "l_orderkey", "l_orderkey")
@@ -888,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_shuffle": _q_pip_join_shuffle,
         "merge_lines": _q_merge_lines,
         "knn_join": _q_knn,
+        "radius_join": _q_radius_join,
         "salted_cell_count": _q_salted_cell_count,
         "thin_points": _q_thin_points,
         "group_segments": _q_group_segments,
@@ -1125,6 +1142,26 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT n_nationkey, o_orderkey, rnk FROM r WHERE rnk <= 3
+        """,
+        "radius_join": f"""
+            WITH q AS (
+              SELECT n_nationkey,
+                     {_SQL_LON.format(k='n_nationkey')} AS q_lon,
+                     {_SQL_LAT.format(k='n_nationkey')} AS q_lat
+              FROM nation
+            ),
+            p AS (
+              SELECT c_custkey,
+                     {_SQL_LON.format(k='c_custkey')} AS p_lon,
+                     {_SQL_LAT.format(k='c_custkey')} AS p_lat
+              FROM customer
+            ),
+            d AS (
+              SELECT q.n_nationkey, p.c_custkey, {hav} AS dist
+              FROM q, p
+            )
+            SELECT n_nationkey, c_custkey, round(dist, 3) AS dist_m
+            FROM d WHERE dist <= 500000.0
         """,
         "salted_cell_count": f"""
             WITH p AS (

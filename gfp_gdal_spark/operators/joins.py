@@ -43,6 +43,7 @@ __all__ = [
     "cover_cells_s2",
     "pip_join",
     "knn_join",
+    "radius_join",
     "knn_join_bruteforce",
 ]
 
@@ -535,6 +536,18 @@ def knn_join(
             * 111320.0
             * F.cos(F.radians(F.least(F.abs(F.col(q_lat)) + covered_deg, F.lit(89.9))))
         )
+        # the planar lattice cannot see across the ±180 antimeridian:
+        # a query must not certify beyond its spherical distance to the
+        # antimeridian half-meridian (cross-track asin(cos(lat)*sin(g))
+        # for lon gap g<=90, else the pole). Queries near ±180 whose
+        # k-th neighbor might live across the wrap fall through to the
+        # exact brute-force tail instead of certifying wrongly.
+        gap = F.radians(F.lit(180.0) - F.abs(F.col(q_lon)))
+        d_anti_deg = F.when(
+            gap <= F.lit(1.5707963267948966),
+            F.degrees(F.asin(F.cos(F.radians(F.col(q_lat))) * F.sin(gap))),
+        ).otherwise(90.0 - F.abs(F.col(q_lat)))
+        safe_m = F.least(safe_m, d_anti_deg * 111194.9)
         wq = Window.partitionBy(q_id)
         per_q = topk.withColumn(
             "_ok",
@@ -576,6 +589,87 @@ def knn_join(
         for p in persisted:
             p.unpersist()
     return out
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    l_lon: str = "q_lon",
+    l_lat: str = "q_lat",
+    r_lon: str = "lon_c",
+    r_lat: str = "lat_c",
+    res: int | str = "auto",
+) -> DataFrame:
+    """Distance join: every (left, right) pair within ``radius_m``
+    meters (haversine), plus a ``dist_m`` column — the
+    find-everything-nearby join (e.g. geotagged near-dup candidates).
+
+    Shape: hex-bucket equi-join. Each LEFT row explodes over the hex
+    cells covering its own latitude-aware radius bbox (dlat =
+    radius/deg_per_m; dlon = dlat/cos(|lat|+dlat)) via the same
+    superset range columns as the polygon cover — per-row adaptive, so
+    equatorial rows explode a handful of cells while polar rows get
+    the wider fan they actually need. Exact haversine refine. Pure JVM.
+
+    Antimeridian: the lattice is planar lon/lat, so right-side points
+    within the wrap margin get a ±360°-shifted copy (the refine is
+    periodic-exact; a pair can't match through both images). Pole
+    caps have no planar image at all — the join raises when the
+    radius could bridge the cap above the data's max |lat|.
+    """
+    import math
+
+    from gfp_gdal_spark.kernels.cells import HEX_BASE_SIZE_DEG, HEX_MAX_RES
+
+    st_r = right.agg(F.max(F.abs(F.col(r_lat))).alias("mx")).first()
+    st_l = left.agg(F.max(F.abs(F.col(l_lat))).alias("mx")).first()
+    max_lat = min(max(float(st_r.mx or 0.0), float(st_l.mx or 0.0)), 89.0)
+    deg_per_m = 180.0 / (math.pi * 6_371_008.8)  # same sphere R as haversine_m
+    dlat_deg = radius_m * deg_per_m * 1.0001
+    if dlat_deg >= (90.0 - max_lat):
+        raise ValueError(
+            f"a {radius_m} m disk around |lat|={max_lat} reaches the pole "
+            f"(covers every longitude) — the lon/lat lattice cover cannot "
+            f"express that; reproject or filter the polar band separately"
+        )
+    # exact bounding box of a spherical circle: max |dlon| =
+    # asin(sin(r) / cos(lat)) — stays < 90 deg under the pole guard
+    sin_r = math.sin(math.radians(dlat_deg))
+
+    def _dlon_deg(lat_abs_deg):
+        return F.degrees(
+            F.asin(
+                F.least(F.lit(sin_r) / F.cos(F.radians(lat_abs_deg)), F.lit(1.0))
+            )
+        ) * 1.0001
+
+    if res == "auto":
+        # size cells to the MID-latitude lon extent; polar rows just
+        # cover more cells of the same grid (per-row adaptive anyway)
+        typ = dlat_deg / max(math.cos(math.radians(min(max_lat, 60.0))), 0.2)
+        res = int(min(max(round(-2.0 * math.log(max(typ, 1e-12) / HEX_BASE_SIZE_DEG, 7.0)), 0), HEX_MAX_RES))
+    max_dlon = math.degrees(
+        math.asin(min(sin_r / math.cos(math.radians(max_lat)), 1.0))
+    ) * 1.0001
+    wrap = float(max_dlon + 4.0 * HEX_BASE_SIZE_DEG * (7.0 ** (-res / 2.0)))
+    hi = right.where(F.col(r_lon) > 180.0 - wrap).withColumn(r_lon, F.col(r_lon) - 360.0)
+    lo = right.where(F.col(r_lon) < -180.0 + wrap).withColumn(r_lon, F.col(r_lon) + 360.0)
+    r_all = right.unionByName(hi).unionByName(lo)
+    rc = r_all.withColumn("cell", hex_cell(F.col(r_lon), F.col(r_lat), res))
+    dlon = _dlon_deg(F.abs(F.col(l_lat)))
+    q0, q1, r0, r1 = hex_cover_range_cols(
+        F.col(l_lon) - dlon, F.col(l_lat) - dlat_deg,
+        F.col(l_lon) + dlon, F.col(l_lat) + dlat_deg, res,
+    )
+    lc = left.withColumn("_q", F.explode(F.sequence(q0, q1)))
+    lc = lc.withColumn("_r", F.explode(F.sequence(r0, r1)))
+    lc = lc.withColumn("cell", hex_pack_cols(res, F.col("_q"), F.col("_r"))).drop("_q", "_r")
+    cand = lc.join(rc, "cell").drop("cell")
+    cand = cand.withColumn(
+        "dist_m", haversine_m(F.col(l_lon), F.col(l_lat), F.col(r_lon), F.col(r_lat))
+    )
+    return cand.where(F.col("dist_m") <= radius_m)
 
 
 def knn_join_bruteforce(

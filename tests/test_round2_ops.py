@@ -223,3 +223,43 @@ def test_range_join_matches_naive(spark):
     assert got == want
     plan = range_join(pts, iv, val="v", lo="lo", hi="hi", bin_width=5.0)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_radius_join_antimeridian_and_bruteforce(spark):
+    from gfp_gdal_spark.operators import joins as J
+    from gfp_gdal_spark.kernels.geom import haversine
+
+    rng = np.random.default_rng(13)
+    # points clustered around the antimeridian and high latitudes
+    lons = np.concatenate([rng.uniform(170, 180, 150), rng.uniform(-180, -170, 150),
+                           rng.uniform(-20, 20, 200)])
+    lats = np.concatenate([rng.uniform(60, 84, 300), rng.uniform(-30, 30, 200)])
+    p = spark.createDataFrame(pd.DataFrame({"pid": range(500), "lon_c": lons, "lat_c": lats}))
+    q = spark.createDataFrame(pd.DataFrame(
+        {"qid": [0, 1, 2], "q_lon": [179.5, -179.9, 0.0], "q_lat": [75.0, 82.0, 5.0]}))
+    R = 400_000.0
+    got = {(r["qid"], r["pid"]) for r in
+           J.radius_join(q, p, R, l_lon="q_lon", l_lat="q_lat").collect()}
+    want = set()
+    for qi, (ql, qf) in enumerate([(179.5, 75.0), (-179.9, 82.0), (0.0, 5.0)]):
+        d = haversine(np.full(500, ql), np.full(500, qf), lons, lats)
+        want |= {(qi, int(i)) for i in np.flatnonzero(d <= R)}
+    assert got == want
+    assert any(lons[pid] < -170 for (qid, pid) in got if qid == 0)  # wrap pairs found
+
+
+def test_knn_join_antimeridian_neighbor(spark):
+    """A query at lon 179.9 whose true nearest point sits at -179.9
+    must get it (the wrap-blind ring certification falls through to
+    the exact tail instead of certifying wrongly)."""
+    from gfp_gdal_spark.operators import joins as J
+
+    rng = np.random.default_rng(21)
+    # dense cluster near the query ON ITS SIDE plus one closer point
+    # across the antimeridian
+    lons = np.concatenate([rng.uniform(178.0, 179.4, 500), [-179.95]])
+    lats = np.concatenate([rng.uniform(40.0, 42.0, 500), [41.0]])
+    p = spark.createDataFrame(pd.DataFrame({"point_id": range(501), "lon_c": lons, "lat_c": lats}))
+    q = spark.createDataFrame(pd.DataFrame({"query_id": [0], "q_lon": [179.9], "q_lat": [41.0]}))
+    got = {r["point_id"] for r in J.knn_join(q, p, k=1, res="auto", kring=2).collect()}
+    assert got == {500}  # the cross-wrap point is the true NN (~12.5 km)
