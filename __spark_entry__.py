@@ -11,10 +11,16 @@ computable in both Spark and DuckDB (no data leaves the driver tables):
     lon(key) = ((key * 2654435761) % 2^32) / 2^32 * 360 - 180
     lat(key) = ((key * 2246822519) % 2^32) / 2^32 * 170 - 85
 
-Operators with no SQL-expressible oracle (hex/S2 cell ids, minhash/
-simhash signatures, image codecs, general-polygon PiP) are registered
-without an oracle entry — the driver records rows-only checks and the
-pytest suite (tests/) holds their brute-force/golden verification.
+Nearly every operator has a hash-checked DuckDB oracle — including the
+ones that look non-SQL-expressible: hexlite/S2 cell ids (the packing
+and rounding arithmetic reimplemented in SQL), image codecs (pixel
+stats recomputed from the synth_pixels closed form), minhash/simhash/
+ANN (recall against constructively-known truth sets), and the rolling
+document fingerprint (mod-2^64 arithmetic in HUGEINT). The single
+rows-only query is minhash_clusters, whose natural signature-collision
+pairs make the cluster assignment LSH-internal; its building blocks
+(LSH recall, connected components) are hash-verified separately and
+pytest holds its brute-force check.
 """
 
 from __future__ import annotations
