@@ -15,12 +15,11 @@ Nearly every operator has a hash-checked DuckDB oracle — including the
 ones that look non-SQL-expressible: hexlite/S2 cell ids (the packing
 and rounding arithmetic reimplemented in SQL), image codecs (pixel
 stats recomputed from the synth_pixels closed form), minhash/simhash/
-ANN (recall against constructively-known truth sets), and the rolling
-document fingerprint (mod-2^64 arithmetic in HUGEINT). The single
-rows-only query is minhash_clusters, whose natural signature-collision
-pairs make the cluster assignment LSH-internal; its building blocks
-(LSH recall, connected components) are hash-verified separately and
-pytest holds its brute-force check.
+ANN (recall against constructively-known truth sets), the rolling
+document fingerprint (mod-2^64 arithmetic in HUGEINT), and — since
+round 3 — minhash_clusters, whose planted copy-chain fixture makes the
+CC cluster sizes closed-form (a CASE on doc_id). Every registered
+query has a hash-checked oracle.
 """
 
 from __future__ import annotations
@@ -861,10 +860,38 @@ def _q_connected_components(spark, sf):
 
 
 def _q_minhash_clusters(spark, sf):
-    """Near-dup clustering with exact connected components."""
+    """Near-dup clustering (exact connected components) on a planted
+    constructive fixture whose cluster assignment is closed-form:
+
+    - base docs (doc_id < 200) get SYNTHETIC token-disjoint texts
+      ("w"+zero-padded unique numbers, stride 97 > tokens-per-doc), so
+      natural cross-doc char-5-shingle Jaccard is ~0.05 — far below
+      the 0.5 threshold (est-J misfire probability < 1e-15 per pair,
+      and the signature is deterministic, so the output is FIXED).
+    - doc_id%3==0 plants a near-copy (+10000, text + short tail,
+      J ~ 0.98); doc_id%6==0 chains a copy-of-the-copy (+20000) whose
+      similarity to the ORIGINAL is lower than to the middle copy —
+      exercising the transitive-closure property of the CC clustering.
+
+    Cluster sizes are therefore 3 / 2 / 1 by construction (oracle:
+    one CASE expression on doc_id)."""
     _prep(spark)
-    d = _t(spark, sf, "documents")
-    out = DD.minhash_dedup(d, threshold=0.5, exact_clusters=True)
+    ids = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select("doc_id")
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda j: F.concat(F.lit("w"), F.lpad((F.col("doc_id") * 97 + j).cast("string"), 6, "0")),
+    )
+    base = ids.withColumn("text", F.concat_ws(" ", toks))
+    c1 = base.where(F.pmod("doc_id", F.lit(3)) == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" padtail")).alias("text"),
+    )
+    c2 = base.where(F.pmod("doc_id", F.lit(6)) == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" padtail moretail")).alias("text"),
+    )
+    aug = base.unionByName(c1).unionByName(c2)
+    out = DD.minhash_dedup(aug, threshold=0.5, exact_clusters=True)
     return out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
 
 
@@ -1389,6 +1416,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE i / (sa.n + sb.n - i)::DOUBLE >= 0.9
+        """,
+        "minhash_clusters": """
+            SELECT doc_id AS cluster_id,
+                   CAST(CASE WHEN doc_id % 6 = 0 THEN 3
+                             WHEN doc_id % 3 = 0 THEN 2
+                             ELSE 1 END AS BIGINT) AS n_members
+            FROM documents WHERE doc_id < 200
         """,
         "simhash_dup_pairs": """
             WITH aug AS (

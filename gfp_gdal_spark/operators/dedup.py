@@ -205,7 +205,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """EXACT n-gram (word) Jaccard similarity for all pairs sharing at
     least one n-gram — pure DataFrame ops (explode + self-join on the
@@ -217,8 +217,10 @@ def ngram_jaccard_pairs(
     shared by 10^6 docs would otherwise emit 10^12 candidate rows. The
     cap changes the semantics to Jaccard over the capped gram sets
     (|A|,|B| are recomputed after the cap) — standard stop-gram removal,
-    mirrored verbatim in the SQL oracle. REQUIRED at scale; None only
-    for small fixture corpora.
+    mirrored verbatim in the SQL oracle. REQUIRED at scale, so the
+    DEFAULT is a large-but-finite 10_000; pass ``max_df=None``
+    explicitly to opt into the uncapped (quadratic-fan-out-reachable)
+    semantics on small fixture corpora.
     """
     toks = F.split(F.lower(F.col(text)), " ")
     grams = df.select(

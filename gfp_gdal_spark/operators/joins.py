@@ -181,7 +181,7 @@ def _pip_join_broadcast_rings(
     # guard the driver collect: a "broadcast" layer that isn't actually
     # small must NOT silently OOM the driver — fail loud with the fix.
     max_polys = 2_000_000
-    if len(polys.limit(max_polys + 1).select(F.lit(1)).collect()) > max_polys:
+    if polys.limit(max_polys + 1).count() > max_polys:
         raise ValueError(
             f"refine='arrow' broadcast path collects the polygon side to the "
             f"driver; layer exceeds {max_polys} rows — use refine='jvm' "
@@ -384,8 +384,25 @@ def pip_join(
         # small scan (one parquet row group) would run the whole join
         # in ONE task. Fan narrow inputs out to the cluster width —
         # a no-op at data scale where scans carry thousands of splits.
-        target = points.sparkSession.sparkContext.defaultParallelism
-        if pts.rdd.getNumPartitions() < max(target // 2, 1):
+        spark = points.sparkSession
+        target = spark.sparkContext.defaultParallelism
+        # estimate scan splits from optimizer size stats (JVM-side, no
+        # job, no RDD conversion of the plan): bytes / maxPartitionBytes
+        try:
+            size_b = int(pts._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            mpb_raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            digits = "".join(ch for ch in mpb_raw if ch.isdigit())
+            mpb = int(digits) if digits else 134_217_728
+            if mpb_raw.lower().endswith(("m", "mb")):
+                mpb *= 1 << 20
+            elif mpb_raw.lower().endswith(("g", "gb")):
+                mpb *= 1 << 30
+            elif mpb_raw.lower().endswith(("k", "kb")):
+                mpb *= 1 << 10
+            est_parts = max(size_b // max(mpb, 1), 1)
+        except Exception:
+            est_parts = target
+        if est_parts < max(target // 2, 1):
             pts = pts.repartition(target)
     joined = pts.join(pcells, "cell")
     # JVM-side bbox prefilter: kills most false candidates with four
@@ -548,6 +565,13 @@ def knn_join(
             F.degrees(F.asin(F.cos(F.radians(F.col(q_lat))) * F.sin(gap))),
         ).otherwise(90.0 - F.abs(F.col(q_lat)))
         safe_m = F.least(safe_m, d_anti_deg * 111194.9)
+        # polar band: when the covered disk reaches past a pole the
+        # planar k-ring misses points on the far side — certification
+        # is void there; force escalation/brute force (mirrors the
+        # antimeridian fall-through above).
+        safe_m = F.when(
+            F.abs(F.col(q_lat)) + F.lit(covered_deg) >= F.lit(90.0), F.lit(0.0)
+        ).otherwise(safe_m)
         wq = Window.partitionBy(q_id)
         per_q = topk.withColumn(
             "_ok",

@@ -93,6 +93,7 @@ def ivf_cosine_topk(
     c_vec: str = "embedding",
     seed: int = 42,
     sample_rows: int = 4096,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus to ``n_centroids``
     data-derived centroids (greedy max-min pick over a driver-side
@@ -144,7 +145,11 @@ def ivf_cosine_topk(
     qb = queries.withColumn(
         "_centroid", F.explode(assign_udf(n_probe)(F.col(q_vec)))
     )
-    cand = cb.join(F.broadcast(qb), "_centroid").withColumn(
+    # broadcast_queries: None defers to Catalyst/AQE size stats (a big
+    # query table x n_probe fan-out must NOT be force-broadcast — it
+    # would OOM executors where a shuffle join degrades gracefully)
+    build = F.broadcast(qb) if broadcast_queries else qb
+    cand = cb.join(build, "_centroid").withColumn(
         "cosine", cosine_sim_col(F.col(q_vec), F.col(c_vec))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
@@ -249,6 +254,7 @@ def lsh_cosine_topk(
     c_vec: str = "embedding",
     seed: int = 42,
     multiprobe: int = 1,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: sign-bucket candidates, exact refine —
     the 10^12-row shape where brute force is impossible.
@@ -277,7 +283,11 @@ def lsh_cosine_topk(
         F.explode(F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks])),
     ).drop("_b0")
     cb = corpus.withColumn("_bucket", bu(F.col(c_vec)))
-    cand = cb.join(F.broadcast(qb), "_bucket").withColumn(
+    # broadcast_queries=None lets Catalyst/AQE pick from size stats —
+    # the multiprobe fan-out multiplies the query side by C(bits,<=m),
+    # so an unconditional broadcast hint would OOM on large query sets
+    build = F.broadcast(qb) if broadcast_queries else qb
+    cand = cb.join(build, "_bucket").withColumn(
         "cosine", cosine_sim_col(F.col(q_vec), F.col(c_vec))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())

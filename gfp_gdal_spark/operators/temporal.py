@@ -28,6 +28,8 @@ def asof_join(
     by: str,
     value_cols: list[str] | None = None,
     direction: str = "backward",
+    suffix: str | None = None,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """As-of join (backward, inclusive): each left row picks up the
     most recent right row with ``right.on <= left.on`` and the same
@@ -43,33 +45,109 @@ def asof_join(
     Ties on ``on``: the right row sorts BEFORE the left row (tag
     order), so an equal-timestamp right row is visible — inclusive
     semantics, matching DuckDB's `ON l.ts >= r.ts`.
+
+    Name collisions: a right value column that also exists on the left
+    raises unless ``suffix`` is given, in which case the right copy is
+    emitted as ``<c><suffix>`` (silently emitting two columns named
+    ``<c>`` would poison every later select-by-name).
+
+    Hot keys: ``bucket_width`` (in ``on``-axis units) range-buckets
+    each ``by`` key — the carry-forward window then partitions on
+    (by, bucket) so one hot key (one symbol with 10^9 events) never
+    becomes a single-partition sort. Rows whose bucket saw no earlier
+    right row get their carry-in from a per-bucket "latest right row"
+    table cascaded across buckets (a window over O(#buckets) rows per
+    key, not O(#events)). Output is identical to the unbucketed path.
     """
     from pyspark.sql import Window
 
     if direction != "backward":
         raise ValueError("only direction='backward' (latest prior row) is implemented")
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
-    l_tag = left.withColumn("_src", F.lit(1))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    collide = [c for c in value_cols if c in left.columns]
+    if collide and suffix is None:
+        raise ValueError(
+            f"right value column(s) {collide} also exist on the left side; "
+            f"pass suffix='_r' (or similar) to emit them as <col><suffix>"
+        )
+    out_name = {c: (c + suffix if c in collide else c) for c in value_cols}
+
+    # carry ONE struct per right row, not per-column last(ignorenulls):
+    # the struct is non-null for every right row even when its VALUE
+    # fields are null, so the latest right row always wins — a per-
+    # column carry would skip a null-valued quote and resurrect an
+    # older value (wrong vs DuckDB ASOF semantics).
+    from pyspark.sql import types as T
+
+    rrow_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
+    l_tag = left.withColumn("_src", F.lit(1)).withColumn(
+        "_rrow", F.lit(None).cast(rrow_type)
+    )
     r_tag = right.select(
-        by, on, *[F.col(c).alias(f"_r_{c}") for c in value_cols]
+        by, on, F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rrow")
     ).withColumn("_src", F.lit(0))
     for c in left.columns:
         if c not in (on, by):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = l_tag.unionByName(r_tag.select(l_tag.columns))
+
+    part_cols = [by]
+    if bucket_width is not None:
+        u = u.withColumn("_bkt", F.floor(F.col(on).cast("double") / bucket_width).cast("long"))
+        part_cols = [by, "_bkt"]
     w = (
-        Window.partitionBy(by)
+        Window.partitionBy(*part_cols)
         .orderBy(F.col(on).asc(), F.col("_src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in value_cols:
-        u = u.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    u = u.withColumn("_rrow", F.last("_rrow", ignorenulls=True).over(w))
     out = u.where(F.col("_src") == 1).drop("_src")
+
+    if bucket_width is not None:
+        # carry-in across buckets: latest right row per (by, bucket),
+        # cascaded so bucket b sees the newest right row of buckets < b
+        # (a window over O(#buckets) rows per key, not O(#events)).
+        rb = right.withColumn(
+            "_bkt", F.floor(F.col(on).cast("double") / bucket_width).cast("long")
+        )
+        wlast = Window.partitionBy(by, "_bkt").orderBy(F.col(on).desc())
+        last_pb = (
+            rb.withColumn("_rn", F.row_number().over(wlast))
+            .where(F.col("_rn") == 1)
+            .select(
+                by,
+                F.col("_bkt"),
+                F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_crow"),
+            )
+        )
+        # a right bucket's last row becomes visible from the NEXT bucket
+        # on (within-bucket rows are already handled by the window above)
+        donor = last_pb.withColumn("_bkt_eff", F.col("_bkt") + 1).withColumn("_tag", F.lit(0))
+        need = (
+            out.select(by, "_bkt").distinct()
+            .withColumn("_bkt_eff", F.col("_bkt"))
+            .withColumn("_tag", F.lit(1))
+            .withColumn("_crow", F.lit(None).cast(rrow_type))
+        )
+        cas = donor.select(need.columns).unionByName(need.select(need.columns))
+        wc = (
+            Window.partitionBy(by)
+            .orderBy(F.col("_bkt_eff").asc(), F.col("_tag").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cas = cas.withColumn("_crow", F.last("_crow", ignorenulls=True).over(wc))
+        carry_map = cas.where(F.col("_tag") == 1).select(by, "_bkt", "_crow")
+        out = (
+            out.join(carry_map, [by, "_bkt"], "left")
+            .withColumn("_rrow", F.coalesce(F.col("_rrow"), F.col("_crow")))
+            .drop("_bkt", "_crow")
+        )
+
     for c in value_cols:
-        out = out.withColumnRenamed(f"_r_{c}", c)
-    return out
+        out = out.withColumn(out_name[c], F.col("_rrow").getField(c))
+    return out.drop("_rrow")
 
 
 def range_join(

@@ -60,14 +60,21 @@ def streaming_exact_dedup(
     twin of operators.dedup.exact_dedup for continuous training-data
     ingest.
 
-    Keyed by xxhash64(text) (JVM-side, so the shuffle key is 8 bytes,
-    not the document body — same design as the batch operator); per-key
-    state is a single 'seen' flag, so state size is O(distinct docs)
+    Keyed by the same 192-bit fingerprint as the batch operator
+    (md5 + two seeded xxhash64, JVM-side): the shuffle/state key is
+    ~28 bytes, not the document body, and birthday collisions are
+    ~0 at any corpus size (a single 64-bit key would silently drop
+    distinct docs past ~10^9 — the advertised scale). Per-key state
+    is a single 'seen' flag, so state size is O(distinct docs)
     booleans and never grows with the stream. Within a first batch of a
     key, the minimum id wins (deterministic). Append output mode."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    keyed = docs_stream.withColumn("_fp", F.xxhash64(F.col(text)))
+    keyed = (
+        docs_stream.withColumn("_fp0", F.md5(F.col(text)))
+        .withColumn("_fp1", F.xxhash64(F.col(text)))
+        .withColumn("_fp2", F.xxhash64(F.col(text), F.lit(1)))
+    )
     out_schema = docs_stream.schema
     out_cols = [f.name for f in out_schema.fields]
 
@@ -85,7 +92,7 @@ def streaming_exact_dedup(
             state.update((1,))
             yield best
 
-    return keyed.groupBy("_fp").applyInPandasWithState(
+    return keyed.groupBy("_fp0", "_fp1", "_fp2").applyInPandasWithState(
         dedup_fn,
         outputStructType=out_schema,
         stateStructType="seen integer",

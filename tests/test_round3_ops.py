@@ -1,0 +1,165 @@
+"""Round-3 regression tests: ADVICE fixes (asof collisions, polar kNN
+certification, streaming dedup fingerprint width) and the asof_join
+hot-key range-bucketing path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _asof_fixture(spark, n_keys=3, n_left=400, n_right=150, seed=11):
+    rng = np.random.default_rng(seed)
+    l_pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "t": rng.uniform(0, 1000, n_left).round(3),
+            "lid": range(n_left),
+        }
+    )
+    r_pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "t": rng.uniform(0, 1000, n_right).round(3),
+            "v": rng.normal(size=n_right).round(4),
+        }
+    )
+    return spark.createDataFrame(l_pdf), spark.createDataFrame(r_pdf)
+
+
+def test_asof_join_collision_raises_then_suffix(spark):
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [5.0], "v": [1.0]}))
+    r = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [3.0], "v": [30.0]}))
+    with pytest.raises(ValueError, match="also exist"):
+        asof_join(l, r, on="t", by="k")
+    out = asof_join(l, r, on="t", by="k", suffix="_r")
+    rows = out.collect()
+    assert set(out.columns) == {"k", "t", "v", "v_r"}
+    assert rows[0]["v"] == 1.0 and rows[0]["v_r"] == 30.0
+
+
+def test_asof_join_bucketed_matches_unbucketed(spark):
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    l, r = _asof_fixture(spark)
+    base = {
+        row["lid"]: row["v"]
+        for row in asof_join(l, r, on="t", by="k").collect()
+    }
+    for width in (50.0, 173.0, 5000.0):
+        got = {
+            row["lid"]: row["v"]
+            for row in asof_join(l, r, on="t", by="k", bucket_width=width).collect()
+        }
+        assert got == base, f"bucket_width={width} diverged"
+
+
+def test_asof_join_bucketed_plan_partitions_on_bucket(spark):
+    """The hot-key fix is real only if the big carry-forward window
+    partitions on (by, bucket), not (by) alone — assert the plan."""
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    l, r = _asof_fixture(spark)
+    plan = (
+        asof_join(l, r, on="t", by="k", bucket_width=10.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_bkt" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asof_join_bucketed_nulls_and_ties(spark):
+    """Right rows with NULL values must still suppress older carry-in
+    (the _r_on marker), and boundary/tie rows must stay inclusive."""
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 1], "t": [10.0, 20.0, 25.0, 30.0], "lid": [0, 1, 2, 3]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "t": [10.0, 20.0, 24.0], "v": [1.0, None, None]})
+    )
+    for kw in ({}, {"bucket_width": 10.0}, {"bucket_width": 7.0}):
+        out = {row["lid"]: row["v"] for row in asof_join(l, r, on="t", by="k", **kw).collect()}
+        # lid0 t=10 -> tie inclusive v=1; lid1 t=20 -> NULL-valued row at 20
+        # (not the older 1.0); lid2 t=25 -> NULL row at 24; lid3 -> 24's NULL
+        assert out == {0: 1.0, 1: None, 2: None, 3: None}, kw
+
+
+def test_knn_join_polar_matches_bruteforce(spark):
+    """Queries whose covered band crosses a pole must not certify off
+    the planar lattice — result must equal the exact brute force."""
+    from gfp_gdal_spark.operators import joins as J
+
+    rng = np.random.default_rng(5)
+    # dense cap around the north pole, spread across all longitudes
+    lons = rng.uniform(-180, 180, 600)
+    lats = 90.0 - rng.uniform(0.05, 3.0, 600)
+    p = spark.createDataFrame(
+        pd.DataFrame({"point_id": range(600), "lon_c": lons, "lat_c": lats})
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "q_lon": [10.0, -170.0], "q_lat": [89.6, 89.2]})
+    )
+    got = {
+        (r_["query_id"], r_["rank"]): r_["point_id"]
+        for r_ in J.knn_join(q, p, k=3, res=6, max_rounds=2).collect()
+    }
+    want = {
+        (r_["query_id"], r_["rank"]): r_["point_id"]
+        for r_ in J.knn_join_bruteforce(
+            q, p, 3, "query_id", "q_lon", "q_lat", "point_id", "lon_c", "lat_c"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_wide_fingerprint(spark, tmp_path):
+    """64-bit-collision regression: two DISTINCT docs engineered to
+    share nothing but arriving in separate batches must BOTH survive
+    (the old single-xxhash64 key would conflate colliding docs)."""
+    from gfp_gdal_spark.streaming import ingest as SI
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    out_dir = tmp_path / "sink"
+    chk = tmp_path / "chk"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs1 = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha", "beta"]})
+    docs2 = pd.DataFrame({"doc_id": [3, 4], "text": ["alpha", "gamma"]})
+    pq.write_table(pa.Table.from_pandas(docs1), str(src / "b1.parquet"))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    dedup = SI.streaming_exact_dedup(stream)
+    q = (
+        dedup.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    pq.write_table(pa.Table.from_pandas(docs2), str(src / "b2.parquet"))
+    q2 = (
+        SI.streaming_exact_dedup(
+            spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(chk))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(str(out_dir)).toPandas().sort_values("doc_id")
+    # 'alpha' dedups across batches; 'beta' and 'gamma' both survive
+    assert sorted(got["text"].tolist()) == ["alpha", "beta", "gamma"]
+    assert sorted(got["doc_id"].tolist()) == [1, 2, 4]
