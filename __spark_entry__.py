@@ -587,6 +587,32 @@ def _q_buffer_area(spark, sf):
     )
 
 
+def _q_buffer_concave(spark, sf):
+    """CONCAVE (L-shaped) footprints — the reference's bread-and-butter
+    building-footprint buffer (geos_nodes.cpp:187-213): round joins at
+    the 5 convex corners, miter at the reflex corner. Closed-form area:
+    A + P*r + 5*(r^2/2)*m*sin((pi/2)/m) - r^2*tan(pi/4), m=8, r=0.1.
+    buffer_ok=True for every row (concave no longer passes through)."""
+    _prep(spark)
+    cust = _t(spark, sf, "customer")
+    k = F.col("c_custkey")
+    clon, clat = _lon(k), _lat(k)
+    dlon = 0.5 + (k % 7).cast("double") * 0.3
+    dlat = 0.4 + (k % 5).cast("double") * 0.25
+    x0, x1, y0, y1 = clon - dlon, clon + dlon, clat - dlat, clat + dlat
+    # L-shape: bounding rect minus its top-right quadrant (notch corner
+    # at the center) — one reflex right angle at (clon, clat)
+    ring = F.array(
+        F.array(x0, y0), F.array(x1, y0), F.array(x1, clat),
+        F.array(clon, clat), F.array(clon, y1), F.array(x0, y1),
+    )
+    polys = cust.select(k.alias("c_custkey"), ring.alias("ring"))
+    buf = TR.buffer_polygons(polys, offset=0.1, method="round", quad_segs=8)
+    return TR.enrich_geometry(buf).select(
+        "c_custkey", F.round("area", 6).alias("area_buf"), "buffer_ok"
+    )
+
+
 def _q_polygon_z(spark, sf):
     """base_elevation z-override (ogr_reader_node.cpp:93-97): lift the
     rect layer to z = c_acctbal; planar area is unchanged, first-vertex
@@ -963,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_roundtrip": _q_image_roundtrip,
         "simplify_polygons": _q_simplify,
         "buffer_area": _q_buffer_area,
+        "buffer_concave": _q_buffer_concave,
         "polygon_z": _q_polygon_z,
         "wkt_roundtrip": _q_wkt_roundtrip,
         "crs_webmercator": _q_crs_webmercator,
@@ -1451,6 +1478,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    round((2*dlon)*(2*dlat) + (4*dlon + 4*dlat)*0.1
                          + 4*(0.01/2)*8*sin(pi()/16), 6) AS area_buf,
+                   true AS buffer_ok
+            FROM c
+        """,
+        "buffer_concave": f"""
+            WITH c AS ({_SQL_RECT})
+            SELECT c_custkey,
+                   round(3*dlon*dlat + (4*dlon + 4*dlat)*0.1
+                         + 5*(0.01/2)*8*sin(pi()/16) - 0.01, 6) AS area_buf,
                    true AS buffer_ok
             FROM c
         """,

@@ -439,24 +439,33 @@ def _is_convex_ccw(pts: np.ndarray) -> bool:
 def buffer_convex_rings(
     flat: np.ndarray, offsets: np.ndarray, offset: float, quad_segs: int = 8
 ):
-    """General polygon buffer for CONVEX rings — the PolygonBufferGEOS
-    analog (geos_nodes.cpp:187-213) with GEOS's round-join semantics:
+    """General polygon buffer for SIMPLE rings (convex or concave) —
+    the PolygonBufferGEOS analog (geos_nodes.cpp:187-213) with GEOS's
+    round-join semantics:
 
-    - offset > 0: Minkowski sum with a disc; each edge shifts outward
-      by ``offset`` along its outward normal, each vertex gets a
-      circular arc polygonalized at ``quad_segs`` segments per quarter
-      circle (the GEOS quadrantSegments parameter). For a convex ring
-      with exterior angles θ_i the result area is EXACTLY
-          A + P·offset + Σ_i (offset²/2)·m_i·sin(θ_i/m_i),
-      m_i = ceil(θ_i / (π/2/quad_segs)) — the closed form the SQL
-      oracle checks.
+    - offset > 0: each edge shifts outward by ``offset`` along its
+      outward normal; each CONVEX vertex gets a circular arc
+      polygonalized at ``quad_segs`` segments per quarter circle (the
+      GEOS quadrantSegments parameter); each REFLEX vertex gets the
+      miter intersection of its two shifted edges (the exact Minkowski
+      boundary there while the offset band is self-overlap-free). The
+      result area is EXACTLY
+          A + P·offset + Σ_cvx (offset²/2)·m_i·sin(θ_i/m_i)
+                       − Σ_rfx offset²·tan(β_j/2),
+      θ_i = exterior turn at convex vertex i (m_i arc segments),
+      β_j = |turn| at reflex vertex j — the closed form the SQL oracle
+      checks on both the rect and the L-shaped fixtures.
     - offset < 0: inward offset by miter intersection of adjacent
-      shifted edges; a collapsed/inverted result passes the ORIGINAL
-      ring through with ok=False (geos_nodes.cpp:202-207).
-    - non-convex or degenerate input: pass-through, ok=False (the
-      bbox kernel buffer_bbox_rings remains for axis-aligned quads).
+      shifted edges (any simple ring); a collapsed/inverted result
+      passes the ORIGINAL ring through with ok=False
+      (geos_nodes.cpp:202-207).
+    - an offset so large the result changes topology (offset curve
+      self-intersects — e.g. shrinking past a neck, or r beyond a
+      concave feature size) passes through with ok=False rather than
+      emitting an invalid ring.
 
     Returns (flat', offsets', ok[bool]); output rings CCW, xy only.
+    (Name kept from the convex-only v2 kernel for API stability.)
     """
     n = len(offsets) - 1
     step_max = math.pi / 2.0 / quad_segs
@@ -469,9 +478,6 @@ def buffer_convex_rings(
         ring = pts
         if signed_area(ring, np.array([0, len(ring)]))[0] < 0:
             ring = ring[::-1]
-        if not _is_convex_ccw(ring):
-            out_rings.append(pts)
-            continue
         m = ring.shape[0]
         d = np.roll(ring, -1, axis=0) - ring              # edge vectors
         ln = np.hypot(d[:, 0], d[:, 1])
@@ -479,40 +485,70 @@ def buffer_convex_rings(
             out_rings.append(pts)
             continue
         nx, ny = d[:, 1] / ln, -d[:, 0] / ln              # outward normals (CCW)
+
+        def _miter(j: int, off: float):
+            # intersection of edge (j-1) and edge j, both shifted by
+            # ``off`` along their outward normals (off<0 = inward)
+            jm = (j - 1) % m
+            p1 = ring[jm] + off * np.array([nx[jm], ny[jm]])
+            d1 = d[jm]
+            p2 = ring[j] + off * np.array([nx[j], ny[j]])
+            d2 = d[j]
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(den) < 1e-30:
+                return None
+            t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / den
+            return p1 + t * d1
+
         if offset >= 0:
             verts: list[np.ndarray] = []
+            degenerate = False
             for j in range(m):
-                n_in = np.array([nx[j - 1], ny[j - 1]])   # normal of incoming edge
-                n_out = np.array([nx[j], ny[j]])
-                a0 = math.atan2(n_in[1], n_in[0])
-                a1 = math.atan2(n_out[1], n_out[0])
-                theta = a1 - a0
-                while theta < 0:
-                    theta += 2 * math.pi
-                steps = max(int(math.ceil(theta / step_max - 1e-12)), 1)
-                angs = a0 + theta * np.arange(steps + 1) / steps
-                arc = ring[j] + offset * np.stack([np.cos(angs), np.sin(angs)], axis=1)
-                verts.append(arc)
+                turn = d[j - 1, 0] * d[j, 1] - d[j - 1, 1] * d[j, 0]
+                if turn >= 0:                             # convex: round join
+                    n_in = np.array([nx[j - 1], ny[j - 1]])
+                    n_out = np.array([nx[j], ny[j]])
+                    a0 = math.atan2(n_in[1], n_in[0])
+                    a1 = math.atan2(n_out[1], n_out[0])
+                    theta = a1 - a0
+                    while theta < 0:
+                        theta += 2 * math.pi
+                    if theta > math.pi:                   # numeric wrap on ~straight
+                        theta -= 2 * math.pi
+                        theta = abs(theta)
+                    steps = max(int(math.ceil(theta / step_max - 1e-12)), 1)
+                    angs = a0 + theta * np.arange(steps + 1) / steps
+                    arc = ring[j] + offset * np.stack(
+                        [np.cos(angs), np.sin(angs)], axis=1
+                    )
+                    verts.append(arc)
+                else:                                     # reflex: miter
+                    mi = _miter(j, offset)
+                    if mi is None:
+                        degenerate = True
+                        break
+                    verts.append(mi[None, :])
+            if degenerate:
+                out_rings.append(pts)
+                continue
             new = np.concatenate(verts, axis=0)
+            if (
+                new.shape[0] < 3
+                or signed_area(new, np.array([0, len(new)]))[0] <= 0
+                or _ring_self_intersects(new)
+            ):
+                out_rings.append(pts)
+                continue
         else:
             r = -offset
-            # shifted edge lines: point p_j - r*n_j, direction d_j;
-            # new vertex j = intersection of shifted edges (j-1) and j
-            p_in = ring + 0.0
             new = np.empty_like(ring)
             bad = False
             for j in range(m):
-                jm = (j - 1) % m
-                p1 = p_in[jm] - r * np.array([nx[jm], ny[jm]])
-                d1 = d[jm]
-                p2 = p_in[j] - r * np.array([nx[j], ny[j]])
-                d2 = d[j]
-                den = d1[0] * d2[1] - d1[1] * d2[0]
-                if abs(den) < 1e-30:
+                mi = _miter(j, offset)
+                if mi is None:
                     bad = True
                     break
-                t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / den
-                new[j] = p1 + t * d1
+                new[j] = mi
             # collapse check: a ring shrunk past its inradius inverts
             # (point reflection keeps CCW orientation, so area alone
             # can't catch it) — every offset edge must keep the
@@ -521,7 +557,11 @@ def buffer_convex_rings(
                 new_d = np.roll(new, -1, axis=0) - new
                 if (new_d * d).sum(axis=1).min() <= 0:
                     bad = True
-            if bad or signed_area(new, np.array([0, m]))[0] <= 0 or not _is_convex_ccw(new):
+            if (
+                bad
+                or signed_area(new, np.array([0, m]))[0] <= 0
+                or _ring_self_intersects(new)
+            ):
                 out_rings.append(pts)
                 continue
         out_rings.append(new)

@@ -23,7 +23,39 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_column", "pending_buckets", "run_bucketed", "read_manifest"]
+__all__ = [
+    "bucket_column",
+    "pending_buckets",
+    "run_bucketed",
+    "read_manifest",
+    "flat_checkpoint",
+]
+
+
+def flat_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint with ABSOLUTE size stats — required inside
+    iterative self-join loops.
+
+    ``df.localCheckpoint()`` alone copies the child plan's ESTIMATED
+    sizeInBytes into the LogicalRDD; a join's estimate is the product
+    of its sides, so an iterative loop that joins a checkpoint with
+    itself SQUARES the estimate every round. After ~19 rounds the
+    statistic is a 500k-bit BigInteger and every subsequent stats visit
+    spends seconds in BigInteger.multiply (driver single-thread, wall
+    doubling per round — measured; the Karatsuba/ToomCook frames under
+    SizeInBytesOnlyStatsPlanVisitor.visitJoin are the tell).
+
+    Fix: materialize a cache first — InMemoryRelation's stats after
+    materialization are the ACTUAL cached bytes — then checkpoint (the
+    LogicalRDD inherits the absolute number), then drop the cache.
+    Costs one extra in-memory materialization per call; lineage is cut
+    and the estimate chain is reset to ground truth.
+    """
+    cached = df.persist()
+    cached.count()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
 
 MANIFEST_SCHEMA = "bucket long, rows long, bytes long, n_files long, wall_sec double, ts string"
 

@@ -113,9 +113,42 @@ def test_buffer_negative_and_failures():
     # collapse passes the original through
     nf, no, ok = G.buffer_convex_rings(flat, off, -1.5)
     assert not ok[0] and (nf == flat).all()
-    # non-convex passes through
+    # concave star-notch ring now buffers (round 3) — ok and simple
     flat2, off2 = G.ragged_from_lists([[[0, 0], [4, 0], [4, 4], [2, 1], [0, 4]]])
-    assert not G.buffer_convex_rings(flat2, off2, 0.5)[2][0]
+    nf2, no2, ok2 = G.buffer_convex_rings(flat2, off2, 0.1)
+    assert ok2[0]
+    assert not G._ring_self_intersects(nf2[no2[0]: no2[1]])
+    assert G.signed_area(nf2, no2)[0] > G.signed_area(flat2, off2)[0]
+    # but an offset larger than the notch's feature size changes
+    # topology -> pass-through, ok=False
+    assert not G.buffer_convex_rings(flat2, off2, 3.0)[2][0]
+
+
+def test_buffer_lshape_closed_form():
+    """Concave (L-shaped) footprint: area is closed-form —
+    A + P*r + 5 convex right-angle arcs - r^2*tan(beta/2) at the one
+    reflex right angle (tan(pi/4) = 1)."""
+    L = [[0.0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4]]
+    flat, off = G.ragged_from_lists([L])
+    A = G.signed_area(flat, off)[0]          # 12
+    P = 16.0
+    for r, qs in [(0.25, 8), (0.5, 4), (0.1, 1)]:
+        nf, no, ok = G.buffer_convex_rings(flat, off, r, quad_segs=qs)
+        assert ok[0]
+        theta = np.pi / 2
+        m = math.ceil(theta / (np.pi / 2 / qs) - 1e-12)
+        expect = A + P * r + 5 * (r * r / 2) * m * math.sin(theta / m) - r * r
+        assert abs(G.signed_area(nf, no)[0] - expect) < 1e-9
+    # negative offset on the L: miter erosion, exact for right angles
+    nf, no, ok = G.buffer_convex_rings(flat, off, -0.25)
+    assert ok[0]
+    # eroded L: outer 3.5x3.5 arm minus inner — closed form:
+    # original L eroded by t: area = A - P*t + 4*t^2 ... verify by
+    # direct construction: L eroded 0.25 = L(0.25..3.75 arms)
+    t = 0.25
+    inner = [[t, t], [4 - t, t], [4 - t, 2 - t], [2 - t, 2 - t], [2 - t, 4 - t], [t, 4 - t]]
+    iflat, ioff = G.ragged_from_lists([inner])
+    assert abs(G.signed_area(nf, no)[0] - G.signed_area(iflat, ioff)[0]) < 1e-9
 
 
 # ---------------------------------------------------------------------------

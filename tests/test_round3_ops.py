@@ -118,6 +118,57 @@ def test_knn_join_polar_matches_bruteforce(spark):
     assert got == want
 
 
+def test_merge_lines_distributed_large_path(spark):
+    """A single 3000-segment path spread across many partitions must be
+    ordered by the pointer-jump walk (threshold forced low) and match
+    the single-task walk bit for bit up to direction."""
+    from gfp_gdal_spark.operators.lines import merge_lines
+
+    n = 3000
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(n)
+    pdf = pd.DataFrame(
+        {
+            "x1": perm.astype(float),
+            "y1": (perm * 0.5),
+            "x2": (perm + 1).astype(float),
+            "y2": ((perm + 1) * 0.5),
+        }
+    )
+    seg = spark.createDataFrame(pdf).repartition(16)
+    out = merge_lines(seg, distributed_threshold=100).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_segments"] == n and len(row["points"]) == n + 1
+    got = [tuple(p) for p in row["points"]]
+    want = [(float(i), i * 0.5) for i in range(n + 1)]
+    assert got == want or got == want[::-1]
+    # small path below the threshold still takes the grouped walk and
+    # yields the same chain
+    out_small = merge_lines(seg, distributed_threshold=10**9).collect()
+    got2 = [tuple(p) for p in out_small[0]["points"]]
+    assert got2 == want or got2 == want[::-1]
+
+
+def test_merge_lines_guard_raises_on_giant_branching(spark):
+    """A branching component beyond max_walk_size must fail loud, not
+    serialize through one worker."""
+    from gfp_gdal_spark.operators.lines import merge_lines
+
+    # star: 30 segments all sharing endpoint (0,0) -> branching
+    pdf = pd.DataFrame(
+        {
+            "x1": np.zeros(30),
+            "y1": np.zeros(30),
+            "x2": np.arange(1.0, 31.0),
+            "y2": np.ones(30),
+        }
+    )
+    seg = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="max_walk_size"):
+        merge_lines(seg, max_walk_size=10).collect()
+
+
 def test_streaming_dedup_wide_fingerprint(spark, tmp_path):
     """64-bit-collision regression: two DISTINCT docs engineered to
     share nothing but arriving in separate batches must BOTH survive
