@@ -216,6 +216,18 @@ def _q_pip_join_shuffle(spark, sf):
     return out.select("o_orderkey", "c_custkey")
 
 
+def _q_pip_join_salted(spark, sf):
+    """Shuffle PiP with hot-cell salting (salt='auto'): the count
+    sketch detects the hottest cells, point rows spread across n_salt
+    partitions, polygons replicate only for hot cells. Salting identity:
+    same rows as the plain join, same SQL oracle."""
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
+    polys = _rects_from_customer(_t(spark, sf, "customer"))
+    out = J.pip_join(pts, polys, z=4, holes=None, broadcast=False, salt="auto")
+    return out.select("o_orderkey", "c_custkey")
+
+
 def _q_knn(spark, sf):
     _prep(spark)
     n = _t(spark, sf, "nation")
@@ -961,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_hex": _q_pip_join_hex,
         "pip_join_s2": _q_pip_join_s2,
         "pip_join_shuffle": _q_pip_join_shuffle,
+        "pip_join_salted": _q_pip_join_salted,
         "merge_lines": _q_merge_lines,
         "knn_join": _q_knn,
         "radius_join": _q_radius_join,
@@ -1153,6 +1166,13 @@ def oracle_sql() -> dict[str, str]:
               AND p.lat_c > c.clat - c.dlat AND p.lat_c < c.clat + c.dlat
         """,
         "pip_join_shuffle": f"""
+            WITH p AS ({opoints}), c AS ({rects})
+            SELECT p.o_orderkey, c.c_custkey
+            FROM p, c
+            WHERE p.lon_c > c.clon - c.dlon AND p.lon_c < c.clon + c.dlon
+              AND p.lat_c > c.clat - c.dlat AND p.lat_c < c.clat + c.dlat
+        """,
+        "pip_join_salted": f"""
             WITH p AS ({opoints}), c AS ({rects})
             SELECT p.o_orderkey, c.c_custkey
             FROM p, c

@@ -82,9 +82,14 @@ def main() -> None:
         "tile_cover",
         "pip_join_rect",
         "pip_join_shuffle",
+        "pip_join_salted",
         "pip_join_polygons",
         "pip_join_s2",
         "knn_join",
+        "radius_join",
+        "asof_join",
+        "range_join",
+        "connected_components",
         "salted_cell_count",
         "agg_pricing",
         "group_segments",

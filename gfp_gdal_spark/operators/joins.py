@@ -52,6 +52,33 @@ __all__ = [
 # tile assignment (WebMercator z/x/y) — pure JVM column math
 # ---------------------------------------------------------------------------
 
+def _fan_out(df: DataFrame, min_frac: float = 0.5) -> DataFrame:
+    """Repartition a NARROW plan (a small scan = one parquet split) to
+    cluster width so downstream per-row work runs wide — a no-op at
+    data scale where the scan carries thousands of splits. Partition
+    count is ESTIMATED from optimizer size stats (JVM-side, no job, no
+    RDD conversion of the plan): bytes / maxPartitionBytes."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size_b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        mpb_raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        digits = "".join(ch for ch in mpb_raw if ch.isdigit())
+        mpb = int(digits) if digits else 134_217_728
+        if mpb_raw.lower().endswith(("m", "mb")):
+            mpb *= 1 << 20
+        elif mpb_raw.lower().endswith(("g", "gb")):
+            mpb *= 1 << 30
+        elif mpb_raw.lower().endswith(("k", "kb")):
+            mpb *= 1 << 10
+        est_parts = max(size_b // max(mpb, 1), 1)
+    except Exception:
+        est_parts = target
+    if est_parts < max(int(target * min_frac), 1):
+        return df.repartition(target)
+    return df
+
+
 def tile_assign(df: DataFrame, lon: str = "lon_c", lat: str = "lat_c", z: int = 12) -> DataFrame:
     """One (tile_x, tile_y) per row at zoom z — the raster-tile
     assignment of the north_rule (analog of GDALWriter's
@@ -287,6 +314,8 @@ def pip_join(
     bucket: str = "tile",
     res: int | None = None,
     refine: str = "jvm",
+    salt: int | str | None = None,
+    salt_top_k: int = 32,
 ) -> DataFrame:
     """Cell-bucketed point-in-polygon join.
 
@@ -309,6 +338,16 @@ def pip_join(
     broadcast=True  -> force broadcast of the (replicated) polygon side
     broadcast=False -> force shuffle (sort-merge / shuffle-hash) join
     broadcast=None  -> let Catalyst/AQE decide from size stats
+
+    ``salt`` (shuffle path only, broadcast=False): hot-cell salting for
+    pathological spatial skew (one city cell holding 1% of the planet).
+    ``salt="auto"`` (or an int = n_salt) detects the ``salt_top_k``
+    hottest cells from a deterministic 1% sample (one cheap count-
+    sketch job) and routes the join through plans.salting's
+    salt_join_skewed: hot-cell point rows spread across n_salt shuffle
+    partitions, the polygon side replicated n_salt ways ONLY for the
+    hot cells. Output rows are identical to the unsalted join (salting
+    identity, property-tested).
 
     Only how='inner' is supported: unmatched points never reach the
     refine, so an outer join here would silently degenerate to inner —
@@ -384,27 +423,34 @@ def pip_join(
         # small scan (one parquet row group) would run the whole join
         # in ONE task. Fan narrow inputs out to the cluster width —
         # a no-op at data scale where scans carry thousands of splits.
-        spark = points.sparkSession
-        target = spark.sparkContext.defaultParallelism
-        # estimate scan splits from optimizer size stats (JVM-side, no
-        # job, no RDD conversion of the plan): bytes / maxPartitionBytes
-        try:
-            size_b = int(pts._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            mpb_raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-            digits = "".join(ch for ch in mpb_raw if ch.isdigit())
-            mpb = int(digits) if digits else 134_217_728
-            if mpb_raw.lower().endswith(("m", "mb")):
-                mpb *= 1 << 20
-            elif mpb_raw.lower().endswith(("g", "gb")):
-                mpb *= 1 << 30
-            elif mpb_raw.lower().endswith(("k", "kb")):
-                mpb *= 1 << 10
-            est_parts = max(size_b // max(mpb, 1), 1)
-        except Exception:
-            est_parts = target
-        if est_parts < max(target // 2, 1):
-            pts = pts.repartition(target)
-    joined = pts.join(pcells, "cell")
+        pts = _fan_out(pts)
+    if salt is not None and broadcast is False:
+        from gfp_gdal_spark.plans.salting import salt_join_skewed
+
+        n_salt = 8 if (salt == "auto" or salt is True) else int(salt)
+        # deterministic count sketch: 1% sample (capped), top-k cells.
+        # Salting a cell that isn't actually hot is harmless (identity
+        # holds; build side grows by k*n_salt rows), so top-k needs no
+        # total-count second action.
+        hot_rows = (
+            pts.select("cell")
+            .sample(fraction=0.01, seed=42)
+            .limit(2_000_000)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.col("_n").desc(), F.col("cell"))
+            .limit(salt_top_k)
+            .collect()
+        )
+        hot = [r["cell"] for r in hot_rows if r["_n"] >= 2]
+        if hot:
+            joined = salt_join_skewed(
+                pts, pcells, "cell", n_salt=n_salt, hot_keys=hot, salt_src=lon
+            )
+        else:
+            joined = pts.join(pcells, "cell")
+    else:
+        joined = pts.join(pcells, "cell")
     # JVM-side bbox prefilter: kills most false candidates with four
     # comparisons before the ray cast touches the ring array
     joined = joined.where(
@@ -710,13 +756,31 @@ def knn_join_bruteforce(
 ) -> DataFrame:
     """Exact kNN by broadcast nested-loop: correct for ANY geometry,
     right strategy when |queries| is small (the small-dim broadcast
-    case); also the parity oracle for knn_join."""
+    case); also the parity oracle for knn_join.
+
+    Top-k is two-phase: a per-input-partition partial top-k first
+    (window keyed on (query, spark_partition_id) — |queries| x
+    n_partitions keys, so the big sort runs at cluster width), then
+    the global top-k over the k x n_partitions survivors. One window
+    over |queries| keys would sort ALL candidates in |queries| tasks —
+    measured 5x slower at bench scale. Output is identical (global
+    top-k is a subset of the union of partition top-ks; ties broken
+    by point id in both phases)."""
     from pyspark.sql import Window
 
-    cand = points.crossJoin(F.broadcast(queries))
+    # a narrow scan (one parquet split) would run the whole nested loop
+    # + haversine in ONE task — fan out first (measured 10x at bench
+    # scale; no-op when the scan already carries cluster-width splits)
+    cand = _fan_out(points).crossJoin(F.broadcast(queries))
     d = dist if dist is not None else haversine_m(
         F.col(q_lon), F.col(q_lat), F.col(p_lon), F.col(p_lat)
     )
-    cand = cand.withColumn("dist_m", d)
+    cand = cand.withColumn("dist_m", d).withColumn("_pp", F.spark_partition_id())
+    w1 = Window.partitionBy(q_id, "_pp").orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
+    local = (
+        cand.withColumn("rank", F.row_number().over(w1))
+        .where(F.col("rank") <= k)
+        .drop("rank", "_pp")
+    )
     w = Window.partitionBy(q_id).orderBy(F.col("dist_m").asc(), F.col(p_id).asc())
-    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return local.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

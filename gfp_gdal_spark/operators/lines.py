@@ -4,9 +4,9 @@ Reference (geos_nodes.cpp:234-283): build a collection of 2-point
 segments and GEOSLineMerge them into polylines by joining touching
 endpoints. Distributed re-expression: endpoints are quantized keys,
 segments sharing an endpoint are edges of a graph, each merged
-polyline is a connected component; the chain order is reconstructed per
-component with a grouped pandas walk (components are small by nature —
-they are single polylines).
+polyline is a connected component; chain order is reconstructed with a
+grouped pandas walk for small/branching components and a distributed
+pointer-jumping rank (Wyllie) for giant simple paths.
 """
 
 from __future__ import annotations

@@ -115,13 +115,35 @@ def image_stats(images: DataFrame) -> DataFrame:
                 "px_min": np.zeros(n, np.int32), "px_max": np.zeros(n, np.int32),
                 "psnr_roundtrip": np.zeros(n),
             }
-            for i, (blob, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
-                pix = _codec.decode_image(bytes(blob), fmt)
-                rgb = pix if pix.ndim == 3 else np.stack([pix] * 3, axis=-1)
-                out["mean_r"][i], out["mean_g"][i], out["mean_b"][i] = rgb.mean(axis=(0, 1))
-                out["px_min"][i], out["px_max"][i] = int(pix.min()), int(pix.max())
-                rt = _codec.decode_image(_codec.encode_image(pix, fmt), fmt)
-                out["psnr_roundtrip"][i] = min(_codec.psnr(pix, rt), 999.0)
+            # whole-batch decode per uniform (fmt,w,h) group; stats are
+            # vectorized reductions over the group tensor (reduction
+            # order per image matches the per-image path bitwise —
+            # numpy flattens the reduced axes in C order either way).
+            # Encode stays per image (zlib streams are per-blob).
+            for fmt, w, h, idx, pix in _grouped(pdf):
+                ng = pix.shape[0]
+                if pix.ndim == 4:
+                    means = pix.astype(np.float64).mean(axis=(1, 2))  # (ng, 3)
+                    out["mean_r"][idx] = means[:, 0]
+                    out["mean_g"][idx] = means[:, 1]
+                    out["mean_b"][idx] = means[:, 2]
+                else:
+                    g = pix.astype(np.float64).mean(axis=(1, 2))
+                    out["mean_r"][idx] = g
+                    out["mean_g"][idx] = g
+                    out["mean_b"][idx] = g
+                flat = pix.reshape(ng, -1)
+                out["px_min"][idx] = flat.min(axis=1)
+                out["px_max"][idx] = flat.max(axis=1)
+                rt = _codec.decode_group(
+                    [_codec.encode_image(pix[i], fmt) for i in range(ng)], fmt, w, h
+                )
+                mse = ((pix.astype(np.float64) - rt.astype(np.float64)) ** 2).reshape(
+                    ng, -1
+                ).mean(axis=1)
+                with np.errstate(divide="ignore"):
+                    ps = 10.0 * np.log10(255.0**2 / mse)
+                out["psnr_roundtrip"][idx] = np.minimum(ps, 999.0)
             yield pd.DataFrame(out)
 
     return images.mapInPandas(op, _STATS_SCHEMA)
@@ -133,10 +155,10 @@ def reencode_images(images: DataFrame, to_fmt: str) -> DataFrame:
 
     def op(batches):
         for pdf in batches:
-            blobs = [
-                _codec.encode_image(_codec.decode_image(bytes(b), f), to_fmt)
-                for b, f in zip(pdf["bytes"], pdf["fmt"])
-            ]
+            blobs: list[bytes | None] = [None] * len(pdf)
+            for fmt, _w, _h, idx, pix in _grouped(pdf):
+                for j, i in enumerate(idx):
+                    blobs[i] = _codec.encode_image(pix[j], to_fmt)
             out = pdf.copy()
             out["bytes"] = blobs
             out["fmt"] = to_fmt
@@ -151,18 +173,17 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     def op(batches):
         for pdf in batches:
-            blobs, ws, hs = [], [], []
-            for b, f in zip(pdf["bytes"], pdf["fmt"]):
-                pix = _codec.decode_image(bytes(b), f)
-                h, w = pix.shape[:2]
+            blobs: list[bytes | None] = [None] * len(pdf)
+            for fmt, w, h, idx, pix in _grouped(pdf):
                 yi = np.minimum((np.arange(out_h) * h // out_h), h - 1)
                 xi = np.minimum((np.arange(out_w) * w // out_w), w - 1)
-                res = pix[yi][:, xi]
-                blobs.append(_codec.encode_image(res, f))
-                ws.append(out_w)
-                hs.append(out_h)
+                res = pix[:, yi][:, :, xi]  # (ng, out_h, out_w[, 3])
+                for j, i in enumerate(idx):
+                    blobs[i] = _codec.encode_image(res[j], fmt)
             out = pdf.copy()
-            out["bytes"], out["w"], out["h"] = blobs, ws, hs
+            out["bytes"] = blobs
+            out["w"] = out_w
+            out["h"] = out_h
             yield out
 
     return images.mapInPandas(op, images.schema)
