@@ -34,15 +34,25 @@ def connected_components(
        region root adopts the minimum neighboring region label
        (a groupBy on the label — region-level, so the information
        reaches the ROOT, not just the border vertex).
-    2. COMPRESS: component := component(component) repeated to the
-       fixpoint (pointer doubling), so every region is a star again.
+    2. COMPRESS: component := component(component), two pointer-
+       doubling steps per round (collapses label trees of depth <= 4;
+       deeper trees finish over the following rounds — partial
+       compression only affects convergence SPEED, never correctness,
+       and skipping the per-step fixpoint count saves one driver
+       action per step).
 
     Region count at least halves per round (every non-minimal region
     hooks onto a smaller neighbor), giving O(log n) rounds for ANY id
     assignment — verified on permuted 10^5-vertex chains (11 rounds).
-    Convergence is detected by hook-emptiness; if not reached within
-    ``max_iter`` rounds the function RAISES rather than silently
-    returning wrong (split) components.
+    Convergence is detected by hook-emptiness (hook empty <=> every
+    edge's endpoints share a label <=> done, independent of how
+    compressed the labels are); if not reached within ``max_iter``
+    rounds the function RAISES rather than silently returning wrong
+    (split) components. Per round: ONE count action (the hook
+    cardinality, piggybacked on its cache materialization) + the
+    flat_checkpoint of the labels (absolute-stats reset — see
+    plans.lineage.flat_checkpoint for why a plain localCheckpoint
+    stalls) + two cheap compress checkpoints.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -68,14 +78,17 @@ def connected_components(
             .where(F.col("_la") != F.col("_lb"))
             .select("_la", "_lb")
         )
-        hook = flat_checkpoint(
+        hook = (
             cross.groupBy("_la")
             .agg(F.min("_lb").alias("_m"))
             .where(F.col("_m") < F.col("_la"))
+            .persist()
         )
-        if hook.limit(1).count() == 0:
+        if hook.count() == 0:
+            hook.unpersist()
             converged = True
             break
+        old_labels = labels
         labels = flat_checkpoint(
             labels.join(hook, labels["vertex"] == hook["_la"], "left")
             .select(
@@ -85,27 +98,28 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # (2) COMPRESS — pointer doubling to the fixpoint (labels form a
-        # pointer forest whose values are always existing vertex ids)
-        for _c in range(max_iter):
+        hook.unpersist()
+        old_labels.unpersist()
+        # (2) COMPRESS — two fixed doubling steps, plain localCheckpoint
+        # (stats square per step but the next round's flat_checkpoint
+        # resets them to absolute, so growth is bounded at ^4)
+        for _c in range(2):
             mapping = labels.select(
                 F.col("vertex").alias("_mv"), F.col("component").alias("_mc")
             )
-            new_labels = flat_checkpoint(
+            prev = labels
+            labels = (
                 labels.withColumnRenamed("component", "_old")
                 .join(mapping, F.col("_old") == F.col("_mv"), "left")
                 .select(
                     "vertex",
-                    "_old",
                     F.least(F.col("_old"), F.coalesce("_mc", F.col("_old"))).alias(
                         "component"
                     ),
                 )
+                .localCheckpoint()
             )
-            ch = new_labels.where(F.col("component") != F.col("_old")).limit(1).count()
-            labels = new_labels.drop("_old")
-            if ch == 0:
-                break
+            prev.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
