@@ -248,6 +248,36 @@ def _q_knn(spark, sf):
     )
 
 
+def _q_knn_ring(spark, sf):
+    """kNN over a DENSE regional point set (the global fixture is so
+    sparse that auto-res correctly short-circuits to brute force) —
+    lon/lat compressed into a 10x10-degree box raises density ~600x,
+    so auto-res engages the hex k-ring rounds with certification and
+    escalation: this query proves the ring machinery end-to-end
+    against the exact SQL oracle."""
+    _prep(spark)
+    n = _t(spark, sf, "nation")
+    kq = F.col("n_nationkey").cast("long")
+    q = n.select(
+        kq.alias("query_id"),
+        (10.0 + _lon(kq) / 36.0).alias("q_lon"),
+        (20.0 + _lat(kq) / 17.0).alias("q_lat"),
+    )
+    o = _t(spark, sf, "orders")
+    kp = F.col("o_orderkey").cast("long")
+    p = o.select(
+        kp.alias("point_id"),
+        (10.0 + _lon(kp) / 36.0).alias("lon_c"),
+        (20.0 + _lat(kp) / 17.0).alias("lat_c"),
+    )
+    out = J.knn_join(q, p, k=3, res="auto", kring=2)
+    return out.select(
+        F.col("query_id").alias("n_nationkey"),
+        F.col("point_id").alias("o_orderkey"),
+        F.col("rank").alias("rnk"),
+    )
+
+
 def _q_radius_join(spark, sf):
     """Distance join: nation-derived queries x customer points within
     500 km — hex k-ring cover + exact haversine refine; the SQL oracle
@@ -976,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_salted": _q_pip_join_salted,
         "merge_lines": _q_merge_lines,
         "knn_join": _q_knn,
+        "knn_join_ring": _q_knn_ring,
         "radius_join": _q_radius_join,
         "salted_cell_count": _q_salted_cell_count,
         "thin_points": _q_thin_points,
@@ -1209,6 +1240,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey,
                      {_SQL_LON.format(k='o_orderkey')} AS p_lon,
                      {_SQL_LAT.format(k='o_orderkey')} AS p_lat
+              FROM orders
+            ),
+            d AS (
+              SELECT q.n_nationkey, p.o_orderkey, {hav} AS dist
+              FROM q, p
+            ),
+            r AS (
+              SELECT n_nationkey, o_orderkey,
+                     row_number() OVER (PARTITION BY n_nationkey
+                                        ORDER BY dist ASC, o_orderkey ASC) AS rnk
+              FROM d
+            )
+            SELECT n_nationkey, o_orderkey, rnk FROM r WHERE rnk <= 3
+        """,
+        "knn_join_ring": f"""
+            WITH q AS (
+              SELECT n_nationkey,
+                     10.0 + ({_SQL_LON.format(k='n_nationkey')}) / 36.0 AS q_lon,
+                     20.0 + ({_SQL_LAT.format(k='n_nationkey')}) / 17.0 AS q_lat
+              FROM nation
+            ),
+            p AS (
+              SELECT o_orderkey,
+                     10.0 + ({_SQL_LON.format(k='o_orderkey')}) / 36.0 AS p_lon,
+                     20.0 + ({_SQL_LAT.format(k='o_orderkey')}) / 17.0 AS p_lat
               FROM orders
             ),
             d AS (

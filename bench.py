@@ -86,6 +86,7 @@ def main() -> None:
         "pip_join_polygons",
         "pip_join_s2",
         "knn_join",
+        "knn_join_ring",
         "radius_join",
         "asof_join",
         "range_join",
