@@ -258,20 +258,41 @@ def decode_ahash_stage(images: DataFrame, jvm_pnm: bool = True) -> DataFrame:
     return out_pnm.unionByName(rest)
 
 
-def decode_frame_sample(videos: DataFrame, every_nth: int = 30) -> DataFrame:
-    """Video frame sampling — STUB. The container has no video codec
-    libraries; the Spark-side plumbing (binary column in, exploded
-    frame rows out) is the contract. Raises NotImplementedError when
-    executed on real bytes."""
+def decode_frame_sample(
+    videos: DataFrame, every_nth: int = 30, decode_fn=None
+) -> DataFrame:
+    """Video frame sampling: binary column in -> one row per sampled
+    frame out (video_id, frame_idx, frame_bytes).
+
+    The container has no video codec library, so the DECODER is
+    injectable: ``decode_fn(blob: bytes) -> iterable[bytes]`` yields
+    raw frames; every ``every_nth``-th one is emitted. The default
+    decoder raises NotImplementedError (honest stub) — the Spark-side
+    plumbing (schema, mapInPandas batching, frame fan-out) is real and
+    tested with a deterministic fake decoder; on a cluster with a
+    codec, pass e.g. a PyAV-based generator."""
     schema = "video_id string, frame_idx int, frame_bytes binary"
+
+    def _no_codec(blob: bytes):
+        raise NotImplementedError(
+            "video decode requires an external codec library (not in sandbox); "
+            "pass decode_fn(bytes)->iterable[frame_bytes]"
+        )
+
+    fn = decode_fn or _no_codec
 
     def op(batches):
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "video decode requires an external codec library (not in sandbox); "
-                    "plug a decode(bytes)->frames function into this mapInPandas op"
-                )
-            yield pd.DataFrame({"video_id": [], "frame_idx": [], "frame_bytes": []})
+            vids, idxs, frames = [], [], []
+            for vid, blob in zip(pdf["video_id"], pdf["bytes"]):
+                for i, frame in enumerate(fn(bytes(blob))):
+                    if i % every_nth == 0:
+                        vids.append(vid)
+                        idxs.append(i)
+                        frames.append(frame)
+            yield pd.DataFrame(
+                {"video_id": vids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_bytes": frames}
+            )
 
     return videos.mapInPandas(op, schema)

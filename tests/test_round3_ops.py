@@ -169,6 +169,35 @@ def test_merge_lines_guard_raises_on_giant_branching(spark):
         merge_lines(seg, max_walk_size=10).collect()
 
 
+def test_radius_and_knn_plans_zero_python(spark):
+    """radius_join and the knn k-ring candidate pass must plan with
+    zero Python nodes (JVM hex encode/cover + haversine columns)."""
+    from gfp_gdal_spark.operators import joins as J
+
+    rng = np.random.default_rng(7)
+    p = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": range(500),
+                "lon_c": rng.uniform(-20, 20, 500),
+                "lat_c": rng.uniform(-20, 20, 500),
+            }
+        )
+    )
+    q = spark.createDataFrame(
+        pd.DataFrame({"qid": [1, 2], "q_lon": [1.0, 2.0], "q_lat": [1.0, 2.0]})
+    )
+    rj = J.radius_join(q, p, radius_m=100_000.0)
+    plan = rj._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    kn = J.knn_join(
+        q, p, k=3, res=5, q_id="qid", p_id="pid", exact=False
+    )
+    plan2 = kn._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
+
 def test_pip_join_salted_identity_and_plan(spark):
     """salt='auto' on the shuffle path must return exactly the plain
     join's rows, and the plan must carry the salt column through the
@@ -228,6 +257,34 @@ def test_iceberg_scan_jar_gated(spark, tmp_path):
     images_table(spark, 100, with_bytes=False).writeTo("local.bench.images").createOrReplace()
     back = read_images(spark, "local.bench.images", fmt="iceberg")
     assert back.count() == 100
+
+
+def test_decode_frame_sample_plumbing(spark):
+    """The video frame fan-out plumbing runs end-to-end with an
+    injected fake decoder; the default decoder stays a loud stub."""
+    from gfp_gdal_spark.operators.multimodal import decode_frame_sample
+
+    vids = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "video_id": ["a", "b"],
+                "bytes": [b"\x01" * 4, b"\x02" * 4],
+            }
+        )
+    )
+
+    def fake_decode(blob):
+        # 7 deterministic "frames" derived from the blob
+        return [bytes([blob[0], i]) for i in range(7)]
+
+    out = decode_frame_sample(vids, every_nth=3, decode_fn=fake_decode).collect()
+    got = {(r["video_id"], r["frame_idx"]): bytes(r["frame_bytes"]) for r in out}
+    assert got == {
+        ("a", 0): b"\x01\x00", ("a", 3): b"\x01\x03", ("a", 6): b"\x01\x06",
+        ("b", 0): b"\x02\x00", ("b", 3): b"\x02\x03", ("b", 6): b"\x02\x06",
+    }
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_frame_sample(vids).collect()
 
 
 def test_streaming_dedup_wide_fingerprint(spark, tmp_path):
