@@ -574,7 +574,9 @@ def knn_join(
         res = int(min(max(round(-2.0 * math.log(s / HEX_BASE_SIZE_DEG, 7.0)), 0), HEX_MAX_RES))
 
     size = HEX_BASE_SIZE_DEG * (7.0 ** (-res / 2.0))
-    pc = points.withColumn("cell", hex_cell(F.col(p_lon), F.col(p_lat), res))
+    # narrow scans (one parquet split) would hex-encode + shuffle the
+    # whole point side in ONE task every round — fan out first
+    pc = _fan_out(points).withColumn("cell", hex_cell(F.col(p_lon), F.col(p_lat), res))
     if not exact:
         return _kring_topk(
             queries, pc, k, res, kring, q_id, q_lon, q_lat, p_id, p_lon, p_lat
