@@ -309,7 +309,61 @@ def _ring_self_intersects(pts: np.ndarray) -> bool:
         t = t_num / rxs
         u = u_num / rxs
     proper = (rxs != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
-    return bool(proper.any())
+    if bool(proper.any()):
+        return True
+    # collinear overlap between non-adjacent segments (a spike running out
+    # along an edge and back): parallel (rxs==0), collinear (qp x r == 0),
+    # and the 1-D projections onto the shared direction overlap with
+    # positive length. A proper-crossing test alone calls these "simple".
+    rr = (r * r).sum(axis=1)
+    col = (rxs == 0) & (u_num == 0) & (rr > 0)
+    if bool(col.any()):
+        t0 = (qp[col] * r[col]).sum(axis=1) / rr[col]
+        t1 = t0 + (s[col] * r[col]).sum(axis=1) / rr[col]
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        if bool((np.minimum(hi, 1.0) - np.maximum(lo, 0.0) > 0).any()):
+            return True
+    return False
+
+
+def _ring_degenerate(pts: np.ndarray, eps: float = 1e-12) -> bool:
+    """Strict degeneracy guard for KERNEL OUTPUTS (simplify/buffer) —
+    tighter than S8 ``rings_valid``. Flags, with scale-relative epsilons:
+
+    - fewer than 3 vertices;
+    - |shoelace area| <= eps * bbox_scale^2 (an exact ``== 0.0`` test
+      lets a -2e-16 residue through, then orientation-reversal re-sums
+      to exactly 0.0 — the hypothesis counterexample of round 3);
+    - any repeated vertex (consecutive -> zero-length edge;
+      non-consecutive -> pinch / zero-width spike);
+    - a backtracking joint (consecutive edges turning through ~pi:
+      |cross| <= eps*|e1||e2| with dot < 0) — a spike tip.
+
+    Mirrors the reference's post-op GEOS validity gate
+    (geos_nodes.cpp:153-176), which rejects these as invalid.
+    """
+    m = pts.shape[0]
+    if m < 3:
+        return True
+    scale = max(float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])))
+    area = signed_area(pts, np.array([0, m]))[0]
+    if abs(area) <= eps * scale * scale:
+        return True
+    if np.unique(pts, axis=0).shape[0] != m:
+        return True
+    e1 = np.roll(pts, -1, axis=0) - pts
+    e2 = np.roll(e1, -1, axis=0)
+    cross = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    dot = e1[:, 0] * e2[:, 0] + e1[:, 1] * e2[:, 1]
+    lens = np.hypot(e1[:, 0], e1[:, 1]) * np.hypot(e2[:, 0], e2[:, 1])
+    return bool(((np.abs(cross) <= eps * lens) & (dot < 0)).any())
+
+
+def _ring_output_invalid(pts: np.ndarray) -> bool:
+    """Combined post-op gate: degeneracy OR self-intersection/overlap.
+    Run on the ring in its OUTPUT orientation."""
+    return _ring_degenerate(pts) or _ring_self_intersects(pts)
 
 
 def rings_valid(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -376,12 +430,11 @@ def simplify_rings(flat: np.ndarray, offsets: np.ndarray, tol: float):
         closed = np.vstack([pts, pts[:1]])
         keep = _dp_mask(closed, tol)
         simp = closed[keep][:-1]
-        area = signed_area(simp, np.array([0, len(simp)]))[0]
-        if simp.shape[0] < 3 or area == 0.0 or _ring_self_intersects(simp):
+        if simp.shape[0] >= 3 and signed_area(simp, np.array([0, len(simp)]))[0] < 0:
+            simp = simp[::-1]  # orient CCW FIRST; validity runs on the output
+        if _ring_output_invalid(simp):
             out_rings.append(pts)  # pass-through on failure (collapsed/invalid)
             continue
-        if area < 0:
-            simp = simp[::-1]
         out_rings.append(simp)
         ok[i] = True
     counts = np.array([r.shape[0] for r in out_rings], dtype=np.int64)
@@ -532,10 +585,15 @@ def buffer_convex_rings(
                 out_rings.append(pts)
                 continue
             new = np.concatenate(verts, axis=0)
+            # arc polygonalization can emit coincident consecutive points
+            # (e.g. a zero-turn joint); drop them before the validity gate
+            # so the strict repeated-vertex check sees real topology only.
+            dup = (new == np.roll(new, 1, axis=0)).all(axis=1)
+            if dup.any():
+                new = new[~dup]
             if (
-                new.shape[0] < 3
-                or signed_area(new, np.array([0, len(new)]))[0] <= 0
-                or _ring_self_intersects(new)
+                signed_area(new, np.array([0, len(new)]))[0] <= 0
+                or _ring_output_invalid(new)
             ):
                 out_rings.append(pts)
                 continue
@@ -560,7 +618,7 @@ def buffer_convex_rings(
             if (
                 bad
                 or signed_area(new, np.array([0, m]))[0] <= 0
-                or _ring_self_intersects(new)
+                or _ring_output_invalid(new)
             ):
                 out_rings.append(pts)
                 continue

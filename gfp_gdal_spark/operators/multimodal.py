@@ -119,7 +119,7 @@ def image_stats(images: DataFrame) -> DataFrame:
             # vectorized reductions over the group tensor (reduction
             # order per image matches the per-image path bitwise —
             # numpy flattens the reduced axes in C order either way).
-            # Encode stays per image (zlib streams are per-blob).
+            # Re-encode is whole-batch too (codec.encode_group).
             for fmt, w, h, idx, pix in _grouped(pdf):
                 ng = pix.shape[0]
                 if pix.ndim == 4:
@@ -135,9 +135,7 @@ def image_stats(images: DataFrame) -> DataFrame:
                 flat = pix.reshape(ng, -1)
                 out["px_min"][idx] = flat.min(axis=1)
                 out["px_max"][idx] = flat.max(axis=1)
-                rt = _codec.decode_group(
-                    [_codec.encode_image(pix[i], fmt) for i in range(ng)], fmt, w, h
-                )
+                rt = _codec.decode_group(_codec.encode_group(pix, fmt), fmt, w, h)
                 mse = ((pix.astype(np.float64) - rt.astype(np.float64)) ** 2).reshape(
                     ng, -1
                 ).mean(axis=1)
@@ -157,8 +155,9 @@ def reencode_images(images: DataFrame, to_fmt: str) -> DataFrame:
         for pdf in batches:
             blobs: list[bytes | None] = [None] * len(pdf)
             for fmt, _w, _h, idx, pix in _grouped(pdf):
+                enc = _codec.encode_group(pix, to_fmt)
                 for j, i in enumerate(idx):
-                    blobs[i] = _codec.encode_image(pix[j], to_fmt)
+                    blobs[i] = enc[j]
             out = pdf.copy()
             out["bytes"] = blobs
             out["fmt"] = to_fmt
@@ -178,8 +177,9 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 yi = np.minimum((np.arange(out_h) * h // out_h), h - 1)
                 xi = np.minimum((np.arange(out_w) * w // out_w), w - 1)
                 res = pix[:, yi][:, :, xi]  # (ng, out_h, out_w[, 3])
+                enc = _codec.encode_group(res, fmt)
                 for j, i in enumerate(idx):
-                    blobs[i] = _codec.encode_image(res[j], fmt)
+                    blobs[i] = enc[j]
             out = pdf.copy()
             out["bytes"] = blobs
             out["w"] = out_w

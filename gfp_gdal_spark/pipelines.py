@@ -37,12 +37,12 @@ def decode_and_hash(images: DataFrame) -> DataFrame:
     perceptual average-hash and the round-trip PSNR>=40dB invariant
     flag (BASELINE.json input_hint).
 
-    Round-3 shape: whole-batch decode per uniform (fmt,w,h) group
-    (kernels.codec.decode_group — one numpy reshape per group for
-    fixed-layout formats, per-blob zlib only where the stream forces
-    it) and vectorized hash/stats over the group tensor; re-encode for
-    the PSNR check stays per image (zlib streams are per-blob). No
-    per-image decode loop — the round-2 scaling bottleneck."""
+    Round-4 shape: whole-batch decode AND re-encode per uniform
+    (fmt,w,h) group (kernels.codec.decode_group / encode_group — one
+    numpy pass per group for fixed-layout formats, per-blob zlib only
+    where the stream forces it, C-level and GIL-releasing) and
+    vectorized hash/stats over the group tensor. No per-image Python
+    loop anywhere in the ingest boundary."""
     from gfp_gdal_spark.operators.multimodal import _grouped
 
     def op(batches):
@@ -61,9 +61,7 @@ def decode_and_hash(images: DataFrame) -> DataFrame:
                 )
                 mp[idx] = g.mean(axis=(1, 2))
                 ah[idx] = _codec.ahash_batch(pix)
-                rt = _codec.decode_group(
-                    [_codec.encode_image(pix[i], fmt) for i in range(ng)], fmt, w, h
-                )
+                rt = _codec.decode_group(_codec.encode_group(pix, fmt), fmt, w, h)
                 mse = (
                     (pix.astype(np.float64) - rt.astype(np.float64)) ** 2
                 ).reshape(ng, -1).mean(axis=1)

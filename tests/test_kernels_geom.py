@@ -8,7 +8,7 @@ pass-through (geos_nodes.cpp:144-176), hole semantics
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from gfp_gdal_spark.kernels import geom as G
@@ -139,6 +139,14 @@ def test_pip_matches_matplotlib_free_oracle(poly, px, py):
 
 @given(random_polygon(), st.floats(0.001, 2.0))
 @settings(max_examples=60, deadline=None)
+@example(
+    poly=[[1.0, 0.5],
+     [3.0, 0.5],
+     [1.0, 0.5],
+     [0.5403023058681398, 1.3414709848078965],
+     [-1.2484405096414273, 3.227892280477045]],
+    tol=1.0,
+).via('discovered failure')
 def test_simplify_properties(poly, tol):
     flat, off = ragged([poly])
     nf, no, ok = G.simplify_rings(flat, off, tol)

@@ -79,6 +79,23 @@ def test_decode_group_matches_per_image():
             assert np.array_equal(grp[j], C.decode_image(b, fmt)), (fmt, j)
 
 
+def test_encode_group_bitwise_matches_per_image():
+    pdf = datagen.images_pandas(90, with_bytes=True)
+    for (fmt, w, h), idx in pdf.groupby(["fmt", "w", "h"], sort=False).indices.items():
+        blobs = [bytes(b) for b in pdf["bytes"].iloc[idx]]
+        pix = C.decode_group(blobs, fmt, int(w), int(h))
+        grp = C.encode_group(pix, fmt)
+        assert len(grp) == pix.shape[0]
+        for j in range(pix.shape[0]):
+            assert grp[j] == C.encode_image(pix[j], fmt), (fmt, j)
+    # gray pnm group (decode_group returns (n,h,w) for pgm)
+    gray = np.stack([C.synth_pixels(i, 16, 12, gray=True) for i in range(7)])
+    for fmt in ("pgm", "png", "qnt"):
+        grp = C.encode_group(gray, fmt)
+        for j in range(7):
+            assert grp[j] == C.encode_image(gray[j], fmt), (fmt, j)
+
+
 def test_ahash_batch_matches_reference_loop():
     pdf = datagen.images_pandas(60, with_bytes=True)
     for (fmt, w, h), idx in pdf.groupby(["fmt", "w", "h"], sort=False).indices.items():

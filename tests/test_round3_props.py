@@ -32,10 +32,16 @@ def test_buffer_star_polygon_closed_form(seed, n_verts, r):
     if not ok[0]:
         assert (nf == flat).all()
         return
-    # closed form from the ring's own turn angles
+    # closed form from the ring's own turn angles — computed on the
+    # CCW orientation, as the kernel normalizes before offsetting (a
+    # radial ring not containing the origin can come out CW; the turn
+    # convex/reflex classification flips with orientation)
+    A = float(G.signed_area(flat, off)[0])
+    if A < 0:
+        ring = ring[::-1]
+        A = -A
     d = np.roll(ring, -1, axis=0) - ring
     P = float(np.hypot(d[:, 0], d[:, 1]).sum())
-    A = float(G.signed_area(flat, off)[0])
     step_max = math.pi / 2.0 / quad_segs
     extra = 0.0
     for j in range(n_verts):
