@@ -43,6 +43,69 @@ def _images_parquet(spark, n_images: int) -> str:
     return path
 
 
+N_SKEW_POINTS = int(os.environ.get("SPARK_GRAFT_SKEW_POINTS", "2000000"))
+
+
+def _skew_inputs(spark, n: int):
+    """Hot-cell-skewed join inputs (cached): 30% of points land in ONE
+    z8 WebMercator cell AND sit contiguously in the input layout (the
+    common real shape — ingest batches are geographically coherent).
+    Contiguity matters: AQE's skew-join split works at map-output-block
+    granularity, so a hot cell fed by a handful of input splits can
+    only be split a handful of ways — while explicit salting scatters
+    it across all shuffle partitions BEFORE the exchange. The polygon
+    side gets 40 zone polygons inside the hot cell so hot candidates do
+    real ray-cast refine work."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gfp_gdal_spark.sources import datagen
+
+    path = f"/tmp/spark_graft_bench_cache/skewpts_{n}"
+    try:
+        ok = spark.read.parquet(path).count() == n
+    except Exception:
+        ok = False
+    if not ok:
+        hot_n = int(n * 0.3)
+        ids = spark.range(n).repartitionByRange(32, "id")
+        u1 = F.hash(F.col("id"), F.lit(1)).cast("double") / 4294967296.0 + 0.5
+        u2 = F.hash(F.col("id"), F.lit(2)).cast("double") / 4294967296.0 + 0.5
+        hot = F.col("id") < hot_n
+        pts = ids.select(
+            F.col("id").alias("image_id"),
+            F.when(hot, 10.0 + u1 * 0.6).otherwise(-178.0 + u1 * 356.0).alias("lon_c"),
+            F.when(hot, 45.0 + u2 * 0.6).otherwise(-83.0 + u2 * 166.0).alias("lat_c"),
+        )
+        pts.write.mode("overwrite").parquet(path)
+    ppath = "/tmp/spark_graft_bench_cache/skewpolys"
+    try:
+        spark.read.parquet(ppath).count()
+    except Exception:
+        base = datagen.vector_layer_zones_pandas(2000)
+        rng = np.random.default_rng(7)
+        rows = []
+        for j in range(40):
+            cx, cy = rng.uniform(10.0, 10.6), rng.uniform(45.0, 45.6)
+            rad = rng.uniform(0.05, 0.3)
+            k = 3 + (j % 6)
+            ang = rng.uniform(0, 2 * np.pi) + np.arange(k) * 2 * np.pi / k
+            ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+            rows.append(
+                {
+                    "polygon_id": 100000 + j, "ring": ring.tolist(), "holes": None,
+                    "name": f"hotzone_{j}", "category": "hot",
+                    "valid_from": pd.Timestamp("2020-01-01").date(),
+                }
+            )
+        pdf = pd.concat([base, pd.DataFrame(rows)], ignore_index=True)
+        spark.createDataFrame(pdf, schema=datagen.VECTOR_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(ppath)
+    return path, ppath
+
+
 def _flagship(spark, images_path: str):
     """images scan -> footprints -> cell-bucketed PiP join vs
     2k-polygon layer -> WebMercator tile assign -> per-tile counts."""
@@ -137,6 +200,32 @@ def main() -> None:
         flagship_sec = dt if flagship_sec is None else min(flagship_sec, dt)
     timings["flagship_pip_tile"] = round(flagship_sec, 3)
     print(f"# flagship: {flagship_sec:.2f}s ({n_out} tiles, best of {n_runs})", file=sys.stderr)
+
+    # hot-cell skew pair (VERDICT r03 ask #8): same shuffle PiP join on
+    # a deliberately skewed, layout-clustered input — salted must beat
+    # unsalted while producing the identical row count.
+    from gfp_gdal_spark.operators import joins as J
+
+    sk_path, sk_polys = _skew_inputs(spark, N_SKEW_POINTS)
+    sk_pts = spark.read.parquet(sk_path)
+    sk_pl = spark.read.parquet(sk_polys)
+    skew_rows = {}
+    for name, kw in (
+        ("pip_skew_unsalted", {}),
+        ("pip_skew_salted", {"salt": "auto"}),
+    ):
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = J.pip_join(sk_pts, sk_pl, z=8, broadcast=False, **kw).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        skew_rows[name] = n
+        print(f"# {name}: {timings[name]}s ({n} rows, best of 2)", file=sys.stderr)
+    assert skew_rows["pip_skew_unsalted"] == skew_rows["pip_skew_salted"], (
+        "salting identity violated on the skew bench"
+    )
 
     total = round(sum(timings.values()), 3)
     result = {

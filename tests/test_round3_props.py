@@ -7,7 +7,9 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
+
+from pyspark.sql import functions as F
 
 from gfp_gdal_spark.kernels import geom as G
 
@@ -93,3 +95,153 @@ def test_asof_bucketed_random_parity(spark):
             for row in asof_join(l, r, on="t", by="k", bucket_width=width).collect()
         }
         assert got == base, f"width={width}"
+
+
+# ---------------------------------------------------------------------------
+# radius_join antimeridian / pole-band properties (VERDICT r03 ask #6)
+# ---------------------------------------------------------------------------
+
+def _haversine_np(lon1, lat1, lon2, lat2):
+    """numpy twin of functions.geometry.haversine_m (same sphere R);
+    inherently periodic in dlon, so it is wrap-correct by construction."""
+    r = 6371008.8
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    a = (
+        np.sin(np.radians(lat2 - lat1) / 2) ** 2
+        + np.cos(p1) * np.cos(p2) * np.sin(np.radians(lon2 - lon1) / 2) ** 2
+    )
+    return 2 * r * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+
+def _scatter(rng, lon0, lat0, radius_m, n):
+    """n points scattered within ~1.6 radii of (lon0, lat0), longitudes
+    wrapped to [-180, 180) so clusters straddling the antimeridian
+    arrive in the discontinuous representation the join must handle."""
+    deg = radius_m / 111_194.9
+    lat = np.clip(lat0 + rng.uniform(-1.6, 1.6, n) * deg, -88.5, 88.5)
+    lon = lon0 + rng.uniform(-1.6, 1.6, n) * deg / np.maximum(np.cos(np.radians(lat)), 0.05)
+    lon = (lon + 180.0) % 360.0 - 180.0
+    return lon, lat
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(0, 10**6),
+    st.floats(-179.9, 179.9),
+    st.floats(-84.0, 84.0),
+    st.floats(30_000.0, 400_000.0),
+)
+@example(seed=1, lon0=179.9, lat0=0.0, radius_m=120_000.0).via("antimeridian equator")
+@example(seed=2, lon0=-179.95, lat0=72.0, radius_m=250_000.0).via("antimeridian high lat")
+@example(seed=3, lon0=179.5, lat0=-83.5, radius_m=300_000.0).via("antimeridian + guard band south")
+@example(seed=4, lon0=0.0, lat0=84.0, radius_m=400_000.0).via("guard band north, no wrap")
+@example(seed=5, lon0=120.0, lat0=0.0, radius_m=30_000.0).via("plain equator control")
+def test_radius_join_wrap_parity_bruteforce(spark, seed, lon0, lat0, radius_m):
+    """radius_join must return EXACTLY the brute-force haversine pair
+    set — same pairs, same distances, no duplicates — for clusters
+    straddling the antimeridian and reaching into the polar guard band."""
+    from gfp_gdal_spark.operators.joins import radius_join
+
+    rng = np.random.default_rng(seed)
+    llon, llat = _scatter(rng, lon0, lat0, radius_m, 14)
+    rlon, rlat = _scatter(rng, lon0, lat0, radius_m, 26)
+    l = spark.createDataFrame(
+        pd.DataFrame({"lid": range(14), "q_lon": llon, "q_lat": llat})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"rid": range(26), "lon_c": rlon, "lat_c": rlat})
+    )
+    # brute force over all 14 x 26 pairs
+    d = _haversine_np(llon[:, None], llat[:, None], rlon[None, :], rlat[None, :])
+    want = {
+        (i, j): d[i, j]
+        for i in range(14)
+        for j in range(26)
+        if d[i, j] <= radius_m
+    }
+    dlat_deg = radius_m * (180.0 / (np.pi * 6_371_008.8)) * 1.0001
+    max_lat = min(max(np.abs(llat).max(), np.abs(rlat).max()), 89.0)
+    if dlat_deg >= 90.0 - max_lat:
+        with pytest.raises(ValueError, match="pole"):
+            radius_join(l, r, radius_m).collect()
+        return
+    rows = radius_join(l, r, radius_m).collect()
+    got = {(row["lid"], row["rid"]): row["dist_m"] for row in rows}
+    assert len(rows) == len(got), "duplicate pairs emitted"
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9, abs=1e-6)
+
+
+def test_radius_join_pole_guard_raises(spark):
+    """A radius that bridges the pole cap above the data's max |lat|
+    must fail loud (the lon/lat lattice cannot cover a pole cap)."""
+    from gfp_gdal_spark.operators.joins import radius_join
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"lid": [0], "q_lon": [10.0], "q_lat": [88.9]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"rid": [0], "lon_c": [12.0], "lat_c": [88.95]})
+    )
+    with pytest.raises(ValueError, match="pole"):
+        radius_join(l, r, 150_000.0).collect()
+
+
+def test_asof_bucketed_hot_key_plan_and_partition_bound(spark):
+    """The bucketed asof path's scale claim, checked in the plan and in
+    the data: with bucket_width set, the carry-forward Window must
+    partition on (by, _bkt) — never on the bare hot key — and the
+    largest (by, _bkt) window partition on a synthetic one-key firehose
+    must stay ~n_rows/n_buckets, not n_rows."""
+    import re
+
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    n, width, span = 40_000, 25.0, 10_000.0  # one hot key, 400 buckets
+    rows = spark.range(n).select(
+        F.lit("HOTKEY").alias("k"),
+        (F.col("id") % int(span)).cast("double").alias("t"),
+        F.col("id").alias("lid"),
+    )
+    quotes = spark.range(500).select(
+        F.lit("HOTKEY").alias("k"),
+        (F.col("id") * (span / 500)).cast("double").alias("t"),
+        F.col("id").cast("double").alias("v"),
+    )
+    out = asof_join(rows, quotes, on="t", by="k", bucket_width=width)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every Window over the event stream must include _bkt in its
+    # partition spec; a Window partitioned on the bare key alone is
+    # the single-partition-sort trap (the cascade window over
+    # O(#buckets) rows per key is the one legitimate exception —
+    # identified by its _bkt_eff ordering column). Spark prints specs
+    # as windowspecdefinition(part..., order ASC/DESC..., frame).
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "no Window nodes found in the physical plan"
+    checked = 0
+    for spec in specs:
+        toks = [t.strip() for t in spec.split(",")]
+        part = [t for t in toks if "ASC" not in t and "DESC" not in t and "frame" not in t]
+        order = [t for t in toks if "ASC" in t or "DESC" in t]
+        if any("_bkt_eff" in t for t in order):
+            continue  # the O(#buckets)-row carry-in cascade
+        assert any("_bkt" in t for t in part), f"Window partitions on {part!r} only"
+        checked += 1
+    assert checked >= 2  # carry-forward window + per-bucket last-row window
+    # empirical bound: max rows in any (k, _bkt) partition of the
+    # unioned stream is (n + n_quotes) / n_buckets, far below n
+    per_bucket = (
+        rows.select("k", "t").unionByName(quotes.select("k", "t"))
+        .groupBy("k", F.floor(F.col("t") / width).alias("b"))
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()
+        .mx
+    )
+    assert per_bucket <= (n + 500) / (span / width) * 1.5
+    assert per_bucket < n / 100
+    # and the output is still the exact asof answer
+    base = asof_join(rows, quotes, on="t", by="k")
+    assert out.select("lid", "v").exceptAll(base.select("lid", "v")).count() == 0
+    assert base.select("lid", "v").exceptAll(out.select("lid", "v")).count() == 0
