@@ -70,12 +70,19 @@ def _ahash_arrow_op(meta_cols: list[str]):
             if col.null_count:
                 raise ValueError("null bytes in images table")
             starts, ends, data = _binary_buffers(col)
-            fmts = np.asarray(b.column(names.index("fmt")).to_pylist())
+            # dictionary-encode fmt Arrow-side: per-row work is an
+            # int8 code compare, no Python string materialization
+            fcol = b.column(names.index("fmt"))
+            fdict = pa.compute.dictionary_encode(
+                fcol.combine_chunks() if isinstance(fcol, pa.ChunkedArray) else fcol
+            )
+            fcodes = fdict.indices.to_numpy(zero_copy_only=False)
+            fvals = fdict.dictionary.to_pylist()  # one Python str per DISTINCT fmt
             ws = b.column(names.index("w")).to_numpy()
             hs = b.column(names.index("h")).to_numpy()
             out = np.zeros(b.num_rows, dtype=np.int64)
-            for fmt in dict.fromkeys(fmts.tolist()):
-                m = np.where(fmts == fmt)[0]
+            for code, fmt in enumerate(fvals):
+                m = np.where(fcodes == code)[0]
                 wh = ws[m].astype(np.int64) * 1_000_000 + hs[m]
                 for key in np.unique(wh):
                     sel = m[wh == key]
