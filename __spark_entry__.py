@@ -809,6 +809,25 @@ def _q_asof_join(spark, sf):
     return out.select("user_id", "event_id", "prior_value")
 
 
+def _q_asof_join_fwd(spark, sf):
+    """FORWARD as-of join (earliest following row per key), run through
+    the hot-key bucketed path (bucket_width exercises the descending
+    carry-in cascade); DuckDB ASOF with `l.on <= r.on` is the oracle."""
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    l = e.where(F.pmod("event_id", F.lit(2)) == 0).select("user_id", "event_id")
+    r = e.where(F.pmod("event_id", F.lit(2)) == 1).select(
+        "user_id", "event_id", F.round("value", 6).alias("next_value")
+    )
+    out = asof_join(
+        l, r, on="event_id", by="user_id", value_cols=["next_value"],
+        direction="forward", bucket_width=1000.0,
+    )
+    return out.select("user_id", "event_id", "next_value")
+
+
 def _q_range_join(spark, sf):
     """Interval containment join (1-D twin of the PiP join): order-key
     points vs nation-derived intervals, bin-bucketed equi-join +
@@ -1062,11 +1081,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # --- image / geometry / temporal ---
         "image_roundtrip": _q_image_roundtrip,
-        "wkt_roundtrip": _q_wkt_roundtrip,
         "crs_webmercator": _q_crs_webmercator,
         "crs_utm_roundtrip": _q_crs_utm_roundtrip,
         "mesh_fanout": _q_mesh_fanout,
         "asof_join": _q_asof_join,
+        "asof_join_fwd": _q_asof_join_fwd,
         "range_join": _q_range_join,
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
@@ -1076,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_parts": _q_time_parts,
         "line_length": _q_line_length,
         "polygon_z": _q_polygon_z,
+        "wkt_roundtrip": _q_wkt_roundtrip,
     }
 
 
@@ -1643,6 +1663,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.user_id, l.event_id, r.prior_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        """,
+        "asof_join_fwd": """
+            WITH l AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 0),
+            r AS (SELECT user_id, event_id, round(value, 6) AS next_value
+                  FROM events WHERE event_id % 2 = 1)
+            SELECT l.user_id, l.event_id, r.next_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.event_id <= r.event_id
         """,
         "range_join": """
             WITH iv AS (

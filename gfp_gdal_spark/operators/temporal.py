@@ -31,10 +31,12 @@ def asof_join(
     suffix: str | None = None,
     bucket_width: float | None = None,
 ) -> DataFrame:
-    """As-of join (backward, inclusive): each left row picks up the
-    most recent right row with ``right.on <= left.on`` and the same
-    ``by`` key — null-filled when no prior right row exists (DuckDB
-    `ASOF JOIN` semantics, which is the oracle).
+    """As-of join (inclusive): ``direction="backward"`` gives each left
+    row the most recent right row with ``right.on <= left.on`` and the
+    same ``by`` key; ``direction="forward"`` the EARLIEST right row
+    with ``right.on >= left.on`` — null-filled when no such right row
+    exists (DuckDB `ASOF JOIN` semantics with `>=` / `<=` respectively,
+    which is the oracle).
 
     Plan shape: union the two sides with a source tag, one window over
     (by, on, tag) doing last(ignorenulls) carry-forward, filter back to
@@ -61,8 +63,9 @@ def asof_join(
     """
     from pyspark.sql import Window
 
-    if direction != "backward":
-        raise ValueError("only direction='backward' (latest prior row) is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' (latest prior row) or 'forward' (earliest following row)")
+    bwd = direction == "backward"
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
     collide = [c for c in value_cols if c in left.columns]
     if collide and suffix is None:
@@ -97,22 +100,30 @@ def asof_join(
     if bucket_width is not None:
         u = u.withColumn("_bkt", F.floor(F.col(on).cast("double") / bucket_width).cast("long"))
         part_cols = [by, "_bkt"]
+    # scan order: backward walks time ascending (carry = latest prior
+    # right row); forward walks descending (carry = earliest following).
+    # _src asc in BOTH: at equal timestamps the right row sorts before
+    # the left row, so ties are inclusive in either direction.
+    on_ord = F.col(on).asc() if bwd else F.col(on).desc()
     w = (
         Window.partitionBy(*part_cols)
-        .orderBy(F.col(on).asc(), F.col("_src").asc())
+        .orderBy(on_ord, F.col("_src").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = u.withColumn("_rrow", F.last("_rrow", ignorenulls=True).over(w))
     out = u.where(F.col("_src") == 1).drop("_src")
 
     if bucket_width is not None:
-        # carry-in across buckets: latest right row per (by, bucket),
-        # cascaded so bucket b sees the newest right row of buckets < b
+        # carry-in across buckets: boundary right row per (by, bucket) —
+        # latest for backward, earliest for forward — cascaded so bucket
+        # b sees the right rows of buckets < b (backward) / > b (forward)
         # (a window over O(#buckets) rows per key, not O(#events)).
         rb = right.withColumn(
             "_bkt", F.floor(F.col(on).cast("double") / bucket_width).cast("long")
         )
-        wlast = Window.partitionBy(by, "_bkt").orderBy(F.col(on).desc())
+        wlast = Window.partitionBy(by, "_bkt").orderBy(
+            F.col(on).desc() if bwd else F.col(on).asc()
+        )
         last_pb = (
             rb.withColumn("_rn", F.row_number().over(wlast))
             .where(F.col("_rn") == 1)
@@ -122,9 +133,12 @@ def asof_join(
                 F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_crow"),
             )
         )
-        # a right bucket's last row becomes visible from the NEXT bucket
-        # on (within-bucket rows are already handled by the window above)
-        donor = last_pb.withColumn("_bkt_eff", F.col("_bkt") + 1).withColumn("_tag", F.lit(0))
+        # a right bucket's boundary row becomes visible from the NEXT
+        # bucket onward (backward) / the PREVIOUS bucket back (forward);
+        # within-bucket rows are already handled by the window above
+        donor = last_pb.withColumn(
+            "_bkt_eff", F.col("_bkt") + (1 if bwd else -1)
+        ).withColumn("_tag", F.lit(0))
         need = (
             out.select(by, "_bkt").distinct()
             .withColumn("_bkt_eff", F.col("_bkt"))
@@ -134,7 +148,10 @@ def asof_join(
         cas = donor.select(need.columns).unionByName(need.select(need.columns))
         wc = (
             Window.partitionBy(by)
-            .orderBy(F.col("_bkt_eff").asc(), F.col("_tag").asc())
+            .orderBy(
+                F.col("_bkt_eff").asc() if bwd else F.col("_bkt_eff").desc(),
+                F.col("_tag").asc(),
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         cas = cas.withColumn("_crow", F.last("_crow", ignorenulls=True).over(wc))

@@ -86,15 +86,36 @@ def test_asof_bucketed_random_parity(spark):
     )
     l = spark.createDataFrame(l_pdf)
     r = spark.createDataFrame(r_pdf)
-    base = {row["lid"]: row["v"] for row in asof_join(l, r, on="t", by="k").collect()}
-    # pandas reference (merge_asof needs sorted; allow ties -> last right wins
-    # is direction-dependent, so just compare bucketed vs unbucketed Spark)
-    for width in (1.0, 17.5, 250.0, 10_000.0):
-        got = {
+    for direction in ("backward", "forward"):
+        base = {
             row["lid"]: row["v"]
-            for row in asof_join(l, r, on="t", by="k", bucket_width=width).collect()
+            for row in asof_join(l, r, on="t", by="k", direction=direction).collect()
         }
-        assert got == base, f"width={width}"
+        # numpy reference on the unbucketed result (unique right ts, so
+        # the answer is well-defined): per left row, the right row with
+        # max t<=lt (backward) / min t>=lt (forward) in the same key
+        rk, rt = r_pdf["k"].to_numpy(), r_pdf["t"].to_numpy()
+        rv = r_pdf["v"].to_numpy(dtype=object)
+        for _, row in l_pdf.iterrows():
+            m = rk == row["k"]
+            m &= (rt <= row["t"]) if direction == "backward" else (rt >= row["t"])
+            if not m.any():
+                assert base[row["lid"]] is None, (direction, row["lid"])
+            else:
+                j = rt[m].argmax() if direction == "backward" else rt[m].argmin()
+                want = rv[m][j]
+                if pd.isna(want):  # matched row carries a NULL value
+                    assert base[row["lid"]] is None, (direction, row["lid"])
+                else:
+                    assert base[row["lid"]] == want, (direction, row["lid"])
+        for width in (1.0, 17.5, 250.0, 10_000.0):
+            got = {
+                row["lid"]: row["v"]
+                for row in asof_join(
+                    l, r, on="t", by="k", direction=direction, bucket_width=width
+                ).collect()
+            }
+            assert got == base, f"direction={direction} width={width}"
 
 
 # ---------------------------------------------------------------------------
