@@ -996,6 +996,33 @@ def _q_minhash_clusters(spark, sf):
     return out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
 
 
+def _q_interval_join(spark, sf):
+    """Interval-overlap join (interval x interval): nation validity
+    spans vs supplier service windows, bin-bucketed with canonical-bin
+    dedup; plain overlap-predicate SQL is the oracle."""
+    from gfp_gdal_spark.operators.temporal import interval_join
+
+    _prep(spark)
+    n = _t(spark, sf, "nation")
+    kn = F.col("n_nationkey").cast("long")
+    l = n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        (kn * 400).cast("double").alias("l_lo"),
+        (kn * 400 + 500 + (kn % 7) * 80).cast("double").alias("l_hi"),
+    )
+    s = _t(spark, sf, "supplier")
+    ks = F.col("s_suppkey").cast("long")
+    r = s.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        ((ks * 37) % 10000).cast("double").alias("r_lo"),
+        ((ks * 37) % 10000 + 120 + (ks % 5) * 60).cast("double").alias("r_hi"),
+    )
+    out = interval_join(
+        l, r, bin_width=250.0, l_lo="l_lo", l_hi="l_hi", r_lo="r_lo", r_hi="r_hi"
+    )
+    return out.select("n_nationkey", "s_suppkey")
+
+
 def _q_pip_join_polygons(spark, sf):
     """General convex k-gons WITH holes, built in closed form from the
     supplier table (k = 3 + key%6 regular polygon, square hole on even
@@ -1082,11 +1109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- image / geometry / temporal ---
         "image_roundtrip": _q_image_roundtrip,
         "crs_webmercator": _q_crs_webmercator,
-        "crs_utm_roundtrip": _q_crs_utm_roundtrip,
         "mesh_fanout": _q_mesh_fanout,
         "asof_join": _q_asof_join,
         "asof_join_fwd": _q_asof_join_fwd,
         "range_join": _q_range_join,
+        "interval_join": _q_interval_join,
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
         # --- tail (>50): stable since round 2, driver rows green r01-r03 ---
@@ -1096,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_length": _q_line_length,
         "polygon_z": _q_polygon_z,
         "wkt_roundtrip": _q_wkt_roundtrip,
+        "crs_utm_roundtrip": _q_crs_utm_roundtrip,
     }
 
 
@@ -1663,6 +1691,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.user_id, l.event_id, r.prior_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        """,
+        "interval_join": """
+            WITH l AS (
+              SELECT n_nationkey,
+                     CAST(n_nationkey * 400 AS DOUBLE) AS l_lo,
+                     CAST(n_nationkey * 400 + 500 + (n_nationkey % 7) * 80 AS DOUBLE) AS l_hi
+              FROM nation
+            ),
+            r AS (
+              SELECT s_suppkey,
+                     CAST((s_suppkey * 37) % 10000 AS DOUBLE) AS r_lo,
+                     CAST((s_suppkey * 37) % 10000 + 120 + (s_suppkey % 5) * 60 AS DOUBLE) AS r_hi
+              FROM supplier
+            )
+            SELECT l.n_nationkey, r.s_suppkey
+            FROM l JOIN r ON l.l_lo <= r.r_hi AND r.r_lo <= l.l_hi
         """,
         "asof_join_fwd": """
             WITH l AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 0),

@@ -11,6 +11,9 @@ joins; no UDFs anywhere).
   explode over fixed-width bins (bounded by interval length), points
   map to exactly one bin, equi-join + exact predicate refine. The 1-D
   analog of the cell-bucketed PiP join.
+- interval_join: interval x interval overlap — both sides bin-explode,
+  each overlapping pair kept only in its canonical bin (the bin of
+  greatest(lo_l, lo_r)), so no dedup shuffle is ever needed.
 """
 
 from __future__ import annotations
@@ -18,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "interval_join", "range_join"]
 
 
 def asof_join(
@@ -196,3 +199,40 @@ def range_join(
     else:
         cond = (F.col(val) >= F.col(lo)) & (F.col(val) < F.col(hi))
     return joined.where(cond)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    bin_width: float,
+    l_lo: str = "lo",
+    l_hi: str = "hi",
+    r_lo: str = "lo",
+    r_hi: str = "hi",
+) -> DataFrame:
+    """Interval-OVERLAP join: left x right rows whose closed intervals
+    intersect (``l_lo <= r_hi AND r_lo <= l_hi``) — the interval x
+    interval sibling of ``range_join`` (time-range sessions vs outage
+    windows, footprint spans vs validity spans).
+
+    Both sides explode over fixed-width bins (bounded by
+    ceil(len/bin_width)+1 rows per interval — size ``bin_width`` to the
+    TYPICAL interval length); the equi-join on the shared bin would
+    emit a pair once per shared bin, so each pair is kept only in its
+    CANONICAL bin — the bin of ``greatest(l_lo, r_lo)``, which every
+    overlapping pair shares exactly once (both intervals contain that
+    point). No dedup shuffle, no distinct. Pure JVM throughout; never
+    builds the left x right product.
+    """
+    lb0 = F.floor(F.col(l_lo) / bin_width).cast("long")
+    lb1 = F.floor(F.col(l_hi) / bin_width).cast("long")
+    rb0 = F.floor(F.col(r_lo) / bin_width).cast("long")
+    rb1 = F.floor(F.col(r_hi) / bin_width).cast("long")
+    lv = left.withColumn("_bin", F.explode(F.sequence(lb0, lb1)))
+    rv = right.withColumn("_bin", F.explode(F.sequence(rb0, rb1)))
+    joined = lv.join(rv, "_bin")
+    overlap = (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+    canonical = F.col("_bin") == F.floor(
+        F.greatest(F.col(l_lo), F.col(r_lo)) / bin_width
+    ).cast("long")
+    return joined.where(overlap & canonical).drop("_bin")

@@ -266,3 +266,37 @@ def test_asof_bucketed_hot_key_plan_and_partition_bound(spark):
     base = asof_join(rows, quotes, on="t", by="k")
     assert out.select("lid", "v").exceptAll(base.select("lid", "v")).count() == 0
     assert base.select("lid", "v").exceptAll(out.select("lid", "v")).count() == 0
+
+
+def test_interval_join_random_parity(spark):
+    """interval_join vs a numpy brute-force overlap matrix: random
+    interval sets across several bin widths (canonical-bin dedup must
+    emit every overlapping pair exactly once — including intervals
+    spanning many bins, zero-length intervals, and negative coords)."""
+    from gfp_gdal_spark.operators.temporal import interval_join
+
+    rng = np.random.default_rng(4)
+    nl, nr = 80, 120
+    l_lo = rng.uniform(-500, 500, nl)
+    l_hi = l_lo + rng.choice([0.0, 1.0, 30.0, 400.0], nl) * rng.uniform(0.0, 1.0, nl)
+    r_lo = rng.uniform(-500, 500, nr)
+    r_hi = r_lo + rng.choice([0.0, 2.0, 50.0, 300.0], nr) * rng.uniform(0.0, 1.0, nr)
+    want = {
+        (i, j)
+        for i in range(nl)
+        for j in range(nr)
+        if l_lo[i] <= r_hi[j] and r_lo[j] <= l_hi[i]
+    }
+    l = spark.createDataFrame(
+        pd.DataFrame({"lid": range(nl), "l_lo": l_lo, "l_hi": l_hi})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"rid": range(nr), "r_lo": r_lo, "r_hi": r_hi})
+    )
+    for w in (7.0, 100.0, 5000.0):
+        rows = interval_join(
+            l, r, bin_width=w, l_lo="l_lo", l_hi="l_hi", r_lo="r_lo", r_hi="r_hi"
+        ).collect()
+        got = [(row["lid"], row["rid"]) for row in rows]
+        assert len(got) == len(set(got)), f"duplicate pairs at width {w}"
+        assert set(got) == want, f"width {w}"
