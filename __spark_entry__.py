@@ -1023,6 +1023,46 @@ def _q_interval_join(spark, sf):
     return out.select("n_nationkey", "s_suppkey")
 
 
+def _q_hash_split(spark, sf):
+    """Reproducible train/val/test split by Knuth-mix of the row id —
+    shuffle-free, stable under resume; the SQL oracle evaluates the
+    identical integer arithmetic (fractions chosen float-exact)."""
+    from gfp_gdal_spark.operators.sampling import hash_split
+
+    _prep(spark)
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    out = hash_split(o, "o_orderkey", {"train": 0.5, "val": 0.25, "test": 0.25})
+    return out.select("o_orderkey", "split")
+
+
+def _q_sample_per_group(spark, sf):
+    """Deterministic 5-per-customer order sample (class-balancing /
+    per-domain caps): rank by mixed id inside each group, keep 5."""
+    from gfp_gdal_spark.operators.sampling import sample_per_group
+
+    _prep(spark)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    out = sample_per_group(o, by="o_custkey", n=5, id_col="o_orderkey")
+    return out.select("o_custkey", "o_orderkey")
+
+
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization of the events stream (1-hour gap):
+    per-user cumulative new-session flags; DuckDB evaluates the same
+    lag/cumsum window on epoch seconds."""
+    from gfp_gdal_spark.operators.sampling import sessionize
+
+    _prep(spark)
+    # parquet ts is TIMESTAMP_NTZ: hop through LTZ (session TZ is UTC,
+    # set by _prep) to epoch seconds — matches DuckDB's epoch(ts)
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"),
+    )
+    out = sessionize(e, by="user_id", ts="tsec", gap=3600.0, tiebreak="event_id")
+    return out.select("user_id", "event_id", "session_idx")
+
+
 def _q_pip_join_polygons(spark, sf):
     """General convex k-gons WITH holes, built in closed form from the
     supplier table (k = 3 + key%6 regular polygon, square hole on even
@@ -1086,8 +1126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_ring": _q_knn_ring,
         "radius_join": _q_radius_join,
         "salted_cell_count": _q_salted_cell_count,
-        "thin_points": _q_thin_points,
-        "group_segments": _q_group_segments,
         "attribute_filter": _q_attribute_filter,
         "agg_pricing": _q_agg_pricing,
         "topk_per_user": _q_topk_per_user,
@@ -1109,11 +1147,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- image / geometry / temporal ---
         "image_roundtrip": _q_image_roundtrip,
         "crs_webmercator": _q_crs_webmercator,
-        "mesh_fanout": _q_mesh_fanout,
         "asof_join": _q_asof_join,
         "asof_join_fwd": _q_asof_join_fwd,
         "range_join": _q_range_join,
         "interval_join": _q_interval_join,
+        "hash_split": _q_hash_split,
+        "sample_per_group": _q_sample_per_group,
+        "sessionize": _q_sessionize,
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
         # --- tail (>50): stable since round 2, driver rows green r01-r03 ---
@@ -1124,6 +1164,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_z": _q_polygon_z,
         "wkt_roundtrip": _q_wkt_roundtrip,
         "crs_utm_roundtrip": _q_crs_utm_roundtrip,
+        "thin_points": _q_thin_points,
+        "group_segments": _q_group_segments,
+        "mesh_fanout": _q_mesh_fanout,
     }
 
 
@@ -1691,6 +1734,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.user_id, l.event_id, r.prior_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.event_id >= r.event_id
+        """,
+        "hash_split": """
+            WITH u AS (
+              SELECT o_orderkey,
+                     CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE)
+                       / 4294967296.0 AS u
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN u >= 0.0 AND u < 0.5 THEN 'train'
+                        WHEN u >= 0.5 AND u < 0.75 THEN 'val'
+                        WHEN u >= 0.75 AND u < 1.0 THEN 'test'
+                        ELSE NULL END AS split
+            FROM u
+        """,
+        "sample_per_group": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY (o_orderkey * 2654435761) % 4294967296 ASC,
+                                o_orderkey ASC) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey FROM r WHERE rn <= 5
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch(ts) AS tsec FROM events
+            ),
+            f AS (
+              SELECT user_id, event_id, tsec,
+                     CASE WHEN lag(tsec) OVER w IS NULL
+                               OR tsec - lag(tsec) OVER w > 3600.0
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC)
+            )
+            SELECT user_id, event_id,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY tsec ASC, event_id ASC
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+            FROM f
         """,
         "interval_join": """
             WITH l AS (
