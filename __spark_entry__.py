@@ -140,6 +140,16 @@ def _q_tile_counts(spark, sf):
     return out.groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n_points"))
 
 
+def _q_tile_rollup(spark, sf):
+    """Tile-pyramid rollup z8 -> z4..z8 in ONE wide aggregation
+    (explode over ancestor levels + single hash agg); the oracle
+    evaluates the same shifted coords per level via generate_series."""
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
+    out = J.tile_rollup(J.tile_assign(pts, z=8), z_to=4)
+    return out.select("tile_z", "tile_x", "tile_y", "n")
+
+
 def _q_tile_cover(spark, sf):
     # centers on a shrunken domain so bbox edges never cross the
     # +-180/+-85 clamp (the oracle SQL has no clamp)
@@ -1114,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- core spatial ---
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
+        "tile_rollup": _q_tile_rollup,
         "tile_cover": _q_tile_cover,
         "pip_join_rect": _q_pip_join_rect,
         "pip_join_hex": _q_pip_join_hex,
@@ -1146,7 +1157,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # --- image / geometry / temporal ---
         "image_roundtrip": _q_image_roundtrip,
-        "crs_webmercator": _q_crs_webmercator,
         "asof_join": _q_asof_join,
         "asof_join_fwd": _q_asof_join_fwd,
         "range_join": _q_range_join,
@@ -1167,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thin_points": _q_thin_points,
         "group_segments": _q_group_segments,
         "mesh_fanout": _q_mesh_fanout,
+        "crs_webmercator": _q_crs_webmercator,
     }
 
 
@@ -1276,6 +1287,17 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT {_TILE_X.format(n=256)} AS tile_x,
                          {_TILE_Y.format(n=256)} AS tile_y FROM p)
             SELECT tile_x, tile_y, count(*) AS n_points FROM t GROUP BY 1, 2
+        """,
+        "tile_rollup": f"""
+            WITH p AS ({opoints}),
+            t AS (SELECT {_TILE_X.format(n=256)} AS tile_x,
+                         {_TILE_Y.format(n=256)} AS tile_y FROM p),
+            lv AS (SELECT * FROM t, generate_series(4, 8) AS g(l))
+            SELECT l AS tile_z,
+                   tile_x >> (8 - l) AS tile_x,
+                   tile_y >> (8 - l) AS tile_y,
+                   count(*) AS n
+            FROM lv GROUP BY 1, 2, 3
         """,
         "tile_cover": f"""
             WITH s AS (

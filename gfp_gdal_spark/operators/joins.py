@@ -87,6 +87,44 @@ def tile_assign(df: DataFrame, lon: str = "lon_c", lat: str = "lat_c", z: int = 
     return df.withColumn("tile_z", F.lit(z)).withColumn("tile_x", xt).withColumn("tile_y", yt)
 
 
+def tile_rollup(
+    tiles: DataFrame,
+    z_to: int,
+    count_col: str | None = None,
+    out_col: str = "n",
+) -> DataFrame:
+    """Tile-pyramid rollup: per-tile counts (or pre-aggregated
+    ``count_col`` sums) at EVERY zoom from the input's ``tile_z`` down
+    to ``z_to`` — the serving-pyramid aggregation behind any z/x/y tile
+    endpoint. Parent coords are child coords shifted right by the level
+    difference (WebMercator quadtree).
+
+    Scale shape: each row explodes over its ancestor levels and ONE
+    hash aggregation keyed (tile_z, tile_x, tile_y) produces the whole
+    pyramid — a single shuffle whose map-side partial combine collapses
+    the fan-out to at most one row per (input tile x level) before
+    anything crosses the network. The alternative (per-level iterative
+    rollup reusing child sums) shuffles z_from - z_to times and leaves
+    log-depth lineage; one wide aggregation wins on a cluster unless
+    levels are reused incrementally.
+    """
+    zc = F.col("tile_z")
+    lvl = F.explode(F.sequence(F.lit(z_to), zc))
+    t = tiles.withColumn("_l", lvl)
+    weight = F.lit(1).cast("long") if count_col is None else F.col(count_col).cast("long")
+    t = t.select(
+        F.col("_l").alias("out_z"),
+        F.expr("shiftright(tile_x, tile_z - _l)").alias("out_x"),
+        F.expr("shiftright(tile_y, tile_z - _l)").alias("out_y"),
+        weight.alias("_w"),
+    )
+    return (
+        t.groupBy("out_z", "out_x", "out_y")
+        .agg(F.sum("_w").alias(out_col))
+        .withColumnsRenamed({"out_z": "tile_z", "out_x": "tile_x", "out_y": "tile_y"})
+    )
+
+
 def ring_bbox_cols(df: DataFrame, ring: str = "ring") -> DataFrame:
     """bbox columns from an array<array<double>> ring — pure JVM
     (transform + array_min/max), no Python round-trip."""

@@ -99,3 +99,69 @@ def streaming_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    by: str,
+    ts: str,
+    gap: float,
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator: gap-based sessionization
+    across micro-batches — the streaming twin of
+    operators.sampling.sessionize for continuous event ingest.
+
+    Per-key state is (last event time, current session index): a new
+    batch's first event opens a new session iff its gap to the stored
+    last event exceeds ``gap``, so sessions span micro-batch
+    boundaries exactly as they would in one batch. Events are sorted
+    by ``ts`` WITHIN each batch (numpy argsort, no per-row Python);
+    cross-batch order must be monotone per key (the file/kafka source
+    contract for event logs) — an out-of-order arrival joins the
+    CURRENT session rather than rewriting closed ones (documented
+    at-ingest semantics; true late-data rework needs watermarked
+    windows, `windowed_event_counts`).
+
+    Append output mode; state never grows past one (double, long) per
+    key.
+    """
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(events_stream.schema.fields)
+        + [T.StructField("session_idx", T.LongType())]
+    )
+    out_cols = [f.name for f in events_stream.schema.fields]
+
+    def fn(key, pdf_iter, state: GroupState):
+        last_ts, cur_idx = state.get if state.exists else (None, -1)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            pdf = pdf.iloc[np.argsort(pdf[ts].to_numpy(), kind="stable")]
+            t = pdf[ts].to_numpy(dtype=np.float64)
+            prev = np.empty_like(t)
+            prev[1:] = t[:-1]
+            prev[0] = last_ts if last_ts is not None else -np.inf
+            new = (t - prev > gap) if last_ts is not None else np.concatenate(
+                [[True], (t[1:] - t[:-1]) > gap]
+            )
+            idx = cur_idx + np.cumsum(new)
+            out = pdf[out_cols].copy()
+            out["session_idx"] = idx
+            last_ts = float(t[-1])
+            cur_idx = int(idx[-1])
+            yield out
+        if last_ts is not None:
+            state.update((last_ts, cur_idx))
+
+    return events_stream.groupBy(by).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_ts double, cur_idx long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

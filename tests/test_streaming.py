@@ -104,3 +104,50 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
         assert got2 == {(1, "aa"), (2, "bb"), (12, "cc")}
     finally:
         q.stop()
+
+
+def test_streaming_sessionize_across_batches(spark, tmp_path):
+    """Session continuity must hold ACROSS micro-batches: a batch-2
+    event within `gap` of batch-1's last event continues that session;
+    one beyond it opens the next index. Result must equal the batch
+    sessionize over the concatenated stream."""
+    import pandas as pd
+
+    from gfp_gdal_spark.operators.sampling import sessionize
+
+    d = str(tmp_path / "sess")
+    schema = "u string, t double, eid long"
+    b1 = pd.DataFrame(
+        {"u": ["a", "a", "a", "b"], "t": [0.0, 10.0, 300.0, 5.0], "eid": [0, 1, 2, 3]}
+    )
+    b2 = pd.DataFrame(
+        {"u": ["a", "a", "b"], "t": [310.0, 900.0, 700.0], "eid": [4, 5, 6]}
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = SI.streaming_sessionize(stream, by="u", ts="t", gap=100.0)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = {
+            r["eid"]: r["session_idx"]
+            for r in spark.sql("SELECT * FROM sess_stream").collect()
+        }
+        # batch twin over the full stream
+        full = spark.createDataFrame(pd.concat([b1, b2]), schema)
+        want = {
+            r["eid"]: r["session_idx"]
+            for r in sessionize(full, by="u", ts="t", gap=100.0, tiebreak="eid").collect()
+        }
+        assert got == want
+        assert [got[i] for i in (0, 1, 2, 4, 5)] == [0, 0, 1, 1, 2]  # user a
+        assert [got[i] for i in (3, 6)] == [0, 1]                    # user b
+    finally:
+        q.stop()
