@@ -152,7 +152,13 @@ def main() -> None:
         "knn_join_ring",
         "radius_join",
         "asof_join",
+        "asof_join_fwd",
         "range_join",
+        "interval_join",
+        "tile_rollup",
+        "hash_split",
+        "sample_per_group",
+        "sessionize",
         "connected_components",
         "salted_cell_count",
         "agg_pricing",
