@@ -1760,7 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": """
             WITH u AS (
               SELECT o_orderkey,
-                     CAST((o_orderkey * 2654435761) % 4294967296 AS DOUBLE)
+                     CAST(((o_orderkey % 2147483648) * 2654435761) % 4294967296 AS DOUBLE)
                        / 4294967296.0 AS u
               FROM orders
             )
@@ -1776,7 +1776,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_custkey, o_orderkey,
                      row_number() OVER (
                        PARTITION BY o_custkey
-                       ORDER BY (o_orderkey * 2654435761) % 4294967296 ASC,
+                       ORDER BY ((o_orderkey % 2147483648) * 2654435761) % 4294967296 ASC,
                                 o_orderkey ASC) AS rn
               FROM orders
             )

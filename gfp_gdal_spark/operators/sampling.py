@@ -22,8 +22,16 @@ _MOD = 4294967296
 
 
 def _mix(col: Column) -> Column:
-    """Deterministic uniform-ish u32 from an integer key column."""
-    return F.pmod(col.cast("long") * F.lit(_KNUTH), F.lit(_MOD))
+    """Deterministic uniform-ish u32 from an integer key column.
+
+    The key is pre-reduced mod 2^31 BEFORE the multiply so the product
+    stays below 2^63 for any long id (otherwise ids past ~3.5e9 — real
+    at 10^12-row scale — overflow: Spark would wrap silently with ANSI
+    off while DuckDB errors, silently breaking the portability
+    contract). pmod keeps negative ids in range too; ids differing by
+    exactly 2^31 share an assignment, which is harmless for
+    split/sample purposes (it is a hash, not an identity)."""
+    return F.pmod(F.pmod(col.cast("long"), F.lit(2_147_483_648)) * F.lit(_KNUTH), F.lit(_MOD))
 
 
 def hash_split(

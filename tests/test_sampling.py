@@ -67,3 +67,19 @@ def test_sessionize_gap_semantics(spark):
     # user a: [0,10,20] | [200,210] | [900]; user b: [5,6] | [1000]
     assert [got[i] for i in range(6)] == [0, 0, 0, 1, 1, 2]
     assert [got[i] for i in range(6, 9)] == [0, 0, 1]
+
+
+def test_mix_no_overflow_at_huge_and_negative_ids(spark):
+    """Ids past 2^32 (real at trillion-row scale) and negative ids must
+    split without long overflow and stay uniform-ish."""
+    df = spark.range(10_000).select(
+        (F.col("id") * 1_000_003 + 5_000_000_000_000).alias("k")
+    )
+    out = hash_split(df, "k", {"train": 0.5, "val": 0.5}).collect()
+    frac = sum(1 for r in out if r["split"] == "train") / len(out)
+    assert 0.45 < frac < 0.55
+    neg = spark.createDataFrame(
+        pd.DataFrame({"k": [-5, -4_000_000_000, 7]})
+    )
+    rows = hash_split(neg, "k", {"train": 1.0}).collect()
+    assert all(r["split"] == "train" for r in rows)
