@@ -37,3 +37,43 @@ def test_merge_lines_two_chains(spark):
     xs = [p[0] for p in chain]
     assert xs == sorted(xs) or xs == sorted(xs, reverse=True)  # ordered walk
     assert len(by_n[1]["points"]) == 2
+
+
+def test_merge_lines_random_paths_reconstruct(spark):
+    """Randomized reconstruction: K disjoint simple paths, segments
+    emitted with random direction flips in random global order, must
+    merge back into exactly the original polylines (up to reversal)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    paths = []
+    for p in range(12):
+        n = int(rng.integers(2, 30))
+        # random walk with unique vertices; offset per path keeps them disjoint
+        steps = rng.choice([(1, 0), (0, 1), (1, 1), (1, -1)], n - 1)
+        pts = np.cumsum(np.vstack([[0, 0], steps]), axis=0).astype(float)
+        # dedupe revisits (walk may self-cross): jitter y by index
+        pts[:, 1] += np.arange(n) * 0.001
+        pts[:, 0] += p * 1000.0
+        paths.append(pts)
+    rows = []
+    for pts in paths:
+        for i in range(len(pts) - 1):
+            a, b = pts[i], pts[i + 1]
+            if rng.random() < 0.5:
+                a, b = b, a
+            rows.append((float(a[0]), float(a[1]), float(b[0]), float(b[1])))
+    rng.shuffle(rows)
+    seg = spark.createDataFrame(rows, "x1 double, y1 double, x2 double, y2 double")
+    out = merge_lines(seg).collect()
+    assert len(out) == len(paths)
+    want = {}
+    for pts in paths:
+        key = tuple(map(tuple, min(pts.tolist(), pts[::-1].tolist())))
+        want[key] = len(pts)
+    for r in out:
+        got = [tuple(p) for p in r["points"]]
+        key = tuple(min(got, got[::-1]))
+        assert key in want, "unknown polyline"
+        assert len(got) == want[key]
+        assert r["n_segments"] == want[key] - 1
