@@ -129,6 +129,17 @@ def test_pip_matches_matplotlib_free_oracle(poly, px, py):
     pts = np.asarray(poly)
     x = pts[:, 0] - px
     y = pts[:, 1] - py
+    # boundary points (on a vertex or an edge) are convention-defined
+    # under the half-open ray-cast rule — the oracle can't adjudicate
+    # them (hypothesis found px,py exactly on a vertex: the winding sum
+    # reads 2pi while the half-open cast excludes it; both are valid)
+    x2r, y2r = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2r - y * x2r
+    dot = x * x2r + y * y2r
+    lens = np.hypot(x, y) * np.hypot(x2r, y2r)
+    on_edge = (np.abs(cross) <= 1e-9 * np.maximum(lens, 1e-30)) & (dot <= 1e-12)
+    if on_edge.any():  # includes an exact vertex hit (lens term -> 0)
+        return
     x2 = np.roll(x, -1)
     y2 = np.roll(y, -1)
     ang = np.arctan2(x * y2 - y * x2, x * x2 + y * y2)
