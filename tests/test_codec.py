@@ -61,3 +61,55 @@ def test_pnm_header_parse_with_comment():
     # inject a comment line after the magic (PNM spec allows it)
     patched = b"P6\n# a comment\n" + raw[3:]
     assert np.array_equal(C.decode_image(patched, "ppm"), pix)
+
+
+def test_png_decode_all_filter_types():
+    """Our encoder emits filter 0 only, but EXTERNAL pngs use Sub/Up/
+    Average/Paeth — build one per spec and decode; decode_group must
+    take its per-image fallback for filtered scanlines and agree."""
+    import struct
+    import zlib
+
+    from gfp_gdal_spark.kernels import codec as C
+
+    pix = C.synth_pixels(3, 9, 8)  # (8, 9, 3) rgb
+    h, w, nch = pix.shape
+    bpp = nch
+    raw = pix.reshape(h, w * nch).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+    lines = []
+    for y in range(h):
+        f = [0, 1, 2, 3, 4][y % 5]
+        cur = raw[y]
+        prior = raw[y - 1] if y > 0 else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prior[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prior
+        elif f == 3:
+            enc = cur - ((left + prior) >> 1)
+        else:
+            enc = cur - paeth(left, prior, ul)
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        C._PNG_SIG
+        + C._chunk(b"IHDR", ihdr)
+        + C._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + C._chunk(b"IEND", b"")
+    )
+    got = C.decode_image(blob, "png")
+    assert np.array_equal(got, pix)
+    # grouped decode detects the non-zero filters and falls back
+    grp = C.decode_group([blob, blob], "png", w, h)
+    assert grp.shape == (2, h, w, 3)
+    assert np.array_equal(grp[0], pix) and np.array_equal(grp[1], pix)
