@@ -1073,6 +1073,33 @@ def _q_sessionize(spark, sf):
     return out.select("user_id", "event_id", "session_idx")
 
 
+def _q_audio_stats(spark, sf):
+    """Audio multimodal boundary (WAV PCM, kernels/wavcodec.py): clips
+    synthesized in closed form from customer keys (sine at rate/8 Hz —
+    the sample grid hits the exact +-1 peaks), whole-batch decoded,
+    stats + lossless-roundtrip flag. peak, duration, and the
+    zero-crossing count are exact integer functions of the key."""
+    from gfp_gdal_spark.operators.audio import audio_stats
+    from gfp_gdal_spark.sources.datagen import AUDIO_SCHEMA, _gen_audio_batch
+
+    _prep(spark)
+    keys = _t(spark, sf, "customer").select(F.col("c_custkey").cast("long"))
+
+    def gen(it):
+        for pdf in it:
+            out = _gen_audio_batch(pdf["c_custkey"].to_numpy())
+            out["audio_id"] = pdf["c_custkey"].astype(str).to_numpy()
+            yield out
+
+    clips = keys.mapInPandas(gen, AUDIO_SCHEMA)
+    out = audio_stats(clips)
+    return out.select(
+        F.col("audio_id").cast("long").alias("c_custkey"),
+        "n_samples", "n_channels", "duration_s", "peak",
+        "zero_crossings", "roundtrip_ok",
+    )
+
+
 def _q_pip_join_polygons(spark, sf):
     """General convex k-gons WITH holes, built in closed form from the
     supplier table (k = 3 + key%6 regular polygon, square hole on even
@@ -1157,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         # --- image / geometry / temporal ---
         "image_roundtrip": _q_image_roundtrip,
+        "audio_stats": _q_audio_stats,
         "asof_join": _q_asof_join,
         "asof_join_fwd": _q_asof_join_fwd,
         "range_join": _q_range_join,
@@ -1165,8 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": _q_sample_per_group,
         "sessionize": _q_sessionize,
         "raster_stats": _q_raster_stats,
-        "raster_points": _q_raster_points,
         # --- tail (>50): stable since round 2, driver rows green r01-r03 ---
+        "raster_points": _q_raster_points,
         "rename_project": _q_rename_project,
         "date_parts": _q_date_parts,
         "time_parts": _q_time_parts,
@@ -1815,6 +1843,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.n_nationkey, r.s_suppkey
             FROM l JOIN r ON l.l_lo <= r.r_hi AND r.r_lo <= l.l_hi
+        """,
+        "audio_stats": """
+            SELECT c_custkey,
+                   CAST(4000 + (c_custkey % 5) * 2000 AS INTEGER) AS n_samples,
+                   CAST(1 + (c_custkey % 2) AS INTEGER) AS n_channels,
+                   (4000 + (c_custkey % 5) * 2000) / 8000.0 AS duration_s,
+                   CAST(round(32767 * (0.5 + (c_custkey % 5) * 0.1)) AS INTEGER) AS peak,
+                   CAST((4000 + (c_custkey % 5) * 2000) / 2 - 1 AS BIGINT) AS zero_crossings,
+                   true AS roundtrip_ok
+            FROM customer
         """,
         "asof_join_fwd": """
             WITH l AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 0),

@@ -181,3 +181,50 @@ def vector_layer_zones(spark: SparkSession, m: int, seed: int = 42, max_radius_d
     return spark.createDataFrame(
         vector_layer_zones_pandas(m, seed, max_radius_deg), schema=VECTOR_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# audio fixture: WAV PCM clips with typed metadata (the audio leg of the
+# multimodal boundary; closed-form per-key signal — kernels/wavcodec.py)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "audio_id string, bytes binary, n_samples int, sample_rate int, "
+    "n_channels int, caption string"
+)
+
+
+def _gen_audio_batch(ids: np.ndarray, with_bytes: bool = True) -> pd.DataFrame:
+    from gfp_gdal_spark.kernels import wavcodec as W
+
+    blobs, ns, ch = [], [], []
+    for i in ids:
+        s, r = W.synth_audio(int(i))
+        ns.append(s.shape[0])
+        ch.append(s.shape[1])
+        blobs.append(W.encode_wav(s, r) if with_bytes else b"")
+    return pd.DataFrame(
+        {
+            "audio_id": [f"aud{i:08d}" for i in ids],
+            "bytes": blobs,
+            "n_samples": np.array(ns, dtype=np.int32),
+            "sample_rate": np.full(len(ids), 8000, dtype=np.int32),
+            "n_channels": np.array(ch, dtype=np.int32),
+            "caption": [f"synthetic tone {i} key:{i % 5}" for i in ids],
+        }
+    )
+
+
+def audio_table(spark: SparkSession, n: int, with_bytes: bool = True) -> DataFrame:
+    """Distributed deterministic audio table of n rows."""
+    parts = max(min(n // 2000, 256), spark.sparkContext.defaultParallelism)
+
+    def gen(it):
+        for pdf in it:
+            yield _gen_audio_batch(pdf["id"].to_numpy(), with_bytes)
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def audio_pandas(n: int, with_bytes: bool = True) -> pd.DataFrame:
+    return _gen_audio_batch(np.arange(n, dtype=np.int64), with_bytes)

@@ -1,0 +1,101 @@
+"""Audio multimodal leg: wav codec kernels + Spark operators."""
+
+import numpy as np
+import pytest
+
+from gfp_gdal_spark.kernels import wavcodec as W
+from gfp_gdal_spark.operators.audio import audio_fingerprint, audio_stats, resample_audio
+from gfp_gdal_spark.sources import datagen
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return datagen.audio_table(spark, 60).cache()
+
+
+def test_wav_roundtrip_bitexact():
+    rng = np.random.default_rng(0)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32767, size=(5000, ch), dtype=np.int16)
+        blob = W.encode_wav(s, 16000)
+        s2, r = W.decode_wav(blob)
+        assert r == 16000 and np.array_equal(s, s2)
+
+
+def test_wav_decode_foreign_chunk_layout():
+    """External wavs may carry extra chunks before data — the chunk
+    walker must skip them (and honor odd-length word alignment)."""
+    import struct
+
+    s = np.arange(-100, 100, dtype=np.int16)[:, None]
+    blob = W.encode_wav(s, 8000)
+    fmt_chunk = blob[12:36]  # 'fmt ' + len + 16 bytes
+    data_chunk = blob[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd len + pad
+    body = b"WAVE" + fmt_chunk + extra + data_chunk
+    foreign = b"RIFF" + struct.pack("<I", len(body)) + body
+    s2, r = W.decode_wav(foreign)
+    assert r == 8000 and np.array_equal(s, s2)
+
+
+def test_encode_group_bitwise_matches_per_clip():
+    rng = np.random.default_rng(1)
+    s = rng.integers(-1000, 1000, size=(7, 300, 2), dtype=np.int16)
+    grp = W.encode_wav_group(s, 44100)
+    for i in range(7):
+        assert grp[i] == W.encode_wav(s[i], 44100)
+    back = W.decode_wav_group(grp, 300, 2)
+    assert np.array_equal(back, s)
+
+
+def test_audio_stats_matches_numpy(spark, clips):
+    rows = {r["audio_id"]: r for r in audio_stats(clips).collect()}
+    pdf = datagen.audio_pandas(60)
+    for _, src in pdf.iloc[:10].iterrows():
+        s, rate = W.decode_wav(bytes(src["bytes"]))
+        r = rows[src["audio_id"]]
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["rms"] == pytest.approx(
+            float(np.sqrt((s.astype(np.float64) ** 2).mean())), rel=1e-12
+        )
+        assert r["roundtrip_ok"]
+        assert r["duration_s"] == s.shape[0] / rate
+
+
+def test_resample_preserves_duration_and_decodes(spark, clips):
+    out = resample_audio(clips, out_rate=4000).collect()
+    for r in out[:8]:
+        s, rate = W.decode_wav(bytes(r["bytes"]))
+        assert rate == 4000
+        assert s.shape[0] == r["n_samples"]
+        # half the rate -> half the samples (inputs are 8 kHz)
+        assert abs(s.shape[0] * 2 - (4000 + (int(r["audio_id"][3:]) % 5) * 2000)) <= 2
+
+
+def test_fingerprint_deterministic_and_gain_invariant(spark, clips):
+    f1 = {r["audio_id"]: r["fingerprint"] for r in audio_fingerprint(clips).collect()}
+    f2 = {r["audio_id"]: r["fingerprint"] for r in audio_fingerprint(clips).collect()}
+    assert f1 == f2
+    # gain invariance: halving amplitude (never clips — clipping would
+    # genuinely add harmonics) must not change the contour bits
+    import pandas as pd
+
+    pdf = datagen.audio_pandas(6)
+    louder = []
+    for _, row in pdf.iterrows():
+        s, rate = W.decode_wav(bytes(row["bytes"]))
+        s2 = (s.astype(np.int32) // 2).astype(np.int16)
+        louder.append(
+            {
+                "audio_id": row["audio_id"],
+                "bytes": W.encode_wav(s2, rate),
+                "n_samples": row["n_samples"],
+                "sample_rate": row["sample_rate"],
+                "n_channels": row["n_channels"],
+                "caption": row["caption"],
+            }
+        )
+    ldf = spark.createDataFrame(pd.DataFrame(louder), schema=datagen.AUDIO_SCHEMA)
+    fl = {r["audio_id"]: r["fingerprint"] for r in audio_fingerprint(ldf).collect()}
+    for k in fl:
+        assert fl[k] == f1[k], "fingerprint not gain-invariant"
