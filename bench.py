@@ -156,6 +156,7 @@ def main() -> None:
         "range_join",
         "interval_join",
         "tile_rollup",
+        "audio_stats",
         "hash_split",
         "sample_per_group",
         "sessionize",
