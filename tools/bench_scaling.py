@@ -401,6 +401,15 @@ throughout: interleaved repeats across levels accumulated over the
 round, per-level BEST retained (single contaminated batches cannot
 dominate).
 
+The noise is one-sided and core-count-dependent, which is itself
+diagnostic: in the round-4 end-of-day window (loadavg 0.3) the SAME
+back-to-back pair measured local[8] join+tile at 12.6s — within 25%
+of its all-round best — while local[32] collapsed to 25s, 4x its
+morning best (scaling_runs.jsonl, final entries). A job whose 8-core
+wall is stable while its 32-core wall quadruples is running on a
+host that sustains ~8-12 effective cores at that moment; no plan
+change can recover parallelism the hypervisor is not granting.
+
 Reference baseline: the reference (geoflow3d/gfp-gdal) publishes no
 benchmark numbers (BASELINE.md); the tracked engine metric is flagship
 throughput, recorded per round in BENCH_r{{N}}.json by bench.py.
