@@ -98,12 +98,19 @@ def test_knn_ring_parity_fuzz(spark, it):
         (2, dict(bucket="hex", res=4, broadcast=True)),
         (3, dict(bucket="s2", res=8, broadcast=True)),
         (4, dict(z=6, broadcast=False, salt=4)),
+        (5, dict(z=6, broadcast=True)),          # high-latitude band north
+        (6, dict(bucket="hex", res=4, broadcast=True)),  # high-lat, hex
+        (7, dict(bucket="s2", res=8, broadcast=True)),   # high-lat south, s2
     ],
 )
 def test_pip_join_parity_fuzz(spark, it, variant):
     rng = np.random.default_rng(2000 + it)
     npolys, npts = int(rng.integers(4, 10)), int(rng.integers(150, 400))
-    lon0, lat0 = rng.uniform(-140, 140), rng.uniform(-55, 55)
+    if it >= 5:  # polar bands: cover/clamp edges the mid-lat draw misses
+        lon0 = rng.uniform(-140, 140)
+        lat0 = 76.0 if it < 7 else -76.0
+    else:
+        lon0, lat0 = rng.uniform(-140, 140), rng.uniform(-55, 55)
     rows, rings, holes_list = [], [], []
     for j in range(npolys):
         cx, cy = lon0 + rng.uniform(-8, 8), lat0 + rng.uniform(-6, 6)
