@@ -1073,6 +1073,16 @@ def _q_sessionize(spark, sf):
     return out.select("user_id", "event_id", "session_idx")
 
 
+def _q_corpus_quantiles(spark, sf):
+    """Per-language corpus length profile (exact percentile — verified
+    bit-identical to DuckDB quantile_cont's linear interpolation)."""
+    from gfp_gdal_spark.operators.profiling import corpus_quantiles
+
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return corpus_quantiles(d, text="text", by="lang")
+
+
 def _q_audio_stats(spark, sf):
     """Audio multimodal boundary (WAV PCM, kernels/wavcodec.py): clips
     synthesized in closed form from customer keys (sine at rate/8 Hz —
@@ -1182,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_recall": _q_minhash_recall,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "corpus_quantiles": _q_corpus_quantiles,
         # --- image / geometry / temporal ---
         "image_roundtrip": _q_image_roundtrip,
         "audio_stats": _q_audio_stats,
@@ -1192,8 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         "sample_per_group": _q_sample_per_group,
         "sessionize": _q_sessionize,
-        "raster_stats": _q_raster_stats,
         # --- tail (>50): stable since round 2, driver rows green r01-r03 ---
+        "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
         "rename_project": _q_rename_project,
         "date_parts": _q_date_parts,
@@ -1843,6 +1854,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l.n_nationkey, r.s_suppkey
             FROM l JOIN r ON l.l_lo <= r.r_hi AND r.r_lo <= l.l_hi
+        """,
+        "corpus_quantiles": """
+            WITH m AS (
+              SELECT lang,
+                     CAST(length(text) AS DOUBLE) AS L,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS T
+              FROM documents
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(avg(L), 6) AS mean_chars,
+                   round(avg(T), 6) AS mean_tokens,
+                   quantile_cont(L, 0.5) AS "chars_p5",
+                   quantile_cont(T, 0.5) AS "tokens_p5",
+                   quantile_cont(L, 0.9) AS "chars_p9",
+                   quantile_cont(T, 0.9) AS "tokens_p9",
+                   quantile_cont(L, 0.99) AS "chars_p99",
+                   quantile_cont(T, 0.99) AS "tokens_p99"
+            FROM m GROUP BY lang
         """,
         "audio_stats": """
             SELECT c_custkey,

@@ -83,3 +83,26 @@ def test_mix_no_overflow_at_huge_and_negative_ids(spark):
     )
     rows = hash_split(neg, "k", {"train": 1.0}).collect()
     assert all(r["split"] == "train" for r in rows)
+
+
+def test_corpus_quantiles_exact_and_approx(spark):
+    from gfp_gdal_spark.operators.profiling import corpus_quantiles
+
+    pdf = pd.DataFrame(
+        {
+            "text": ["a " * (i + 1) for i in range(100)],
+            "lang": ["en" if i % 2 == 0 else "de" for i in range(100)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r["lang"]: r for r in corpus_quantiles(df, by="lang").collect()}
+    # en docs: lengths 2,6,10,... ("a " * odd count) -> medians known
+    assert out["en"]["n_docs"] == 50 and out["de"]["n_docs"] == 50
+    lens = pdf[pdf["lang"] == "en"]["text"].str.len().to_numpy(dtype=float)
+    assert out["en"]["chars_p5"] == pytest.approx(np.percentile(lens, 50), rel=1e-12)
+    toks = np.array([len(t.split()) for t in pdf[pdf["lang"] == "en"]["text"]], float)
+    assert out["en"]["tokens_p9"] == pytest.approx(np.percentile(toks, 90), rel=1e-12)
+    # global profile (no grouping) + approx path run and bracket the exact
+    g = corpus_quantiles(df, exact=False).collect()[0]
+    all_lens = pdf["text"].str.len().to_numpy(dtype=float)
+    assert all_lens.min() <= g["chars_p5"] <= all_lens.max()
