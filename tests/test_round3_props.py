@@ -300,3 +300,38 @@ def test_interval_join_random_parity(spark):
         got = [(row["lid"], row["rid"]) for row in rows]
         assert len(got) == len(set(got)), f"duplicate pairs at width {w}"
         assert set(got) == want, f"width {w}"
+
+
+def test_range_join_random_parity(spark):
+    """range_join (points-in-intervals) vs the brute-force containment
+    matrix across bin widths, with zero-length intervals, negative
+    coords, and points exactly on interval bounds."""
+    from gfp_gdal_spark.operators.temporal import range_join
+
+    rng = np.random.default_rng(11)
+    npts, niv = 300, 60
+    v = np.round(rng.uniform(-400, 400, npts), 1)  # decimals land on bounds
+    lo = np.round(rng.uniform(-400, 400, niv), 1)
+    hi = lo + rng.choice([0.0, 5.0, 80.0, 300.0], niv) * rng.uniform(0, 1, niv)
+    hi = np.round(hi, 1)
+    pts = spark.createDataFrame(pd.DataFrame({"pid": range(npts), "v": v}))
+    ivs = spark.createDataFrame(pd.DataFrame({"iid": range(niv), "lo": lo, "hi": hi}))
+    want = {
+        (i, j) for i in range(npts) for j in range(niv) if lo[j] <= v[i] <= hi[j]
+    }
+    for w in (3.0, 50.0, 2000.0):
+        got = [
+            (r["pid"], r["iid"])
+            for r in range_join(pts, ivs, val="v", lo="lo", hi="hi", bin_width=w).collect()
+        ]
+        assert len(got) == len(set(got)), f"duplicates at width {w}"
+        assert set(got) == want, f"width {w}"
+    # half-open bounds drop the hi-equal matches
+    ho = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, ivs, val="v", lo="lo", hi="hi", bin_width=50.0, how_bounds="halfopen"
+        ).collect()
+    }
+    want_ho = {(i, j) for (i, j) in want if v[i] < hi[j]}
+    assert ho == want_ho
