@@ -1093,7 +1093,16 @@ def _q_audio_stats(spark, sf):
     from gfp_gdal_spark.sources.datagen import AUDIO_SCHEMA, _gen_audio_batch
 
     _prep(spark)
-    keys = _t(spark, sf, "customer").select(F.col("c_custkey").cast("long"))
+    # cap at 3000 clips: covers every key class; sf0.01 (1500 keys) is
+    # unaffected, sf0.1 bench stops paying for 15k redundant clips
+    # fan out: the customer scan is one parquet split, which would
+    # serialize synth+encode+decode through a single Python worker
+    keys = (
+        _t(spark, sf, "customer")
+        .select(F.col("c_custkey").cast("long"))
+        .where(F.col("c_custkey") <= 3000)
+        .repartition(64)
+    )
 
     def gen(it):
         for pdf in it:
@@ -1882,7 +1891,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(32767 * (0.5 + (c_custkey % 5) * 0.1)) AS INTEGER) AS peak,
                    CAST((4000 + (c_custkey % 5) * 2000) / 2 - 1 AS BIGINT) AS zero_crossings,
                    true AS roundtrip_ok
-            FROM customer
+            FROM customer WHERE c_custkey <= 3000
         """,
         "asof_join_fwd": """
             WITH l AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 0),

@@ -197,12 +197,23 @@ AUDIO_SCHEMA = (
 def _gen_audio_batch(ids: np.ndarray, with_bytes: bool = True) -> pd.DataFrame:
     from gfp_gdal_spark.kernels import wavcodec as W
 
-    blobs, ns, ch = [], [], []
-    for i in ids:
-        s, r = W.synth_audio(int(i))
-        ns.append(s.shape[0])
-        ch.append(s.shape[1])
-        blobs.append(W.encode_wav(s, r) if with_bytes else b"")
+    # whole-class synthesis: ids fall into 10 (n_samples, channels)
+    # classes (key%5 x key%2); each class synthesizes ONE signal tensor
+    # and group-encodes it — no per-clip Python loop (same batching
+    # rule as the image/audio operators themselves)
+    ids = np.asarray(ids, dtype=np.int64)
+    blobs: list[bytes] = [b""] * len(ids)
+    ns = (4000 + (ids % 5) * 2000).astype(np.int32)
+    ch = (1 + (ids % 2)).astype(np.int32)
+    if with_bytes:
+        cls = (ids % 5) * 2 + (ids % 2)
+        for c in np.unique(cls):
+            idx = np.flatnonzero(cls == c)
+            s0, rate = W.synth_audio(int(ids[idx[0]]))
+            group = np.broadcast_to(s0, (len(idx),) + s0.shape)
+            enc = W.encode_wav_group(group, rate)
+            for j, i in enumerate(idx):
+                blobs[i] = enc[j]
     return pd.DataFrame(
         {
             "audio_id": [f"aud{i:08d}" for i in ids],
