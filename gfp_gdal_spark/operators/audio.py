@@ -32,12 +32,20 @@ _STATS_SCHEMA = (
 
 
 def _grouped(pdf: pd.DataFrame):
-    """Yield (n_samples, ch, idx, tensor) per uniform group of a batch."""
-    for (ns, ch), idx in pdf.groupby(
-        ["n_samples", "n_channels"], sort=False
+    """Yield (n_samples, ch, rate, idx, tensor) per uniform group.
+
+    sample_rate is part of the group key: every consumer below applies
+    ONE rate to the whole group (resample's source rate, stats'
+    duration), so two clips with equal (n_samples, n_channels) but
+    different rates must never share a group — 1s@8kHz and 2s@4kHz
+    would otherwise silently resample with the wrong source rate."""
+    for (ns, ch, rate), idx in pdf.groupby(
+        ["n_samples", "n_channels", "sample_rate"], sort=False
     ).indices.items():
         blobs = [bytes(b) for b in pdf["bytes"].iloc[idx]]
-        yield int(ns), int(ch), idx, W.decode_wav_group(blobs, int(ns), int(ch))
+        yield int(ns), int(ch), int(rate), idx, W.decode_wav_group(
+            blobs, int(ns), int(ch)
+        )
 
 
 def audio_stats(audios: DataFrame) -> DataFrame:
@@ -53,14 +61,13 @@ def audio_stats(audios: DataFrame) -> DataFrame:
             rms = np.zeros(n)
             zc = np.zeros(n, dtype=np.int64)
             ok = np.zeros(n, dtype=bool)
-            for ns, ch, idx, s in _grouped(pdf):
+            for ns, ch, rate, idx, s in _grouped(pdf):
                 x = s.astype(np.float64)
                 peak[idx] = np.abs(s).max(axis=(1, 2))
                 rms[idx] = np.sqrt((x**2).mean(axis=(1, 2)))
                 # sign changes on channel 0 (strict zero samples break a run)
                 c0 = np.sign(x[:, :, 0])
                 zc[idx] = (np.diff(c0, axis=1) != 0).sum(axis=1)
-                rate = int(pdf["sample_rate"].iloc[idx[0]])
                 rt = W.decode_wav_group(W.encode_wav_group(s, rate), ns, ch)
                 ok[idx] = (rt == s).all(axis=(1, 2))
             out = pdf[
@@ -85,8 +92,7 @@ def resample_audio(audios: DataFrame, out_rate: int) -> DataFrame:
         for pdf in batches:
             blobs: list[bytes | None] = [None] * len(pdf)
             nsamp = np.zeros(len(pdf), dtype=np.int32)
-            for ns, ch, idx, s in _grouped(pdf):
-                rate = int(pdf["sample_rate"].iloc[idx[0]])
+            for ns, ch, rate, idx, s in _grouped(pdf):
                 m = max(int(round(ns * out_rate / rate)), 1)
                 pos = np.minimum(np.arange(m) * rate / out_rate, ns - 1)
                 i0 = np.floor(pos).astype(np.int64)
@@ -122,11 +128,18 @@ def audio_fingerprint(audios: DataFrame, n_bands: int = 16, frame: int = 1024) -
     def op(batches):
         for pdf in batches:
             fps = np.zeros(len(pdf), dtype=np.int64)
-            for ns, ch, idx, s in _grouped(pdf):
+            for ns, ch, _rate, idx, s in _grouped(pdf):
+                # clips shorter than `frame` analyze as one whole-clip
+                # frame (zero-length reshape would raise otherwise)
+                fr = min(frame, ns)
                 x = s.astype(np.float64).mean(axis=2)  # channel mean
-                nf = max(ns // frame, 1)
-                xf = x[:, : nf * frame].reshape(x.shape[0], nf, frame)
-                mag = np.abs(np.fft.rfft(xf, axis=2))  # (g, nf, frame//2+1)
+                nf = max(ns // fr, 1)
+                xf = x[:, : nf * fr].reshape(x.shape[0], nf, fr)
+                mag = np.abs(np.fft.rfft(xf, axis=2))  # (g, nf, fr//2+1)
+                if mag.shape[2] < 3:
+                    # <2 usable bins -> no contour; fingerprint 0
+                    fps[idx] = 0
+                    continue
                 edges = np.unique(
                     np.geomspace(1, mag.shape[2] - 1, n_bands + 1).astype(int)
                 )
@@ -140,6 +153,9 @@ def audio_fingerprint(audios: DataFrame, n_bands: int = 16, frame: int = 1024) -
                 gate = 1e-4 * bands.max(axis=1, keepdims=True)
                 bits = (bands[:, :-1] > bands[:, 1:] + gate).astype(np.uint64)
                 k = bits.shape[1]
+                if k == 0:  # band edges collapsed to a single band
+                    fps[idx] = 0
+                    continue
                 reps = int(np.ceil(64 / k))
                 full = np.tile(bits, (1, reps))[:, :64]
                 fps[idx] = (

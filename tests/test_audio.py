@@ -99,3 +99,48 @@ def test_fingerprint_deterministic_and_gain_invariant(spark, clips):
     fl = {r["audio_id"]: r["fingerprint"] for r in audio_fingerprint(ldf).collect()}
     for k in fl:
         assert fl[k] == f1[k], "fingerprint not gain-invariant"
+
+
+def test_mixed_rate_group_resamples_each_clip_correctly(spark):
+    """Two clips with identical (n_samples, n_channels) but DIFFERENT
+    sample rates must not share a decode group: resampling to 8 kHz
+    keeps the 8 kHz clip as-is and halves the 16 kHz clip (ADVICE r4)."""
+    import pandas as pd
+
+    s = np.arange(-2000, 2000, dtype=np.int16)[:, None]  # 4000 samples
+    rows = [
+        {"audio_id": "slow", "bytes": W.encode_wav(s, 8000), "n_samples": 4000,
+         "sample_rate": 8000, "n_channels": 1, "caption": ""},
+        {"audio_id": "fast", "bytes": W.encode_wav(s, 16000), "n_samples": 4000,
+         "sample_rate": 16000, "n_channels": 1, "caption": ""},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=datagen.AUDIO_SCHEMA)
+    out = {r["audio_id"]: r for r in resample_audio(df, out_rate=8000).collect()}
+    assert out["slow"]["n_samples"] == 4000
+    assert out["fast"]["n_samples"] == 2000
+    slow, _ = W.decode_wav(bytes(out["slow"]["bytes"]))
+    fast, _ = W.decode_wav(bytes(out["fast"]["bytes"]))
+    assert np.array_equal(slow, s)  # identity resample is exact
+    assert np.array_equal(fast[:, 0], s[::2, 0])  # integer-stride decimation
+
+
+def test_fingerprint_short_and_degenerate_clips(spark):
+    """Clips shorter than the frame (reshape crash) and clips so short
+    the band edges collapse (k=0 division) must both return a row, not
+    raise (ADVICE r4)."""
+    import pandas as pd
+
+    rows = []
+    for name, n in (("short", 700), ("tiny", 3), ("one", 1)):
+        s = np.round(
+            1000 * np.sin(2 * np.pi * np.arange(n) / 8.0)
+        ).astype(np.int16)[:, None]
+        rows.append(
+            {"audio_id": name, "bytes": W.encode_wav(s, 8000), "n_samples": n,
+             "sample_rate": 8000, "n_channels": 1, "caption": ""}
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=datagen.AUDIO_SCHEMA)
+    fps = {r["audio_id"]: r["fingerprint"] for r in audio_fingerprint(df).collect()}
+    assert set(fps) == {"short", "tiny", "one"}
+    assert fps["short"] != 0  # 700 samples still yields a real contour
+    assert fps["tiny"] == 0 and fps["one"] == 0  # degenerate -> sentinel 0
