@@ -109,8 +109,12 @@ def tile_rollup(
     levels are reused incrementally.
     """
     zc = F.col("tile_z")
+    # rows already coarser than z_to cannot be represented at a finer
+    # level: without this filter F.sequence(z_to, tile_z) descends and
+    # shiftright gets a negative count, which the JVM masks mod 64 into
+    # a large positive shift — silently wrong coordinates (ADVICE r4).
     lvl = F.explode(F.sequence(F.lit(z_to), zc))
-    t = tiles.withColumn("_l", lvl)
+    t = tiles.where(zc >= F.lit(z_to)).withColumn("_l", lvl)
     weight = F.lit(1).cast("long") if count_col is None else F.col(count_col).cast("long")
     t = t.select(
         F.col("_l").alias("out_z"),

@@ -205,10 +205,10 @@ def interval_join(
     left: DataFrame,
     right: DataFrame,
     bin_width: float,
-    l_lo: str = "lo",
-    l_hi: str = "hi",
-    r_lo: str = "lo",
-    r_hi: str = "hi",
+    l_lo: str = "l_lo",
+    l_hi: str = "l_hi",
+    r_lo: str = "r_lo",
+    r_hi: str = "r_hi",
 ) -> DataFrame:
     """Interval-OVERLAP join: left x right rows whose closed intervals
     intersect (``l_lo <= r_hi AND r_lo <= l_hi``) — the interval x
@@ -223,7 +223,18 @@ def interval_join(
     overlapping pair shares exactly once (both intervals contain that
     point). No dedup shuffle, no distinct. Pure JVM throughout; never
     builds the left x right product.
+
+    The two sides' bound columns must have DISTINCT names (the output
+    carries both, and the overlap predicate resolves by name after the
+    bin equi-join) — fail loud rather than let Spark raise an opaque
+    ambiguous-reference error or emit duplicate output columns.
     """
+    clash = {l_lo, l_hi} & {r_lo, r_hi}
+    if clash:
+        raise ValueError(
+            f"interval_join bound columns collide across sides: {sorted(clash)}; "
+            "rename one side (e.g. right.withColumnRenamed) first"
+        )
     lb0 = F.floor(F.col(l_lo) / bin_width).cast("long")
     lb1 = F.floor(F.col(l_hi) / bin_width).cast("long")
     rb0 = F.floor(F.col(r_lo) / bin_width).cast("long")

@@ -1,0 +1,97 @@
+"""Round-5 regression + property tests: interval_join default names
+and bin-width invariance, tile_rollup coarse-row guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from gfp_gdal_spark.operators.temporal import interval_join
+
+
+def test_interval_join_defaults_usable(spark):
+    """The advertised default column names must work out of the box
+    (ADVICE r4: the old lo/hi-both-sides defaults were self-colliding
+    and raised AnalysisException on any call that used them)."""
+    l = spark.createDataFrame(
+        pd.DataFrame({"lid": [0, 1], "l_lo": [0.0, 10.0], "l_hi": [5.0, 12.0]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame({"rid": [0, 1], "r_lo": [4.0, 100.0], "r_hi": [9.0, 101.0]})
+    )
+    got = {(row["lid"], row["rid"]) for row in interval_join(l, r, 8.0).collect()}
+    assert got == {(0, 0)}
+
+
+def test_interval_join_colliding_names_fail_loud(spark):
+    l = spark.createDataFrame(pd.DataFrame({"lo": [0.0], "hi": [1.0]}))
+    r = spark.createDataFrame(pd.DataFrame({"lo": [0.0], "hi": [1.0]}))
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(l, r, 1.0, l_lo="lo", l_hi="hi", r_lo="lo", r_hi="hi")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(0, 10**6),
+    st.floats(0.05, 2000.0),
+    st.floats(0.05, 2000.0),
+)
+def test_interval_join_bin_width_invariance(seed, w1, w2):
+    """The output pair set is a function of the DATA only: any two bin
+    widths — including widths far larger and far smaller than every
+    interval — must produce the same pairs as the brute-force overlap
+    matrix (VERDICT r4 ask #8). Uses a module-scoped session via the
+    lazily imported conftest fixture pattern: hypothesis can't take
+    fixtures, so grab the active session."""
+    from gfp_gdal_spark.session import get_spark
+
+    spark = get_spark()
+    rng = np.random.default_rng(seed)
+    nl, nr = 25, 30
+    l_lo = rng.uniform(-300, 300, nl)
+    l_hi = l_lo + rng.uniform(0.0, 150.0, nl) * rng.choice([0.0, 0.02, 1.0], nl)
+    r_lo = rng.uniform(-300, 300, nr)
+    r_hi = r_lo + rng.uniform(0.0, 150.0, nr) * rng.choice([0.0, 0.02, 1.0], nr)
+    want = {
+        (i, j)
+        for i in range(nl)
+        for j in range(nr)
+        if l_lo[i] <= r_hi[j] and r_lo[j] <= l_hi[i]
+    }
+    l = spark.createDataFrame(pd.DataFrame({"lid": range(nl), "l_lo": l_lo, "l_hi": l_hi}))
+    r = spark.createDataFrame(pd.DataFrame({"rid": range(nr), "r_lo": r_lo, "r_hi": r_hi}))
+    for w in (w1, w2):
+        rows = interval_join(l, r, bin_width=w).collect()
+        got = [(row["lid"], row["rid"]) for row in rows]
+        assert len(got) == len(set(got)), f"duplicate pairs at width {w}"
+        assert set(got) == want, f"width {w}"
+
+
+def test_tile_rollup_drops_rows_coarser_than_target(spark):
+    """Rows with tile_z < z_to cannot be represented at the finer
+    requested level; they must be excluded, not shifted by a negative
+    (mod-64-masked) count into garbage coordinates (ADVICE r4)."""
+    from gfp_gdal_spark.operators.joins import tile_rollup
+
+    rows = pd.DataFrame(
+        {
+            "tile_z": [12, 12, 10, 8],  # the z=8 row is coarser than z_to=10
+            "tile_x": [4096, 4097, 1024, 255],
+            "tile_y": [2048, 2048, 512, 63],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = tile_rollup(df, z_to=10)
+    got = {
+        (r["tile_z"], r["tile_x"], r["tile_y"]): r["n"] for r in out.collect()
+    }
+    assert got == {
+        (12, 4096, 2048): 1,
+        (12, 4097, 2048): 1,
+        (11, 2048, 1024): 2,
+        (10, 1024, 512): 3,  # two z=12 children + the native z=10 row
+    }
+    # no z=8 rows and nothing below z_to leaks through
+    assert all(z >= 10 for z, _, _ in got)
