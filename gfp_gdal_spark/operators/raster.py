@@ -64,19 +64,34 @@ def stack_bands(
     schema_str += f", {out_col} binary, fmt string"
     keep = [f.name for f in out_fields]
 
+    nb = len(band_cols)
+
     def op(batches):
+        # whole-batch shape: rows group by (w, h) — one numpy stack /
+        # nodata pass / clip and ONE codec.encode_group per uniform
+        # group, mirroring operators/audio._grouped; per-row Python is
+        # just the band-array gather and the blob scatter (memcpy-level)
         for pdf in batches:
-            blobs = []
-            for _, row in pdf.iterrows():
-                bands = [np.asarray(row[c], dtype=np.float64) for c in band_cols]
-                w, h = int(row["w"]), int(row["h"])
-                stack = np.stack([b.reshape(h, w) for b in bands], axis=-1)
+            blobs: list = [None] * len(pdf)
+            for (w, h), idx in pdf.groupby(["w", "h"], sort=False).indices.items():
+                w, h = int(w), int(h)
+                stack = np.stack(
+                    [
+                        np.stack(
+                            [np.asarray(v, dtype=np.float64) for v in pdf[c].iloc[idx]]
+                        )
+                        for c in band_cols
+                    ],
+                    axis=-1,
+                ).reshape(len(idx), h, w, nb)
                 if nodata is not None:
                     stack[stack == nodata] = nodata_fill
                 pix = np.clip(stack, 0, 255).astype(np.uint8)
-                if pix.shape[-1] == 1:
+                if nb == 1:
                     pix = pix[..., 0]
-                blobs.append(_codec.encode_image(pix, fmt))
+                enc = _codec.encode_group(pix, fmt)
+                for j, i in enumerate(idx):
+                    blobs[i] = enc[j]
             out = pdf[keep].copy()
             out[out_col] = blobs
             out["fmt"] = fmt
