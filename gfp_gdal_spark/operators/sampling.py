@@ -69,29 +69,48 @@ def sample_per_group(
     n: int,
     id_col: str,
     salt: int = 0,
+    shards: int = 1,
 ) -> DataFrame:
     """Deterministic n-per-group sample (class balancing / per-domain
     caps): rank rows inside each ``by`` group by the mixed id and keep
-    the first ``n``. One shuffle (the window partition); groups smaller
-    than n pass through whole. The mixed-id order is a reproducible
-    stand-in for a random order — unlike rand(), identical across
-    re-runs and engines.
+    the first ``n``. Groups smaller than n pass through whole. The
+    mixed-id order is a reproducible stand-in for a random order —
+    unlike rand(), identical across re-runs and engines.
 
-    Hot groups: a single group with 10^9 rows makes one window
-    partition; cap such groups upstream (e.g. pre-filter by a cheap
-    predicate) or split ``by`` into (by, mix(id) % k) and take the
-    per-shard minimum ranks — the same bucketing trade as
-    asof_join(bucket_width).
+    ``shards=1`` is one shuffle (the window partition) — fine while no
+    single group dwarfs an executor. ``shards=k`` is the HOT-GROUP
+    path: rows first rank inside (by, mix'(id) % k) so the widest
+    window partition shrinks k-fold, each shard keeps its own top-n
+    (a superset of the group's true top-n members in that shard), and
+    a second window over the surviving <= k*n rows per group re-ranks
+    by the SAME total order and keeps n. Output is bit-identical to
+    the plain path for any k: the global top-n by the (mix, id) total
+    order is preserved shard-by-shard (same prefix-merge trade as
+    asof_join's bucket cascade).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(by).orderBy(
-        _mix(F.col(id_col) + F.lit(salt)).asc(), F.col(id_col).asc()
-    )
+    rank_key = [_mix(F.col(id_col) + F.lit(salt)).asc(), F.col(id_col).asc()]
+    if shards <= 1:
+        w = Window.partitionBy(by).orderBy(*rank_key)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .drop("_rn")
+        )
+    # decorrelate the shard hash from the rank hash with a salt offset
+    # (correctness needs neither independence nor balance — only that
+    # the shard is a deterministic function of the row)
+    shard = F.pmod(_mix(F.col(id_col) + F.lit(salt) + F.lit(0x9E3779B9)), F.lit(shards))
+    w1 = Window.partitionBy(by, "_shard").orderBy(*rank_key)
+    w2 = Window.partitionBy(by).orderBy(*rank_key)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_shard", shard)
+        .withColumn("_rn", F.row_number().over(w1))
         .where(F.col("_rn") <= n)
-        .drop("_rn")
+        .withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") <= n)
+        .drop("_shard", "_rn", "_rn2")
     )
 
 
@@ -101,26 +120,73 @@ def sessionize(
     ts: str,
     gap: float,
     tiebreak: str | None = None,
+    time_bucket: float | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: within each ``by`` key, order events
     by ``ts`` and start a new session whenever the gap to the previous
     event exceeds ``gap`` (same units as ts). Adds ``session_idx``
-    (0-based per key). One shuffle + one window — the standard
-    clickstream/session construction.
+    (0-based per key). Default is one shuffle + one window — the
+    standard clickstream/session construction.
 
-    Hot keys: sessions are chains, so they cannot be split by a
-    stateless bucket the way asof carry-in can; for a single key with
-    10^9 events partition the input by coarse time range FIRST and
-    stitch boundary sessions (two-pass), or sessionize in
-    Structured Streaming with applyInPandasWithState.
+    ``time_bucket=width`` is the HOT-KEY path (a single key with 10^9
+    events would otherwise sort in one window partition). Sessions are
+    chains, so they split by coarse TIME RANGE, not by a stateless
+    hash: pass 1 sessionizes each (key, floor(ts/width)) range
+    independently (widest partition shrinks to the events of one
+    range); pass 2 stitches at range boundaries over a per-range
+    summary — O(#ranges) rows per key, the same small-cascade shape as
+    asof_join's bucket carry — by checking whether the first event of
+    a range continues the previous non-empty range's last session, and
+    turning the per-range local indices into global ones with a
+    prefix-sum offset (sessions opened before the range, minus merged
+    boundaries). Output is bit-identical to the plain path for ANY
+    width (boundary gaps are re-checked on real timestamps; empty
+    ranges are skipped by the summary lag). Pick width >> gap so
+    ranges hold whole sessions typically; correctness never depends on
+    it.
     """
     from pyspark.sql import Window
 
     order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
-    w = Window.partitionBy(by).orderBy(*order)
-    prev = F.lag(F.col(ts)).over(w)
-    new_sess = F.when(
+    if time_bucket is None:
+        w = Window.partitionBy(by).orderBy(*order)
+        prev = F.lag(F.col(ts)).over(w)
+        new_sess = F.when(
+            prev.isNull() | ((F.col(ts) - prev) > gap), F.lit(1)
+        ).otherwise(F.lit(0))
+        wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+        return events.withColumn("session_idx", F.sum(new_sess).over(wsum) - 1)
+
+    rg = F.floor(F.col(ts) / time_bucket).cast("long")
+    e = events.withColumn("_rg", rg)
+    w1 = Window.partitionBy(by, "_rg").orderBy(*order)
+    prev = F.lag(F.col(ts)).over(w1)
+    new_local = F.when(
         prev.isNull() | ((F.col(ts) - prev) > gap), F.lit(1)
     ).otherwise(F.lit(0))
-    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
-    return events.withColumn("session_idx", F.sum(new_sess).over(wsum) - 1)
+    e = e.withColumn(
+        "_li", F.sum(new_local).over(w1.rowsBetween(Window.unboundedPreceding, 0)) - 1
+    )
+    summary = e.groupBy(by, "_rg").agg(
+        F.min(ts).alias("_first"),
+        F.max(ts).alias("_last"),
+        (F.max("_li") + 1).alias("_nloc"),
+    )
+    ws = Window.partitionBy(by).orderBy(F.col("_rg").asc())
+    prev_last = F.lag("_last").over(ws)
+    merge = F.when(
+        prev_last.isNotNull() & ((F.col("_first") - prev_last) <= gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    opened_before = F.coalesce(
+        F.sum("_nloc").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    merged_upto = F.sum(merge).over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    off_map = summary.select(
+        by, "_rg", (opened_before - merged_upto).alias("_off")
+    )
+    return (
+        e.join(off_map, [by, "_rg"])
+        .withColumn("session_idx", F.col("_li") + F.col("_off"))
+        .drop("_rg", "_li", "_off")
+    )

@@ -95,3 +95,62 @@ def test_tile_rollup_drops_rows_coarser_than_target(spark):
     }
     # no z=8 rows and nothing below z_to leaks through
     assert all(z >= 10 for z, _, _ in got)
+
+
+def test_sample_per_group_sharded_parity_and_bound(spark):
+    """shards=k must return the BIT-IDENTICAL sample to the plain
+    path on a planted hot group, while the widest first-pass window
+    partition shrinks ~k-fold (VERDICT r4 ask #1)."""
+    from gfp_gdal_spark.operators.sampling import sample_per_group
+
+    rng = np.random.default_rng(7)
+    ids = np.arange(20_000, dtype=np.int64)
+    grp = np.where(ids < 16_000, 0, 1 + (ids % 37))  # group 0 is hot
+    df = spark.createDataFrame(
+        pd.DataFrame({"g": grp, "id": ids})
+    ).repartition(8).cache()
+    plain = sample_per_group(df, by="g", n=7, id_col="id")
+    shard = sample_per_group(df, by="g", n=7, id_col="id", shards=8)
+    a = sorted((r["g"], r["id"]) for r in plain.collect())
+    b = sorted((r["g"], r["id"]) for r in shard.collect())
+    assert a == b
+    # empirical partition bound: widest (g, shard) cell ~ hot/8
+    knuth, mod = 2654435761, 1 << 32
+    sh = ((ids + 0x9E3779B9) % (1 << 31) * knuth) % mod % 8
+    per_cell = pd.Series(zip(grp, sh)).value_counts().max()
+    assert per_cell < 16_000 / 8 * 1.3
+    # the first-pass window really partitions on the shard column
+    plan = shard._jdf.queryExecution().executedPlan().toString()
+    assert "_shard" in plan
+    df.unpersist()
+
+
+def test_sessionize_time_bucket_parity_any_width(spark):
+    """time_bucket=w must be bit-identical to the plain window path
+    for widths >> gap, ~ gap, and << gap — boundary sessions stitch on
+    real timestamps, empty ranges are skipped (VERDICT r4 ask #1)."""
+    from gfp_gdal_spark.operators.sampling import sessionize
+
+    rng = np.random.default_rng(13)
+    # hot key 0: long stream with gaps above/below the threshold and a
+    # huge jump (many empty ranges); a few cold keys too
+    steps = rng.choice([1.0, 5.0, 61.0, 3600.0, 100_000.0], 4000,
+                       p=[0.55, 0.2, 0.15, 0.08, 0.02])
+    t0 = np.cumsum(steps) + 12.3
+    rows = pd.DataFrame({
+        "k": np.concatenate([np.zeros(4000, np.int64), (1 + np.arange(300) % 5)]),
+        "eid": np.arange(4300, dtype=np.int64),
+        "t": np.concatenate([t0, np.sort(rng.uniform(0, 5e5, 300))]),
+    })
+    # plant exact ties on the hot key (tiebreak must decide identically)
+    rows.loc[10, "t"] = rows.loc[11, "t"]
+    df = spark.createDataFrame(rows).repartition(8).cache()
+    base = sessionize(df, by="k", ts="t", gap=60.0, tiebreak="eid")
+    want = sorted((r["k"], r["eid"], r["session_idx"]) for r in base.collect())
+    for width in (1e6, 600.0, 7.0):  # >> gap, ~10x gap, << gap
+        got = sessionize(df, by="k", ts="t", gap=60.0, tiebreak="eid",
+                         time_bucket=width)
+        assert sorted(
+            (r["k"], r["eid"], r["session_idx"]) for r in got.collect()
+        ) == want, f"width {width}"
+    df.unpersist()
