@@ -1090,13 +1090,23 @@ def _q_audio_stats(spark, sf):
     stats + lossless-roundtrip flag. peak, duration, and the
     zero-crossing count are exact integer functions of the key."""
     from gfp_gdal_spark.operators.audio import audio_stats
-    from gfp_gdal_spark.sources.datagen import AUDIO_SCHEMA, _gen_audio_batch
 
     _prep(spark)
-    # cap at 3000 clips: covers every key class; sf0.01 (1500 keys) is
-    # unaffected, sf0.1 bench stops paying for 15k redundant clips
-    # fan out: the customer scan is one parquet split, which would
-    # serialize synth+encode+decode through a single Python worker
+    # clip fixture: capped at 3000 clips (covers every key class) and
+    # fanned out to 64 partitions — see _audio_clips
+    out = audio_stats(_audio_clips(spark, sf))
+    return out.select(
+        F.col("audio_id").cast("long").alias("c_custkey"),
+        "n_samples", "n_channels", "duration_s", "peak",
+        "zero_crossings", "roundtrip_ok",
+    )
+
+
+def _audio_clips(spark, sf):
+    """The shared synthetic clip fixture of _q_audio_stats (sine at
+    rate/8 Hz from customer keys, capped + fanned out)."""
+    from gfp_gdal_spark.sources.datagen import AUDIO_SCHEMA, _gen_audio_batch
+
     keys = (
         _t(spark, sf, "customer")
         .select(F.col("c_custkey").cast("long"))
@@ -1110,13 +1120,177 @@ def _q_audio_stats(spark, sf):
             out["audio_id"] = pdf["c_custkey"].astype(str).to_numpy()
             yield out
 
-    clips = keys.mapInPandas(gen, AUDIO_SCHEMA)
-    out = audio_stats(clips)
+    return keys.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def _q_resample_audio(spark, sf):
+    """resample_audio certified end-to-end: 8 kHz synth clips resampled
+    3:2 to 12 kHz (2 of every 3 output samples interpolate at frac 1/3
+    or 2/3 — the interpolation path genuinely engages), then
+    audio_stats over the RESAMPLED clips. Closed form (verified against
+    the kernel): m = 1.5*ns samples; the exact-hit sine peak survives
+    interpolation (round(32767*amp) appears at every 12th grid point);
+    the sign pattern per 12 samples is [0 + + + + + 0 - - - - -], so
+    zero_crossings = m/3 - 1; PCM re-encode stays lossless."""
+    from gfp_gdal_spark.operators.audio import audio_stats, resample_audio
+
+    _prep(spark)
+    out = audio_stats(resample_audio(_audio_clips(spark, sf), out_rate=12000))
     return out.select(
         F.col("audio_id").cast("long").alias("c_custkey"),
-        "n_samples", "n_channels", "duration_s", "peak",
+        "n_samples", "sample_rate", "duration_s", "peak",
         "zero_crossings", "roundtrip_ok",
     )
+
+
+# per-(key%5) audio_fingerprint literals for the _q_audio_fingerprint
+# construction: sine of period 2^(2+key%5) at 4096 samples puts the
+# spectral peak in a different log band per class, so the band-contour
+# bits — and the packed 64-bit fingerprint — are a pure function of
+# key%5 and INDEPENDENT of the key%3 amplitude (gain invariance).
+# Recomputed from the operator in tests/test_audio.py so drift fails CI
+# before it fails the driver.
+AUDIO_FP_CLASSES = {
+    0: 36030996176445440,
+    1: 9007749044111360,
+    2: 2251937261027840,
+    3: -9222809052539518848,
+    4: 4611967510585016384,
+}
+
+
+def _q_audio_fingerprint(spark, sf):
+    """audio_fingerprint certified with a band-peak construction: per
+    key, a mono sine whose period (2^(2+key%5) samples) steers the FFT
+    peak into a key-dependent log band; amplitude varies by key%3 but
+    the contour fingerprint must not (gain invariance is part of the
+    oracle: the SQL CASE keys on key%5 only)."""
+    import numpy as np
+    import pandas as pd
+
+    from gfp_gdal_spark.kernels import wavcodec as W
+    from gfp_gdal_spark.operators.audio import audio_fingerprint
+    from gfp_gdal_spark.sources.datagen import AUDIO_SCHEMA
+
+    _prep(spark)
+    keys = (
+        _t(spark, sf, "customer")
+        .select(F.col("c_custkey").cast("long"))
+        .where(F.col("c_custkey") <= 3000)
+        .repartition(64)
+    )
+    n = 4096
+
+    def gen(it):
+        for pdf in it:
+            ids = pdf["c_custkey"].to_numpy()
+            blobs: list = [b""] * len(ids)
+            cls = (ids % 5) * 3 + (ids % 3)
+            t = np.arange(n)
+            for c in np.unique(cls):
+                idx = np.flatnonzero(cls == c)
+                period = 2 ** (2 + int(ids[idx[0]] % 5))
+                amp = 0.4 + int(ids[idx[0]] % 3) * 0.2
+                wave = np.round(
+                    32767.0 * amp * np.sin(2.0 * np.pi * t / period)
+                ).astype(np.int16)[:, None]
+                grp = np.broadcast_to(wave[None, :, :], (len(idx), n, 1))
+                enc = W.encode_wav_group(grp, 8000)
+                for j, i in enumerate(idx):
+                    blobs[i] = enc[j]
+            yield pd.DataFrame(
+                {
+                    "audio_id": ids.astype(str),
+                    "bytes": blobs,
+                    "n_samples": np.full(len(ids), n, dtype=np.int32),
+                    "sample_rate": np.full(len(ids), 8000, dtype=np.int32),
+                    "n_channels": np.ones(len(ids), dtype=np.int32),
+                    "caption": [""] * len(ids),
+                }
+            )
+
+    clips = keys.mapInPandas(gen, AUDIO_SCHEMA)
+    out = audio_fingerprint(clips)
+    return out.select(
+        F.col("audio_id").cast("long").alias("c_custkey"), "fingerprint"
+    )
+
+
+def _q_corpus_quantiles_approx(spark, sf):
+    """The exact=False (t-digest) corpus_quantiles path — the one
+    actually recommended at 10^12 docs — certified by BRACKETING: a
+    sketch value cannot hash-match quantile_cont, so each approx
+    percentile is checked to lie between the exact percentiles at
+    p +- (0.01 + 1.5/n) in rank space (the t-digest's documented rank
+    error at accuracy 10000 is 1e-4; the 1.5/n pad absorbs
+    order-statistic granularity at small groups). The emitted columns
+    are the booleans — hash-checkable against literal true."""
+    from gfp_gdal_spark.operators.profiling import corpus_quantiles
+
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    ap = corpus_quantiles(d, text="text", by="lang", exact=False)
+    m = d.select(
+        "lang",
+        F.length("text").cast("double").alias("L"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("T"),
+    )
+    # rank-space check, exact at any group size: the element the sketch
+    # returned must have |rank - p*n| <= pad*n + 1 — verified by
+    # COUNTING values <=/< it after joining the sketch row back to the
+    # group (no interpolation fuzz, no foldability constraint)
+    j = m.join(F.broadcast(ap), "lang")
+    pad = 0.01
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for p in (0.5, 0.9, 0.99):
+        tag = str(p).replace("0.", "p")
+        for col, src in (("chars", "L"), ("tokens", "T")):
+            le = F.sum((F.col(src) <= F.col(f"{col}_{tag}")).cast("long"))
+            lt = F.sum((F.col(src) < F.col(f"{col}_{tag}")).cast("long"))
+            n = F.count(F.lit(1)).cast("double")
+            aggs.append(
+                (
+                    (le.cast("double") >= (F.lit(p) - pad) * n - 1.0)
+                    & (lt.cast("double") <= (F.lit(p) + pad) * n + 1.0)
+                ).alias(f"ok_{col}_{tag}")
+            )
+    out = j.groupBy("lang").agg(*aggs)
+    return out.select(
+        "lang",
+        F.col("_n").alias("n_docs"),
+        *[c for c in out.columns if c.startswith("ok_")],
+    )
+
+
+def _q_sample_per_group_sharded(spark, sf):
+    """The hot-group path of sample_per_group (shards=8): per-shard
+    rank + prefix re-rank must be BIT-IDENTICAL to the plain window —
+    certified against the SAME oracle SQL as sample_per_group."""
+    from gfp_gdal_spark.operators.sampling import sample_per_group
+
+    _prep(spark)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    out = sample_per_group(o, by="o_custkey", n=5, id_col="o_orderkey", shards=8)
+    return out.select("o_custkey", "o_orderkey")
+
+
+def _q_sessionize_sharded(spark, sf):
+    """The hot-key path of sessionize (time_bucket two-pass stitch):
+    certified against the SAME oracle SQL as the plain window path —
+    the bucket width (1 day vs the 1-hour gap) changes only the
+    execution shape, never the output."""
+    from gfp_gdal_spark.operators.sampling import sessionize
+
+    _prep(spark)
+    e = _t(spark, sf, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"),
+    )
+    out = sessionize(
+        e, by="user_id", ts="tsec", gap=3600.0, tiebreak="event_id",
+        time_bucket=86400.0,
+    )
+    return out.select("user_id", "event_id", "session_idx")
 
 
 def _q_pip_join_polygons(spark, sf):
@@ -1151,23 +1325,18 @@ def _q_pip_join_polygons(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is load-bearing: the driver certifies the FIRST 50 entries.
-    # Every operator whose code changed in rounds 3-4 sits inside that
-    # window (cc / ivf / lsh / image_ahash rewrites, the minhash_clusters
-    # constructive oracle, and the geom.py validity-gate hardening behind
-    # simplify/buffer); five stable queries untouched since round 2 —
-    # all green in r01-r03 — are parked at the tail.
+    # Ordering is load-bearing: the driver certifies the FIRST 50 of the
+    # 68 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # that transitively touches a module changed in round 5 sits inside
+    # the window — joins.py (tile_rollup guard), temporal.py
+    # (interval_join defaults), sampling.py (sharded paths), audio.py
+    # (group-key fix), raster.py (batched stack_bands), plus the five
+    # NEW round-5 queries — then the window is filled with the dedup/
+    # text/similarity/image suite. The 18 tail entries are all
+    # r04-certified (or r03-certified with modules diff-unchanged since)
+    # and their modules are untouched this round.
     return {
-        # --- changed in rounds 3-4: must have a current driver row ---
-        "connected_components": _q_connected_components,
-        "ivf_topk": _q_ivf_topk,
-        "lsh_topk": _q_lsh_topk,
-        "image_ahash": _q_image_ahash,
-        "minhash_clusters": _q_minhash_clusters,
-        "simplify_polygons": _q_simplify,
-        "buffer_area": _q_buffer_area,
-        "buffer_concave": _q_buffer_concave,
-        # --- core spatial ---
+        # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_assign": _q_tile_assign,
         "tile_counts": _q_tile_counts,
         "tile_rollup": _q_tile_rollup,
@@ -1178,17 +1347,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_shuffle": _q_pip_join_shuffle,
         "pip_join_salted": _q_pip_join_salted,
         "pip_join_polygons": _q_pip_join_polygons,
-        "merge_lines": _q_merge_lines,
         "knn_join": _q_knn,
         "knn_join_ring": _q_knn_ring,
         "radius_join": _q_radius_join,
         "salted_cell_count": _q_salted_cell_count,
+        # --- changed: temporal.py ---
+        "asof_join": _q_asof_join,
+        "asof_join_fwd": _q_asof_join_fwd,
+        "range_join": _q_range_join,
+        "interval_join": _q_interval_join,
+        # --- changed: sampling.py (incl. new hot-group paths) ---
+        "hash_split": _q_hash_split,
+        "sample_per_group": _q_sample_per_group,
+        "sample_per_group_sharded": _q_sample_per_group_sharded,
+        "sessionize": _q_sessionize,
+        "sessionize_sharded": _q_sessionize_sharded,
+        # --- changed: audio.py (group-key fix; new certified rows) ---
+        "audio_stats": _q_audio_stats,
+        "resample_audio": _q_resample_audio,
+        "audio_fingerprint": _q_audio_fingerprint,
+        # --- changed: raster.py (rotate back in per VERDICT r4 ask #4) ---
+        "raster_stats": _q_raster_stats,
+        "raster_points": _q_raster_points,
+        # --- profiling: exact + the newly certified sketch path ---
+        "corpus_quantiles": _q_corpus_quantiles,
+        "corpus_quantiles_approx": _q_corpus_quantiles_approx,
+        # --- window fill: text / dedup / similarity / image / misc ---
         "attribute_filter": _q_attribute_filter,
         "agg_pricing": _q_agg_pricing,
         "topk_per_user": _q_topk_per_user,
         "hex_cells": _q_hex_cells,
         "s2_cells": _q_s2_cells,
-        # --- text / dedup / similarity ---
+        "image_roundtrip": _q_image_roundtrip,
+        "image_ahash": _q_image_ahash,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "token_bpe": _q_token_bpe,
@@ -1201,20 +1392,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_recall": _q_minhash_recall,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
-        "corpus_quantiles": _q_corpus_quantiles,
-        # --- image / geometry / temporal ---
-        "image_roundtrip": _q_image_roundtrip,
-        "audio_stats": _q_audio_stats,
-        "asof_join": _q_asof_join,
-        "asof_join_fwd": _q_asof_join_fwd,
-        "range_join": _q_range_join,
-        "interval_join": _q_interval_join,
-        "hash_split": _q_hash_split,
-        "sample_per_group": _q_sample_per_group,
-        "sessionize": _q_sessionize,
-        # --- tail (>50): stable since round 2, driver rows green r01-r03 ---
-        "raster_stats": _q_raster_stats,
-        "raster_points": _q_raster_points,
+        "merge_lines": _q_merge_lines,
+        # --- tail (entries 51-68): r04-green (or r03-green + modules
+        # diff-unchanged since), untouched this round ---
+        "connected_components": _q_connected_components,
+        "ivf_topk": _q_ivf_topk,
+        "lsh_topk": _q_lsh_topk,
+        "minhash_clusters": _q_minhash_clusters,
+        "simplify_polygons": _q_simplify,
+        "buffer_area": _q_buffer_area,
+        "buffer_concave": _q_buffer_concave,
         "rename_project": _q_rename_project,
         "date_parts": _q_date_parts,
         "time_parts": _q_time_parts,
@@ -1892,6 +2079,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST((4000 + (c_custkey % 5) * 2000) / 2 - 1 AS BIGINT) AS zero_crossings,
                    true AS roundtrip_ok
             FROM customer WHERE c_custkey <= 3000
+        """,
+        "resample_audio": """
+            -- closed form of audio_stats over the 3:2-resampled synth
+            -- sine (see _q_resample_audio): m = 1.5*ns, the exact-hit
+            -- peak survives interpolation, sign pattern gives m/3 - 1
+            -- zero crossings
+            SELECT c_custkey,
+                   CAST((4000 + (c_custkey % 5) * 2000) * 3 / 2 AS INTEGER) AS n_samples,
+                   12000 AS sample_rate,
+                   ((4000 + (c_custkey % 5) * 2000) * 3 / 2) / 12000.0 AS duration_s,
+                   CAST(round(32767 * (0.5 + (c_custkey % 5) * 0.1)) AS INTEGER) AS peak,
+                   CAST((4000 + (c_custkey % 5) * 2000) / 2 - 1 AS BIGINT) AS zero_crossings,
+                   true AS roundtrip_ok
+            FROM customer WHERE c_custkey <= 3000
+        """,
+        "audio_fingerprint": """
+            -- band-peak construction: fingerprint is a pure function
+            -- of key%5 (period class); key%3 amplitude must not leak
+            SELECT c_custkey,
+                   CAST(CASE c_custkey % 5
+                     WHEN 0 THEN 36030996176445440
+                     WHEN 1 THEN 9007749044111360
+                     WHEN 2 THEN 2251937261027840
+                     WHEN 3 THEN -9222809052539518848
+                     ELSE 4611967510585016384
+                   END AS BIGINT) AS fingerprint
+            FROM customer WHERE c_custkey <= 3000
+        """,
+        "corpus_quantiles_approx": """
+            -- the sketch path is certified by rank-space bracketing
+            -- computed Spark-side; every ok_* column must be true
+            SELECT lang, count(*) AS n_docs,
+                   true AS ok_chars_p5, true AS ok_tokens_p5,
+                   true AS ok_chars_p9, true AS ok_tokens_p9,
+                   true AS ok_chars_p99, true AS ok_tokens_p99
+            FROM documents GROUP BY lang
+        """,
+        "sample_per_group_sharded": """
+            -- the shards=8 path must be BIT-IDENTICAL to the plain
+            -- window: same oracle as sample_per_group
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY ((o_orderkey % 2147483648) * 2654435761) % 4294967296 ASC,
+                                o_orderkey ASC) AS rn
+              FROM orders
+            )
+            SELECT o_custkey, o_orderkey FROM r WHERE rn <= 5
+        """,
+        "sessionize_sharded": """
+            -- the time_bucket two-pass stitch must be BIT-IDENTICAL to
+            -- the plain window: same oracle as sessionize
+            WITH e AS (
+              SELECT user_id, event_id, epoch(ts) AS tsec FROM events
+            ),
+            f AS (
+              SELECT user_id, event_id, tsec,
+                     CASE WHEN lag(tsec) OVER w IS NULL
+                               OR tsec - lag(tsec) OVER w > 3600.0
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC)
+            )
+            SELECT user_id, event_id,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY tsec ASC, event_id ASC
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+            FROM f
         """,
         "asof_join_fwd": """
             WITH l AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 0),

@@ -144,3 +144,29 @@ def test_fingerprint_short_and_degenerate_clips(spark):
     assert set(fps) == {"short", "tiny", "one"}
     assert fps["short"] != 0  # 700 samples still yields a real contour
     assert fps["tiny"] == 0 and fps["one"] == 0  # degenerate -> sentinel 0
+
+
+def test_fingerprint_class_literals_match_operator(spark):
+    """The AUDIO_FP_CLASSES literals baked into the driver oracle must
+    equal what audio_fingerprint actually computes for the band-peak
+    construction — recomputed here so drift fails CI, not the driver."""
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    rows = []
+    for key in range(15):  # covers every (key%5, key%3) class
+        n = 4096
+        amp = 0.4 + (key % 3) * 0.2
+        period = 2 ** (2 + key % 5)
+        wave = np.round(
+            32767.0 * amp * np.sin(2.0 * np.pi * np.arange(n) / period)
+        ).astype(np.int16)[:, None]
+        rows.append(
+            {"audio_id": str(key), "bytes": W.encode_wav(wave, 8000),
+             "n_samples": n, "sample_rate": 8000, "n_channels": 1, "caption": ""}
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=datagen.AUDIO_SCHEMA)
+    got = {int(r["audio_id"]): r["fingerprint"] for r in audio_fingerprint(df).collect()}
+    for key, fp in got.items():
+        assert fp == E.AUDIO_FP_CLASSES[key % 5], f"key {key}"
