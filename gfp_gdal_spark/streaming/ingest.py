@@ -16,6 +16,8 @@ from gfp_gdal_spark.sources.datagen import IMAGES_SCHEMA
 __all__ = [
     "read_image_stream",
     "streaming_tile_counts",
+    "streaming_tile_rollup",
+    "streaming_hash_split",
     "windowed_event_counts",
     "streaming_exact_dedup",
 ]
@@ -31,6 +33,32 @@ def streaming_tile_counts(images_stream: DataFrame, z: int = 8) -> DataFrame:
     Complete/update output mode; keyed state is bounded by 4^z tiles."""
     fp = tile_assign(with_footprint(images_stream), z=z)
     return fp.groupBy("tile_z", "tile_x", "tile_y").count()
+
+
+def streaming_tile_rollup(images_stream: DataFrame, z: int = 8, z_to: int = 4) -> DataFrame:
+    """Whole-pyramid rollup over the image stream: the batch
+    operators.joins.tile_rollup composes UNCHANGED — the ancestor
+    explode is stateless and the single (tile_z, tile_x, tile_y) hash
+    agg becomes the stream's one stateful operator. Complete/update
+    output mode; keyed state is bounded by sum_{l=z_to..z} 4^l tiles,
+    independent of stream length."""
+    from gfp_gdal_spark.operators.joins import tile_rollup
+
+    fp = tile_assign(with_footprint(images_stream), z=z)
+    return tile_rollup(fp, z_to=z_to)
+
+
+def streaming_hash_split(
+    stream: DataFrame, id_col: str, fractions: dict[str, float], salt: int = 0
+) -> DataFrame:
+    """operators.sampling.hash_split applied to a stream verbatim —
+    it is a pure stateless column expression, so a late-arriving file,
+    a restarted stream, and a batch job over the same rows all assign
+    the SAME split (the resume-invariance that matters for continuous
+    training-data ingest). Append output mode, no state."""
+    from gfp_gdal_spark.operators.sampling import hash_split
+
+    return hash_split(stream, id_col, fractions, salt)
 
 
 def windowed_event_counts(
