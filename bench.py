@@ -157,9 +157,13 @@ def main() -> None:
         "interval_join",
         "tile_rollup",
         "audio_stats",
+        "resample_audio",
+        "audio_fingerprint",
         "hash_split",
         "sample_per_group",
+        "sample_per_group_sharded",
         "sessionize",
+        "sessionize_sharded",
         "connected_components",
         "salted_cell_count",
         "agg_pricing",
