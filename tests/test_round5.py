@@ -154,3 +154,34 @@ def test_sessionize_time_bucket_parity_any_width(spark):
             (r["k"], r["eid"], r["session_idx"]) for r in got.collect()
         ) == want, f"width {width}"
     df.unpersist()
+
+
+def test_sessionize_time_bucket_window_specs(spark):
+    """Plan-level guarantee for the hot-key path: every Window over the
+    EVENT stream partitions on (key, _rg) — the summary-stitch cascade
+    (the one window on the bare key) runs over O(#ranges) rows/key and
+    is identified by its _rg ordering column (the asof-cascade test
+    pattern from tests/test_round3_props.py)."""
+    import re
+
+    from gfp_gdal_spark.operators.sampling import sessionize
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [0] * 50, "eid": range(50),
+                      "t": np.arange(50) * 40.0})
+    )
+    out = sessionize(df, by="k", ts="t", gap=60.0, tiebreak="eid",
+                     time_bucket=500.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, "no Window nodes found"
+    event_windows = 0
+    for spec in specs:
+        toks = [t.strip() for t in spec.split(",")]
+        part = [t for t in toks if "ASC" not in t and "DESC" not in t and "frame" not in t]
+        order = [t for t in toks if "ASC" in t or "DESC" in t]
+        if any("_rg" in t for t in order):
+            continue  # the O(#ranges)-rows/key summary stitch
+        assert any("_rg" in t for t in part), f"event window partitions on {part!r}"
+        event_windows += 1
+    assert event_windows >= 1  # the pass-1 local-sessionize window
