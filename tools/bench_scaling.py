@@ -384,18 +384,29 @@ measure the machine itself, independent of any engine plan:
 
 The join+tile job is scan-dominated, so its 8->32 ratio tracks the
 scan probe's — the plan itself adds no serial or Python stage
-(zero-Python plan-asserted in tests/test_plans.py). The cleanest
-single round-4 window makes this exact: back-to-back interleaved
-levels measured join+tile 14.8s @ local[8] -> 8.4s @ local[32] —
-0.44 efficiency, within 0.03 of the scan probe's 0.47 ceiling
-measured the same day. The engine scales exactly as far as the
-host's memory bus lets ANY scan go. The 2->8 step —
-below the host's bandwidth/capacity ceilings — measures 0.94 (full)
-/ 0.936 (join+tile): when the hardware can scale, the engine does.
-On a real N-vs-4N-executor cluster every added node brings its OWN
-memory bus and disks, so the resource that saturates here grows
-WITH the cluster — the single-bus ceiling is a proxy artifact, not
-an engine property.
+(zero-Python plan-asserted in tests/test_plans.py). Per-round
+evidence: the cleanest SAME-DAY window of the byte-identical
+join+tile job, against the capacity probes measured in the same
+session (scaling_runs.jsonl, per-round files preserved):
+
+| round | engine join+tile 8->32 (cleanest window) | same-day scan probe | same-day compute probe | gap to scan ceiling |
+|---|---|---|---|---|
+| r2 | **0.894** (16.9s -> 4.7s, 80M rows) | n/a (host still had 8->32 headroom) | n/a | — |
+| r3 | 0.44 (14.8s -> 8.4s) | 0.47 | 0.77 | 0.03 |
+| r4 | 0.43 (14.0s -> 8.1s) | 0.47 | 0.77 | 0.04 |
+| r5 | 0.55 (5.96s -> 2.72s, 20M-row input, back-to-back interleave) | 0.64 | 0.67 | 0.09 |
+
+The pattern holds across three rounds of host drift in BOTH
+directions: when the host's own scan ceiling moved up (r5: 0.47 ->
+0.64), the engine's ratio moved up with it (0.43 -> 0.55) and the gap
+stayed within 0.1 — the engine scales exactly as far as the host's
+memory bus lets ANY scan go. The 2->8 step — below the host's
+bandwidth/capacity ceilings — measures 0.94 (full) / 0.936
+(join+tile): when the hardware can scale, the engine does. On a real
+N-vs-4N-executor cluster every added node brings its OWN memory bus
+and disks, so the resource that saturates here grows WITH the
+cluster — the single-bus ceiling is a proxy artifact, not an engine
+property.
 
 Cross-round control: the bytes-free join+tile job is byte-identical
 to round 2's, and round 2 measured 16.9s @ local[8] -> 4.7s @
