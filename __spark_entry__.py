@@ -1293,6 +1293,53 @@ def _q_sessionize_sharded(spark, sf):
     return out.select("user_id", "event_id", "session_idx")
 
 
+def _q_weighted_sample_pg(spark, sf):
+    """Efraimidis-Spirakis deterministic weighted sampling (4 per
+    customer, weight = order totalprice): the DuckDB oracle evaluates
+    the identical mix -> u -> round(pow(u, 1/w), 12) -> rank
+    arithmetic, so the SELECTED ROWS must match bit-for-bit."""
+    from gfp_gdal_spark.operators.sampling import weighted_sample_per_group
+
+    _prep(spark)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    out = weighted_sample_per_group(
+        o, by="o_custkey", n=4, id_col="o_orderkey", weight="o_totalprice"
+    )
+    return out.select("o_custkey", "o_orderkey")
+
+
+def _q_stratified_split(spark, sf):
+    """Per-group-decorrelated split (XOR-mixed group key): assignment
+    is a pure integer function both engines evaluate identically."""
+    from gfp_gdal_spark.operators.sampling import stratified_split
+
+    _prep(spark)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    out = stratified_split(
+        o, by="o_custkey", id_col="o_orderkey",
+        fractions={"train": 0.7, "val": 0.3},
+    )
+    return out.select("o_custkey", "o_orderkey", "split")
+
+
+def _q_interval_union(spark, sf):
+    """Sweep-line union length of overlapping closed-form intervals
+    per nation (supplier-derived, heavy overlap by construction);
+    DuckDB runs the identical running-max window sweep."""
+    from gfp_gdal_spark.operators.temporal import interval_union_length
+
+    _prep(spark)
+    s = _t(spark, sf, "supplier")
+    iv = s.select(
+        F.col("s_nationkey").alias("k"),
+        ((F.col("s_suppkey") * 37) % 1000).cast("double").alias("lo"),
+        ((F.col("s_suppkey") * 37) % 1000 + 50 + (F.col("s_suppkey") % 7) * 30)
+        .cast("double")
+        .alias("hi"),
+    )
+    return interval_union_length(iv, by="k")
+
+
 def _q_pip_join_polygons(spark, sf):
     """General convex k-gons WITH holes, built in closed form from the
     supplier table (k = 3 + key%6 regular polygon, square hole on even
@@ -1326,13 +1373,13 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 68 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 71 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard), temporal.py
     # (interval_join defaults), sampling.py (sharded paths), audio.py
     # (group-key fix), raster.py (batched stack_bands), plus the five
     # NEW round-5 queries — then the window is filled with the dedup/
-    # text/similarity/image suite. The 18 tail entries are all
+    # text/similarity/image suite. The 21 tail entries are all
     # r04-certified (or r03-certified with modules diff-unchanged since)
     # and their modules are untouched this round.
     return {
@@ -1356,10 +1403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_fwd": _q_asof_join_fwd,
         "range_join": _q_range_join,
         "interval_join": _q_interval_join,
+        "interval_union": _q_interval_union,
         # --- changed: sampling.py (incl. new hot-group paths) ---
         "hash_split": _q_hash_split,
+        "stratified_split": _q_stratified_split,
         "sample_per_group": _q_sample_per_group,
         "sample_per_group_sharded": _q_sample_per_group_sharded,
+        "weighted_sample_pg": _q_weighted_sample_pg,
         "sessionize": _q_sessionize,
         "sessionize_sharded": _q_sessionize_sharded,
         # --- changed: audio.py (group-key fix; new certified rows) ---
@@ -1384,17 +1434,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "token_bpe": _q_token_bpe,
         "text_quality": _q_text_quality,
-        "quality_filter": _q_quality_filter,
-        "doc_fingerprint": _q_doc_fingerprint,
         "embedding_dedup": _q_embedding_dedup,
-        "lang_id": _q_lang_id,
         "cosine_topk": _q_cosine_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_recall": _q_minhash_recall,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "merge_lines": _q_merge_lines,
-        # --- tail (entries 51-68): r04-green (or r03-green + modules
+        # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
+        "quality_filter": _q_quality_filter,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lang_id": _q_lang_id,
         "connected_components": _q_connected_components,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
@@ -2128,6 +2178,52 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT o_custkey, o_orderkey FROM r WHERE rn <= 5
+        """,
+        "weighted_sample_pg": """
+            -- Efraimidis-Spirakis priority sampling: identical
+            -- mix -> u -> round(pow(u, 1/w), 12) -> rank arithmetic
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY round(
+                         pow(
+                           ((((o_orderkey % 2147483648) * 2654435761) % 4294967296) + 0.5)
+                             / 4294967296,
+                           1.0 / o_totalprice
+                         ), 12) DESC,
+                       o_orderkey ASC) AS rn
+              FROM orders WHERE o_totalprice > 0
+            )
+            SELECT o_custkey, o_orderkey FROM r WHERE rn <= 4
+        """,
+        "stratified_split": """
+            -- XOR-mixed per-group split: same nested integer formula
+            SELECT o_custkey, o_orderkey,
+                   CASE WHEN (
+                     (xor(((o_custkey % 2147483648) * 2654435761) % 4294967296,
+                          o_orderkey % 2147483648) % 2147483648)
+                     * 2654435761) % 4294967296 / 4294967296.0 < 0.7
+                   THEN 'train' ELSE 'val' END AS split
+            FROM orders
+        """,
+        "interval_union": """
+            -- sweep-line union length: identical running-max window
+            WITH iv AS (
+              SELECT s_nationkey AS k,
+                     CAST((s_suppkey * 37) % 1000 AS DOUBLE) AS lo,
+                     CAST((s_suppkey * 37) % 1000 + 50 + (s_suppkey % 7) * 30 AS DOUBLE) AS hi
+              FROM supplier
+            ),
+            s AS (
+              SELECT k, lo, hi,
+                     max(hi) OVER (PARTITION BY k ORDER BY lo ASC, hi ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+              FROM iv
+            )
+            SELECT k,
+                   round(sum(greatest(0.0, hi - greatest(lo, coalesce(run, lo)))), 6) AS covered
+            FROM s GROUP BY k
         """,
         "sessionize_sharded": """
             -- the time_bucket two-pass stitch must be BIT-IDENTICAL to

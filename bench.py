@@ -160,10 +160,13 @@ def main() -> None:
         "resample_audio",
         "audio_fingerprint",
         "hash_split",
+        "stratified_split",
         "sample_per_group",
         "sample_per_group_sharded",
+        "weighted_sample_pg",
         "sessionize",
         "sessionize_sharded",
+        "interval_union",
         "connected_components",
         "salted_cell_count",
         "agg_pricing",

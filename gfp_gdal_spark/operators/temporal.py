@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "range_join"]
+__all__ = ["asof_join", "interval_join", "interval_union_length", "range_join"]
 
 
 def asof_join(
@@ -199,6 +199,46 @@ def range_join(
     else:
         cond = (F.col(val) >= F.col(lo)) & (F.col(val) < F.col(hi))
     return joined.where(cond)
+
+
+def interval_union_length(
+    df: DataFrame,
+    by: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    out_col: str = "covered",
+) -> DataFrame:
+    """Total length of the UNION of (possibly overlapping) closed
+    intervals per key — coverage analytics (sensor uptime, footprint
+    span coverage, session airtime). The classic sweep: sort intervals
+    by lo within each key; each row contributes
+    max(0, hi - max(lo, running_max_hi_over_previous_rows)) — the part
+    of it not already covered — and one sum per key totals the union.
+
+    ONE shuffle: the window partitions on ``by`` and the following
+    groupBy reuses that hash distribution (no second exchange —
+    EnsureRequirements sees the partitioning is already satisfied).
+    The running max replaces the naive sort-merge-stack with a pure
+    Column plan. Hot keys sort in one partition, as any per-key sweep
+    must; pre-merge per coarse lo-range and re-sweep the merged spans
+    if a single key holds 10^9 intervals.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(lo).asc(), F.col(hi).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # coalesce (not null-skipping greatest) so both Spark and DuckDB
+    # evaluate the first row of a key identically
+    run = F.coalesce(F.max(F.col(hi)).over(w), F.col(lo))
+    inc = F.greatest(F.lit(0.0), F.col(hi) - F.greatest(F.col(lo), run))
+    return (
+        df.withColumn("_inc", inc)
+        .groupBy(by)
+        .agg(F.round(F.sum("_inc"), 6).alias(out_col))
+    )
 
 
 def interval_join(

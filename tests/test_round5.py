@@ -185,3 +185,93 @@ def test_sessionize_time_bucket_window_specs(spark):
         assert any("_rg" in t for t in part), f"event window partitions on {part!r}"
         event_windows += 1
     assert event_windows >= 1  # the pass-1 local-sessionize window
+
+
+def test_weighted_sample_per_group_parity_and_shards(spark):
+    """Efraimidis-Spirakis priority sampling vs a numpy replication of
+    the exact arithmetic (mix -> u -> round(pow(u, 1/w), 12) -> top-n
+    by (priority desc, id)); sharded path must match plain exactly;
+    non-positive weights are excluded."""
+    from gfp_gdal_spark.operators.sampling import weighted_sample_per_group
+
+    rng = np.random.default_rng(21)
+    ids = np.arange(5000, dtype=np.int64)
+    grp = ids % 13
+    wts = np.round(rng.uniform(0.1, 9.0, 5000), 3)
+    wts[::97] = 0.0  # planted excluded rows
+    df = spark.createDataFrame(pd.DataFrame({"g": grp, "id": ids, "w": wts}))
+    out = weighted_sample_per_group(df, by="g", n=6, id_col="id", weight="w")
+    got = sorted((r["g"], r["id"]) for r in out.collect())
+    # numpy oracle
+    knuth, mod = 2654435761, 1 << 32
+    u = (((ids % (1 << 31)) * knuth) % mod + 0.5) / mod
+    prio = np.round(u ** (1.0 / np.where(wts > 0, wts, np.nan)), 12)
+    want = []
+    for g in range(13):
+        m = (grp == g) & (wts > 0)
+        order = sorted(zip(-prio[m], ids[m]))[:6]
+        want += [(g, int(i)) for _, i in order]
+    assert got == sorted(want)
+    sharded = weighted_sample_per_group(
+        df, by="g", n=6, id_col="id", weight="w", shards=4
+    )
+    assert sorted((r["g"], r["id"]) for r in sharded.collect()) == got
+
+
+def test_stratified_split_decorrelated_and_portable(spark):
+    """Per-group mixing: the SAME id under two groups must draw
+    independent assignments (plain hash_split would correlate them);
+    assignment matches the numpy replication of the nested-mix
+    arithmetic; non-integer group columns fail loud."""
+    from gfp_gdal_spark.operators.sampling import stratified_split
+
+    ids = np.tile(np.arange(2000, dtype=np.int64), 2)
+    grp = np.repeat(np.array([3, 8], dtype=np.int64), 2000)
+    df = spark.createDataFrame(pd.DataFrame({"g": grp, "id": ids}))
+    out = stratified_split(df, by="g", id_col="id",
+                           fractions={"train": 0.8, "val": 0.2})
+    got = {(r["g"], r["id"]): r["split"] for r in out.collect()}
+    knuth, mod, m31 = 2654435761, 1 << 32, 1 << 31
+    mix = lambda x: ((x % m31) * knuth) % mod  # noqa: E731
+    u = mix(mix(grp) ^ (ids % m31)) / mod
+    for (gg, ii, uu) in zip(grp, ids, u):
+        want = "train" if uu < 0.8 else "val"
+        assert got[(int(gg), int(ii))] == want
+    # decorrelation: assignments differ between groups for many ids
+    diff = sum(got[(3, i)] != got[(8, i)] for i in range(2000))
+    assert 400 < diff  # ~2*0.8*0.2*2000 = 640 expected
+    sdf = spark.createDataFrame(pd.DataFrame({"g": ["a"] * 3, "id": [1, 2, 3]}))
+    with pytest.raises(ValueError, match="integer group column"):
+        stratified_split(sdf, by="g", id_col="id", fractions={"t": 1.0})
+
+
+def test_interval_union_length_matches_bruteforce(spark):
+    """Sweep-line union length vs a numpy merge on random overlapping
+    interval sets (duplicates, containment, zero-length, negatives);
+    the plan must reuse the window's hash partitioning for the final
+    agg (one Exchange total)."""
+    from gfp_gdal_spark.operators.temporal import interval_union_length
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    key = rng.integers(0, 20, n)
+    lo = np.round(rng.uniform(-500, 500, n), 2)
+    ln = rng.choice([0.0, 1.0, 40.0, 300.0], n) * np.round(rng.uniform(0, 1, n), 2)
+    hi = np.round(lo + ln, 2)
+    df = spark.createDataFrame(pd.DataFrame({"k": key, "lo": lo, "hi": hi}))
+    out = {r["k"]: r["covered"] for r in
+           interval_union_length(df, by="k").collect()}
+    for g in range(20):
+        ivs = sorted(zip(lo[key == g], hi[key == g]))
+        total, cur_lo, cur_hi = 0.0, None, None
+        for a, b in ivs:
+            if cur_hi is None or a > cur_hi:
+                total += 0.0 if cur_hi is None else cur_hi - cur_lo
+                cur_lo, cur_hi = a, b
+            else:
+                cur_hi = max(cur_hi, b)
+        if cur_hi is not None:
+            total += cur_hi - cur_lo
+        assert out[g] == pytest.approx(total, abs=1e-6), f"key {g}"
+    plan = interval_union_length(df, by="k")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, "window partitioning not reused by the agg"
