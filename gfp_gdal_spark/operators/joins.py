@@ -37,6 +37,7 @@ from gfp_gdal_spark.functions.spatial import (
 __all__ = [
     "tile_assign",
     "tile_cover",
+    "bbox_join",
     "ring_bbox_cols",
     "cover_cells_tile",
     "cover_cells_hex",
@@ -151,6 +152,49 @@ def tile_cover(df: DataFrame, z: int, bbox_cols=("min_lon", "min_lat", "max_lon"
     df = df.withColumn("tile_x", F.explode(F.sequence(x0, x1)))
     df = df.withColumn("tile_y", F.explode(F.sequence(y0, y1)))
     return df
+
+
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    z: int = 8,
+    l_cols: tuple[str, str, str, str] = ("l_min_lon", "l_min_lat", "l_max_lon", "l_max_lat"),
+    r_cols: tuple[str, str, str, str] = ("r_min_lon", "r_min_lat", "r_max_lon", "r_max_lat"),
+) -> DataFrame:
+    """Rectangle-OVERLAP join: left x right rows whose closed bboxes
+    intersect — the 2-D sibling of ``interval_join`` (image-footprint
+    overlap vs zone extents, scene-pair candidate generation).
+
+    Both sides explode over their WebMercator z-tile cover; the tile
+    equi-join would emit a pair once per shared tile, so each pair is
+    kept only in its CANONICAL tile — the tile of the overlap
+    rectangle's lower-left corner (greatest of the min corners), which
+    both covers contain exactly once. No dedup shuffle, no distinct,
+    no product; pure JVM. Size ``z`` so the TYPICAL bbox covers a few
+    tiles (fan-out is bounded by cover size, exactly like
+    interval_join's bin count). Bound column names must be DISTINCT
+    across sides (the output carries both) — fail loud otherwise.
+    """
+    clash = set(l_cols) & set(r_cols)
+    if clash:
+        raise ValueError(
+            f"bbox_join bbox columns collide across sides: {sorted(clash)}; "
+            "rename one side first"
+        )
+
+    def cover(df: DataFrame, cols) -> DataFrame:
+        x0, x1, y0, y1 = tile_cover_cols(*(F.col(c) for c in cols), z)
+        return df.withColumn("_cx", F.explode(F.sequence(x0, x1))).withColumn(
+            "_cy", F.explode(F.sequence(y0, y1))
+        )
+
+    j = cover(left, l_cols).join(cover(right, r_cols), ["_cx", "_cy"])
+    lmnx, lmny, lmxx, lmxy = (F.col(c) for c in l_cols)
+    rmnx, rmny, rmxx, rmxy = (F.col(c) for c in r_cols)
+    overlap = (lmnx <= rmxx) & (rmnx <= lmxx) & (lmny <= rmxy) & (rmny <= lmxy)
+    cx, cy = tile_cols(F.greatest(lmnx, rmnx), F.greatest(lmny, rmny), z)
+    canonical = (F.col("_cx") == cx) & (F.col("_cy") == cy)
+    return j.where(overlap & canonical).drop("_cx", "_cy")
 
 
 def cover_cells_hex(

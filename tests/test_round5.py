@@ -275,3 +275,42 @@ def test_interval_union_length_matches_bruteforce(spark):
         assert out[g] == pytest.approx(total, abs=1e-6), f"key {g}"
     plan = interval_union_length(df, by="k")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 1, "window partitioning not reused by the agg"
+
+
+def test_bbox_join_random_parity(spark):
+    """bbox_join vs the brute-force rectangle-overlap matrix across
+    zoom levels (canonical-tile dedup must emit every overlapping pair
+    exactly once — touching edges, containment, zero-area rects,
+    rects spanning many tiles)."""
+    from gfp_gdal_spark.operators.joins import bbox_join
+
+    rng = np.random.default_rng(41)
+    nl, nr = 70, 90
+    lmnx = rng.uniform(-170, 160, nl)
+    lmny = rng.uniform(-75, 70, nl)
+    lmxx = lmnx + rng.choice([0.0, 0.5, 5.0, 40.0], nl) * rng.uniform(0, 1, nl)
+    lmxy = lmny + rng.choice([0.0, 0.5, 4.0, 20.0], nl) * rng.uniform(0, 1, nl)
+    rmnx = rng.uniform(-170, 160, nr)
+    rmny = rng.uniform(-75, 70, nr)
+    rmxx = rmnx + rng.choice([0.0, 1.0, 8.0, 30.0], nr) * rng.uniform(0, 1, nr)
+    rmxy = rmny + rng.choice([0.0, 1.0, 6.0, 15.0], nr) * rng.uniform(0, 1, nr)
+    want = {
+        (i, j)
+        for i in range(nl)
+        for j in range(nr)
+        if lmnx[i] <= rmxx[j] and rmnx[j] <= lmxx[i]
+        and lmny[i] <= rmxy[j] and rmny[j] <= lmxy[i]
+    }
+    l = spark.createDataFrame(pd.DataFrame(
+        {"lid": range(nl), "l_min_lon": lmnx, "l_min_lat": lmny,
+         "l_max_lon": lmxx, "l_max_lat": lmxy}))
+    r = spark.createDataFrame(pd.DataFrame(
+        {"rid": range(nr), "r_min_lon": rmnx, "r_min_lat": rmny,
+         "r_max_lon": rmxx, "r_max_lat": rmxy}))
+    for z in (3, 6, 9):
+        got = [(row["lid"], row["rid"]) for row in bbox_join(l, r, z=z).collect()]
+        assert len(got) == len(set(got)), f"duplicate pairs at z={z}"
+        assert set(got) == want, f"z={z}"
+    with pytest.raises(ValueError, match="collide"):
+        bbox_join(l, r, l_cols=("l_min_lon", "l_min_lat", "l_max_lon", "l_max_lat"),
+                  r_cols=("l_min_lon", "r_min_lat", "r_max_lon", "r_max_lat"))
