@@ -155,6 +155,7 @@ def main() -> None:
         "asof_join_fwd",
         "range_join",
         "interval_join",
+        "bbox_join",
         "tile_rollup",
         "audio_stats",
         "resample_audio",
@@ -178,6 +179,7 @@ def main() -> None:
         "token_bpe",
         "cosine_topk",
         "minhash_recall",
+        "phash_pairs",
         "hex_cells",
         "crs_webmercator",
     ]

@@ -22,6 +22,7 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "minhash_dedup",
+    "hamming_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
 ]
@@ -157,6 +158,99 @@ def minhash_dedup(
     )
 
 
+def _block_bounds(n_blocks: int) -> list[tuple[int, int]]:
+    """Split the 64 signature bits into n_blocks contiguous (offset,
+    width) spans, widths as even as possible (leading blocks take the
+    remainder bit)."""
+    base, extra = divmod(64, n_blocks)
+    bounds, off = [], 0
+    for b in range(n_blocks):
+        w = base + (1 if b < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
+def hamming_pairs(
+    df: DataFrame,
+    sig: str = "sig",
+    id_col: str = "id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """EXACT near-dup pairs on a precomputed 64-bit signature column
+    (SimHash, image perceptual hash, audio fingerprint) within
+    ``max_hamming`` bits — (id_a, id_b, hamming), id_a < id_b.
+
+    Pigeonhole banding: the 64 bits split into ``n_blocks`` (default
+    max_hamming+1) contiguous blocks; any pair within max_hamming
+    differing bits shares at least one block EXACTLY, so candidates
+    come from n_blocks equi-joins (one explode per side, all JVM).
+    A qualifying pair would match in every block that happens to agree,
+    so it is kept ONLY at its FIRST matching block — the canonical
+    block, decided by re-deriving earlier blocks from the carried
+    signatures — which removes the dropDuplicates shuffle the naive
+    banding needs (same trick as bbox_join's canonical tile).
+
+    Scale: candidate volume is sum over blocks of bucket^2; uniform
+    64-bit signatures keep buckets tiny at any corpus size (a 9-bit
+    block has 512 buckets — use MORE blocks only when max_hamming
+    demands it, wider blocks = fewer collisions).
+    """
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"n_blocks must be in [1, 64], got {n_blocks}")
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_blocks > max_hamming "
+            f"(got n_blocks={n_blocks}, max_hamming={max_hamming}): "
+            f"a pair could differ in every block and be missed"
+        )
+    bounds = _block_bounds(n_blocks)
+
+    def blk(col, b: int):
+        off, w = bounds[b]
+        c = F.shiftrightunsigned(col, off) if off else col
+        if w < 64:
+            c = c.bitwiseAND(F.lit((1 << w) - 1))
+        return c
+
+    s = df.select(F.col(id_col).alias("_id"), F.col(sig).alias("_sh"))
+    blocks = s.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("blk"), blk(F.col("_sh"), b).alias("key"))
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", "bk.blk", "bk.key")
+    a = blocks.select("blk", "key", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = blocks.select("blk", "key", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+
+    def no_earlier_match(upto: int):
+        c = blk(F.col("sh_a"), 0) != blk(F.col("sh_b"), 0)
+        for i in range(1, upto):
+            c = c & (blk(F.col("sh_a"), i) != blk(F.col("sh_b"), i))
+        return c
+
+    canonical = F.lit(True) if n_blocks == 1 else F.when(F.col("blk") == 0, F.lit(True))
+    for bb in range(1, n_blocks):
+        canonical = canonical.when(F.col("blk") == bb, no_earlier_match(bb))
+    return (
+        a.join(b, ["blk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(canonical)
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text: str = "text",
@@ -164,39 +258,13 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs via 64-bit SimHash with 4x16-bit block banding:
-    any pair within hamming distance 3 shares at least one exact
-    16-bit block (pigeonhole), so candidates come from 4 equi-joins,
-    verified with bit_count(xor) <= max_hamming."""
+    """Near-dup pairs via 64-bit SimHash + ``hamming_pairs`` banding
+    (>=4 blocks; more when max_hamming > 3 — the fixed-4-block form
+    would MISS pairs at hamming 4+, one differing bit per block)."""
     sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text), shingle=shingle).alias("_sh"))
-    blocks = sig.select(
-        "_id",
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftrightunsigned("_sh", 16 * b)
-                        .bitwiseAND(F.lit(65535))
-                        .alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "_sh", "bk.blk", "bk.key")
-    a = blocks.select("blk", "key", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = blocks.select("blk", "key", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-    pairs = (
-        a.join(b, ["blk", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_pairs(
+        sig, sig="_sh", id_col="_id", max_hamming=max_hamming, n_blocks=max(4, max_hamming + 1)
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(

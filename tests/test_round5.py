@@ -314,3 +314,40 @@ def test_bbox_join_random_parity(spark):
     with pytest.raises(ValueError, match="collide"):
         bbox_join(l, r, l_cols=("l_min_lon", "l_min_lat", "l_max_lon", "l_max_lat"),
                   r_cols=("l_min_lon", "r_min_lat", "r_max_lon", "r_max_lat"))
+
+
+def test_hamming_pairs_bruteforce(spark):
+    """hamming_pairs vs the full popcount matrix: 300 signatures drawn
+    from 40 bases with 0-9 random bit flips (dense near-dup structure,
+    exact duplicates included), checked at several thresholds and
+    block counts — canonical-block dedup must emit each qualifying
+    pair exactly once."""
+    from gfp_gdal_spark.operators.dedup import hamming_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, 40, dtype=np.uint64)
+    sigs = []
+    for i in range(300):
+        v = base[i % 40]
+        for b in rng.integers(0, 64, int(rng.integers(0, 10))):
+            v ^= np.uint64(1) << np.uint64(b)
+        sigs.append(v)
+    sigs = np.array(sigs, dtype=np.uint64)
+    x = sigs[:, None] ^ sigs[None, :]
+    d = np.zeros_like(x, dtype=np.int64)
+    v = x.copy()
+    for _ in range(64):
+        d += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(300), "sig": sigs.view(np.int64)}))
+    for h, nb in [(0, 1), (3, 4), (3, None), (6, None), (6, 16)]:
+        want = {(i, j): d[i, j] for i in range(300) for j in range(i + 1, 300)
+                if d[i, j] <= h}
+        rows = hamming_pairs(df, sig="sig", id_col="id",
+                             max_hamming=h, n_blocks=nb).collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+        assert len(rows) == len(got), f"duplicate pairs h={h} nb={nb}"
+        assert got == want, f"h={h} nb={nb}"
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_pairs(df, sig="sig", id_col="id", max_hamming=4, n_blocks=4)
