@@ -38,6 +38,7 @@ __all__ = [
     "tile_assign",
     "tile_cover",
     "bbox_join",
+    "overlap_clusters",
     "ring_bbox_cols",
     "cover_cells_tile",
     "cover_cells_hex",
@@ -195,6 +196,50 @@ def bbox_join(
     cx, cy = tile_cols(F.greatest(lmnx, rmnx), F.greatest(lmny, rmny), z)
     canonical = (F.col("_cx") == cx) & (F.col("_cy") == cy)
     return j.where(overlap & canonical).drop("_cx", "_cy")
+
+
+def overlap_clusters(
+    df: DataFrame,
+    id_col: str = "image_id",
+    z: int = 7,
+    bbox_cols: tuple[str, str, str, str] = ("min_lon", "min_lat", "max_lon", "max_lat"),
+    max_iter: int = 40,
+) -> DataFrame:
+    """Scene / mosaic grouping: cluster rows whose bboxes TRANSITIVELY
+    overlap (image footprints that stitch into one mosaic, flight
+    strips, satellite scene stacks). ``bbox_join`` self-join generates
+    the overlap edges (tile-bucketed, canonical-tile dedup — never
+    all-pairs), distributed connected components labels the clusters,
+    and every input row comes back with a ``cluster_id`` (= min id in
+    its cluster; non-overlapping rows keep their own id via the left
+    join, no edge list entry needed).
+
+    Scale: edges are bounded by true overlap pairs + cover fan-out;
+    CC is the O(log n)-round hook+compress of plans.graph (stats-reset
+    checkpointing, fail-loud non-convergence). Ids must be orderable
+    and globally unique.
+    """
+    l_cols = tuple("_l_" + c for c in bbox_cols)
+    r_cols = tuple("_r_" + c for c in bbox_cols)
+    lv = df.select(
+        F.col(id_col).alias("_ida"), *[F.col(c).alias(a) for c, a in zip(bbox_cols, l_cols)]
+    )
+    rv = df.select(
+        F.col(id_col).alias("_idb"), *[F.col(c).alias(a) for c, a in zip(bbox_cols, r_cols)]
+    )
+    edges = (
+        bbox_join(lv, rv, z=z, l_cols=l_cols, r_cols=r_cols)
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(F.col("_ida").alias("src"), F.col("_idb").alias("dst"))
+    )
+    from gfp_gdal_spark.plans.graph import connected_components
+
+    comp = connected_components(edges, max_iter=max_iter)
+    return (
+        df.join(comp, df[id_col] == comp["vertex"], "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("vertex", "component")
+    )
 
 
 def cover_cells_hex(

@@ -351,3 +351,46 @@ def test_hamming_pairs_bruteforce(spark):
         assert got == want, f"h={h} nb={nb}"
     with pytest.raises(ValueError, match="pigeonhole"):
         hamming_pairs(df, sig="sig", id_col="id", max_hamming=4, n_blocks=4)
+
+
+def test_overlap_clusters_bruteforce(spark):
+    """overlap_clusters vs driver-side union-find over the brute-force
+    overlap matrix: random rects (containment, touching edges, long
+    thin spans) plus guaranteed singletons; string ids."""
+    from gfp_gdal_spark.operators.joins import overlap_clusters
+
+    rng = np.random.default_rng(13)
+    n = 120
+    mnx = rng.uniform(-170, 150, n)
+    mny = rng.uniform(-75, 60, n)
+    mxx = mnx + rng.choice([0.2, 3.0, 25.0], n) * rng.uniform(0.1, 1, n)
+    mxy = mny + rng.choice([0.2, 3.0, 12.0], n) * rng.uniform(0.1, 1, n)
+    ids = [f"b{i:05d}" for i in range(n)]
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if mnx[i] <= mxx[j] and mnx[j] <= mxx[i] and mny[i] <= mxy[j] and mny[j] <= mxy[i]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    want = {ids[i]: ids[min(find(i), i)] for i in range(n)}
+    # min-id representative per component
+    reps = {}
+    for i in range(n):
+        r = find(i)
+        reps.setdefault(r, ids[i])
+    want = {ids[i]: reps[find(i)] for i in range(n)}
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"image_id": ids, "min_lon": mnx, "min_lat": mny,
+         "max_lon": mxx, "max_lat": mxy}))
+    out = overlap_clusters(df, id_col="image_id", z=5)
+    got = {r["image_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == want
