@@ -156,6 +156,7 @@ def main() -> None:
         "range_join",
         "interval_join",
         "bbox_join",
+        "overlap_clusters",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

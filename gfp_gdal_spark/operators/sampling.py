@@ -21,6 +21,7 @@ __all__ = [
     "sample_per_group",
     "weighted_sample_per_group",
     "sessionize",
+    "pack_chunks",
 ]
 
 _KNUTH = 2654435761
@@ -295,4 +296,61 @@ def sessionize(
         e.join(off_map, [by, "_rg"])
         .withColumn("session_idx", F.col("_li") + F.col("_off"))
         .drop("_rg", "_li", "_off")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    tokens: str,
+    budget: int,
+    shards: int = 64,
+    salt: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk packing plan — the standard LLM-pretraining
+    batch construction: documents are laid end-to-end and the token
+    stream is cut every ``budget`` tokens. Emits, per document, which
+    training chunks its tokens land in:
+
+    - ``shard``        mix(id+salt) % shards — the packing STREAM the
+                       doc belongs to (one independent stream per
+                       output writer; this is what makes the plan
+                       scale: each stream packs in parallel and the
+                       widest window partition is ~1/shards of the
+                       corpus, not the whole corpus)
+    - ``tok_offset``   the doc's first token's position in its stream
+    - ``chunk_first`` / ``chunk_last`` / ``n_chunks``  the chunk index
+                       range [tok_offset, tok_offset+tokens) spans —
+                       a doc straddling a cut appears in both chunks,
+                       exactly like the real concat-then-slice loader
+
+    Within a stream docs are ordered by (mix(id), id) — a reproducible
+    stand-in for the random document shuffle, identical across re-runs,
+    resumes, and engines (same Knuth-mix portability contract as
+    hash_split). One shuffle total (the per-shard window). Rows with
+    ``tokens <= 0`` occupy no stream space and are dropped (documented
+    contract; filter upstream to keep them).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0 or shards <= 0:
+        raise ValueError(f"budget and shards must be positive; got {budget}, {shards}")
+    u = _mix(F.col(id_col) + F.lit(salt))
+    d = df.where(F.col(tokens) > 0).withColumn("_u", u).withColumn(
+        "shard", F.pmod(F.col("_u"), F.lit(shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_u").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(tokens).cast("long")).over(w)
+    d = d.withColumn("tok_offset", (cum - F.col(tokens).cast("long")))
+    first = F.expr(f"tok_offset div {int(budget)}")
+    last = F.expr(f"(tok_offset + {tokens} - 1) div {int(budget)}")
+    return (
+        d.withColumn("chunk_first", first)
+        .withColumn("chunk_last", last)
+        .withColumn("n_chunks", (F.col("chunk_last") - F.col("chunk_first") + 1))
+        .drop("_u")
     )

@@ -394,3 +394,40 @@ def test_overlap_clusters_bruteforce(spark):
     out = overlap_clusters(df, id_col="image_id", z=5)
     got = {r["image_id"]: r["cluster_id"] for r in out.collect()}
     assert got == want
+
+
+def test_pack_chunks_bruteforce(spark):
+    """pack_chunks vs a driver-side replay of the concat-and-chunk
+    contract: per shard, sort by (mix, id), lay tokens end-to-end, cut
+    every `budget`. Checks offsets, chunk ranges, span counts, and the
+    stream-conservation invariant (per-shard token sum == max offset +
+    last doc's tokens)."""
+    from gfp_gdal_spark.operators.sampling import pack_chunks
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ids = rng.permutation(np.arange(10_000, 10_000 + n)).astype(np.int64)
+    toks = rng.integers(0, 900, n).astype(np.int64)  # includes zero-token docs
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "n_tokens": toks}))
+    budget, shards, salt = 256, 8, 3
+    out = pack_chunks(df, id_col="doc_id", tokens="n_tokens",
+                      budget=budget, shards=shards, salt=salt).collect()
+
+    mix = lambda k: ((int(k + salt) % 2**31) * 2654435761) % 2**32
+    rows = sorted(
+        [(mix(i), int(i), int(t)) for i, t in zip(ids, toks) if t > 0]
+    )
+    want = {}
+    cur = {}
+    for u, i, t in rows:
+        s = u % shards
+        off = cur.get(s, 0)
+        want[i] = (s, off, off // budget, (off + t - 1) // budget)
+        cur[s] = off + t
+    assert len(out) == len(want)
+    for r in out:
+        s, off, cf, cl = want[r["doc_id"]]
+        assert (r["shard"], r["tok_offset"], r["chunk_first"], r["chunk_last"]) == (s, off, cf, cl), r
+        assert r["n_chunks"] == cl - cf + 1
+    with pytest.raises(ValueError, match="positive"):
+        pack_chunks(df, id_col="doc_id", tokens="n_tokens", budget=0)
