@@ -157,6 +157,7 @@ def main() -> None:
         "interval_join",
         "bbox_join",
         "overlap_clusters",
+        "pack_chunks",
         "tile_rollup",
         "audio_stats",
         "resample_audio",
