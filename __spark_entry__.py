@@ -1396,6 +1396,95 @@ def _q_pack_chunks(spark, sf):
     )
 
 
+def _grid_fixture(spark, sf, max_key=120, n=16):
+    """Closed-form gridded raster: one n x n pixel grid per customer
+    key, z = (r*31 + c*17 + k) % 97 — integer-valued doubles, so every
+    aggregate below is EXACT (order-independent) in both engines."""
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") <= max_key)
+    seq = F.sequence(F.lit(0), F.lit(n - 1))
+    g = (
+        c.select("c_custkey")
+        .withColumn("r", F.explode(seq))
+        .withColumn("c", F.explode(seq))
+    )
+    return g.withColumn(
+        "z",
+        ((F.col("r") * 31 + F.col("c") * 17 + F.col("c_custkey")) % 97).cast(
+            "double"
+        ),
+    )
+
+
+def _q_focal_stats(spark, sf):
+    """Tomlin FOCAL statistics (3x3 moving window, interior cells) on
+    the closed-form grid; the DuckDB oracle replays the identical
+    scatter -> groupBy -> count=9 arithmetic."""
+    from gfp_gdal_spark.operators.map_algebra import focal_stats
+
+    _prep(spark)
+    g = _grid_fixture(spark, sf)
+    out = focal_stats(g, key="c_custkey", row="r", col="c", val="z", radius=1)
+    return out.select(
+        "c_custkey",
+        "r",
+        "c",
+        "n_nbrs",
+        F.round("focal_mean", 6).alias("focal_mean"),
+        "focal_min",
+        "focal_max",
+        "focal_sum",
+    )
+
+
+def _q_hillshade(spark, sf):
+    """Horn slope/aspect/hillshade (the gdaldem triple) on the same
+    grid; the oracle recomputes the full formula chain — weighted
+    gradient sums (exact integer arithmetic / 8*cellsize), atan /
+    atan2 wrap / illumination cosine — in SQL."""
+    from gfp_gdal_spark.operators.map_algebra import slope_hillshade
+
+    _prep(spark)
+    g = _grid_fixture(spark, sf, max_key=80)
+    out = slope_hillshade(
+        g, key="c_custkey", row="r", col="c", val="z", cellsize=2.0, z_factor=1.5
+    )
+    return out.select(
+        "c_custkey",
+        "r",
+        "c",
+        "dzdx",
+        "dzdy",
+        F.round("slope_rad", 6).alias("slope_rad"),
+        F.round("aspect_rad", 6).alias("aspect_rad"),
+        F.round("hillshade", 4).alias("hillshade"),
+    )
+
+
+def _q_zonal_stats(spark, sf):
+    """ZONAL statistics — the raster->vector bridge: order points
+    (integer-valued z) aggregated per customer-rect zone through the
+    certified pip_join; oracle = strict-containment theta-join +
+    groupBy."""
+    from gfp_gdal_spark.operators.map_algebra import zonal_stats
+
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey").withColumn(
+        "z", (F.col("o_orderkey") % 1000).cast("double")
+    )
+    polys = _rects_from_customer(_t(spark, sf, "customer"))
+    out = zonal_stats(
+        pts, polys, zone_id="c_custkey", z=4, holes=None, broadcast=True
+    )
+    return out.select(
+        "c_custkey",
+        "n_points",
+        F.round("zonal_mean", 6).alias("zonal_mean"),
+        "zonal_min",
+        "zonal_max",
+        "zonal_sum",
+    )
+
+
 def _q_weighted_sample_pg(spark, sf):
     """Efraimidis-Spirakis deterministic weighted sampling (4 per
     customer, weight = order totalprice): the DuckDB oracle evaluates
@@ -1476,7 +1565,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 75 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 78 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join), temporal.py
     # (interval_join defaults), sampling.py (sharded paths), audio.py
@@ -1484,7 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (hamming_pairs + simhash refactor -> minhash_recall,
     # simhash_dup_pairs, phash_pairs, ngram_jaccard, minhash_clusters
     # all in-window), plus the NEW round-5 queries — then the window is
-    # filled with the text/similarity/image suite. The 25 tail entries are all
+    # filled with the text/similarity/image suite. The 28 tail entries are all
     # r04-certified (or r03-certified with modules diff-unchanged since)
     # and their modules are untouched this round.
     return {
@@ -1527,17 +1616,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed: raster.py (rotate back in per VERDICT r4 ask #4) ---
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
+        # --- new: map_algebra.py (focal / terrain / zonal) ---
+        "focal_stats": _q_focal_stats,
+        "hillshade": _q_hillshade,
+        "zonal_stats": _q_zonal_stats,
         # --- profiling: exact + the newly certified sketch path ---
         "corpus_quantiles": _q_corpus_quantiles,
         "corpus_quantiles_approx": _q_corpus_quantiles_approx,
         # --- window fill: text / dedup / similarity / image / misc ---
-        "attribute_filter": _q_attribute_filter,
-        "agg_pricing": _q_agg_pricing,
         "image_roundtrip": _q_image_roundtrip,
         "image_ahash": _q_image_ahash,
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
-        "token_bpe": _q_token_bpe,
         "text_quality": _q_text_quality,
         "embedding_dedup": _q_embedding_dedup,
         # --- changed: dedup.py (hamming_pairs + simhash refactor) ---
@@ -1548,6 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_clusters": _q_minhash_clusters,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
+        "attribute_filter": _q_attribute_filter,
+        "agg_pricing": _q_agg_pricing,
+        "token_bpe": _q_token_bpe,
         "cosine_topk": _q_cosine_topk,
         "topk_per_user": _q_topk_per_user,
         "merge_lines": _q_merge_lines,
@@ -2398,6 +2491,90 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_offset + t - 1) // 1000) - (tok_offset // 1000) + 1
                      AS n_chunks
             FROM c
+        """,
+        "focal_stats": """
+            -- scatter replay: each pixel contributes to its 9 window
+            -- centers; count=9 <=> interior real cell on a full grid
+            WITH g AS (
+              SELECT c_custkey AS k, tr.r AS r, tc.c AS c,
+                     CAST((tr.r*31 + tc.c*17 + c_custkey) % 97 AS DOUBLE) AS z
+              FROM customer, range(0,16) tr(r), range(0,16) tc(c)
+              WHERE c_custkey <= 120
+            ),
+            s AS (
+              SELECT g.k, g.r + o.dr AS r, g.c + o.dc AS c, g.z
+              FROM g, (SELECT a.dr, b.dc
+                       FROM (VALUES (-1),(0),(1)) a(dr),
+                            (VALUES (-1),(0),(1)) b(dc)) o
+            )
+            SELECT k AS c_custkey, r, c,
+                   count(*) AS n_nbrs,
+                   round(avg(z), 6) AS focal_mean,
+                   min(z) AS focal_min,
+                   max(z) AS focal_max,
+                   sum(z) AS focal_sum
+            FROM s
+            GROUP BY k, r, c
+            HAVING count(*) = 9
+        """,
+        "hillshade": """
+            -- Horn gradient sums (exact integer arithmetic / 8*cs),
+            -- then the identical atan / wrapped atan2 / illumination
+            -- chain; cs=2, zf=1.5, azimuth=315 -> az_math=135 deg,
+            -- altitude=45 -> zenith=45 deg
+            WITH g AS (
+              SELECT c_custkey AS k, tr.r AS r, tc.c AS c,
+                     CAST((tr.r*31 + tc.c*17 + c_custkey) % 97 AS DOUBLE) AS z
+              FROM customer, range(0,16) tr(r), range(0,16) tc(c)
+              WHERE c_custkey <= 80
+            ),
+            s AS (
+              SELECT g.k, g.r + o.dr AS r, g.c + o.dc AS c, g.z,
+                     -o.dr AS gor, -o.dc AS goc
+              FROM g, (SELECT a.dr, b.dc
+                       FROM (VALUES (-1),(0),(1)) a(dr),
+                            (VALUES (-1),(0),(1)) b(dc)) o
+            ),
+            a AS (
+              SELECT k, r, c,
+                     sum(z * goc * (2 - abs(gor))) / 16.0 AS gx,
+                     sum(z * gor * (2 - abs(goc))) / 16.0 AS gy
+              FROM s GROUP BY k, r, c HAVING count(*) = 9
+            ),
+            t AS (
+              SELECT k, r, c, gx, gy,
+                     atan(1.5 * sqrt(gx*gx + gy*gy)) AS slope,
+                     CASE WHEN atan2(gy, -gx) < 0
+                          THEN atan2(gy, -gx) + 2*pi()
+                          ELSE atan2(gy, -gx) END AS aspect
+              FROM a
+            )
+            SELECT k AS c_custkey, r, c,
+                   round(gx, 9) AS dzdx,
+                   round(gy, 9) AS dzdy,
+                   round(slope, 6) AS slope_rad,
+                   round(aspect, 6) AS aspect_rad,
+                   round(greatest(0.0,
+                     255.0 * (cos(radians(45.0)) * cos(slope)
+                       + sin(radians(45.0)) * sin(slope)
+                         * cos(radians(135.0) - aspect))), 4) AS hillshade
+            FROM t
+        """,
+        "zonal_stats": f"""
+            WITH p AS ({_SQL_OPOINTS}), c AS ({_SQL_RECT}),
+            j AS (
+              SELECT c.c_custkey, p.o_orderkey % 1000 AS z
+              FROM p, c
+              WHERE p.lon_c > c.clon - c.dlon AND p.lon_c < c.clon + c.dlon
+                AND p.lat_c > c.clat - c.dlat AND p.lat_c < c.clat + c.dlat
+            )
+            SELECT c_custkey,
+                   count(*) AS n_points,
+                   round(avg(CAST(z AS DOUBLE)), 6) AS zonal_mean,
+                   CAST(min(z) AS DOUBLE) AS zonal_min,
+                   CAST(max(z) AS DOUBLE) AS zonal_max,
+                   CAST(sum(z) AS DOUBLE) AS zonal_sum
+            FROM j GROUP BY c_custkey
         """,
         "stratified_split": """
             -- XOR-mixed per-group split: same nested integer formula

@@ -158,6 +158,9 @@ def main() -> None:
         "bbox_join",
         "overlap_clusters",
         "pack_chunks",
+        "focal_stats",
+        "hillshade",
+        "zonal_stats",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

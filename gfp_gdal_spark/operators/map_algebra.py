@@ -1,0 +1,209 @@
+"""Map algebra — Tomlin's raster-analytics taxonomy on the gridded
+table representation (``raster_to_points`` output / any (key, r, c,
+val) pixel table):
+
+- FOCAL: neighborhood statistics (``focal_stats``) and Horn terrain
+  derivatives (``slope_hillshade``) — the 3x3 kernels GDAL ships as
+  `gdaldem` over the rasters the reference's GDALReader scans
+  (gdal_nodes.cpp:344-424 reads the band; these are the standard
+  downstream analytics of that band).
+- ZONAL: per-zone aggregation of pixel/point values over a vector
+  layer (``zonal_stats``) — the raster<->vector bridge of the
+  north_rule, composed on the certified ``pip_join``.
+
+Execution shape (the part that matters at 10^12 pixels): every focal
+op here is ONE explode + ONE hash aggregate — each pixel SCATTERS its
+value to the (2r+1)^2 windows it participates in, and the groupBy's
+map-side combine collapses the fan-out before the single shuffle
+(identical shape to ``tile_rollup``; no self-join, no 8-way join, no
+window function, no per-pixel Python). Zonal is the certified
+bucketed pip_join plus one aggregate. Grids are keyed, so partition
+count scales with images x pixels, never with one global raster.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "focal_stats",
+    "slope_hillshade",
+    "zonal_stats",
+]
+
+
+def _scatter(grid: DataFrame, key: str, row: str, col: str, val: str, radius: int) -> DataFrame:
+    """Explode each pixel into its (2r+1)^2 scatter targets: the row
+    (key, r+dr, c+dc, val, dr, dc) means "this pixel participates in
+    the window centered at (r+dr, c+dc)". From the TARGET's viewpoint
+    the source sits at gather offset (-dr, -dc) — weight lookups below
+    use that sign flip."""
+    offs = [
+        (dr, dc)
+        for dr in range(-radius, radius + 1)
+        for dc in range(-radius, radius + 1)
+    ]
+    arr = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr, dc in offs
+        ]
+    )
+    d = grid.select(key, row, col, val).withColumn("_o", F.explode(arr))
+    return d.select(
+        F.col(key),
+        (F.col(row) + F.col("_o.dr")).alias(row),
+        (F.col(col) + F.col("_o.dc")).alias(col),
+        F.col(val),
+        F.col("_o.dr").alias("_dr"),
+        F.col("_o.dc").alias("_dc"),
+    )
+
+
+def focal_stats(
+    grid: DataFrame,
+    key: str = "image_id",
+    row: str = "r",
+    col: str = "c",
+    val: str = "z",
+    radius: int = 1,
+    interior_only: bool = True,
+) -> DataFrame:
+    """Focal (moving-window) statistics over a gridded raster table:
+    per pixel, the count/mean/min/max/sum of the (2*radius+1)^2 window
+    centered on it — `gdaldem`/`r.neighbors`-class smoothing, noise
+    scoring, and local-contrast features for image-quality filtering.
+
+    Scatter form: one explode + one groupBy (map-side combine), see
+    module docstring. A marker aggregate (did the CENTER pixel itself
+    contribute?) distinguishes real cells from phantom border targets,
+    so no join back to the grid is needed. ``interior_only=True``
+    keeps only full windows (the clean-semantics default for
+    rectangular grids without nodata); ``False`` keeps edge cells with
+    their partial-window stats and the honest ``n_nbrs`` count.
+    """
+    n_full = (2 * radius + 1) ** 2
+    d = _scatter(grid, key, row, col, val, radius)
+    out = d.groupBy(key, row, col).agg(
+        F.count(val).alias("n_nbrs"),
+        F.avg(val).alias("focal_mean"),
+        F.min(val).alias("focal_min"),
+        F.max(val).alias("focal_max"),
+        F.sum(val).alias("focal_sum"),
+        F.max(
+            F.when((F.col("_dr") == 0) & (F.col("_dc") == 0), 1).otherwise(0)
+        ).alias("_is_cell"),
+    )
+    out = out.where(F.col("_is_cell") == 1).drop("_is_cell")
+    if interior_only:
+        out = out.where(F.col("n_nbrs") == n_full)
+    return out
+
+
+def slope_hillshade(
+    grid: DataFrame,
+    key: str = "image_id",
+    row: str = "r",
+    col: str = "c",
+    val: str = "z",
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+) -> DataFrame:
+    """Horn (1981) terrain derivatives — the `gdaldem slope/aspect/
+    hillshade` triple — over a gridded elevation table. Interior
+    pixels only (full 3x3 window); convention (row-major, row index
+    increasing SOUTHWARD, the raster norm):
+
+    - dz/dx = (sum of east column, weights 1-2-1) - (west column),
+      all over 8*cellsize -> weight oc*(2-|or|) at gather offset
+      (or, oc)
+    - dz/dy = (south row) - (north row), same shape -> or*(2-|oc|)
+    - slope_rad  = atan(z_factor * hypot(dz/dx, dz/dy))
+    - aspect_rad = atan2(dz/dy, -dz/dx), wrapped to [0, 2*pi)
+      (0 = east, counterclockwise — the math convention `gdaldem`
+      converts from; we emit the raw math angle, documented here)
+    - hillshade  = 255 * (cos(zen)*cos(slope)
+                   + sin(zen)*sin(slope)*cos(az_math - aspect)),
+      clamped at 0, with zen = (90-altitude) deg and
+      az_math = (360 - azimuth + 90) deg wrapped — the standard
+      illumination formula.
+
+    Same single-shuffle scatter plan as ``focal_stats``; the gradient
+    sums are weighted aggregates, everything after the groupBy is
+    closed-form JVM column math (no Python anywhere).
+    """
+    d = _scatter(grid, key, row, col, val, 1)
+    # gather offset = (-_dr, -_dc); weights on the gather offset
+    g_or = -F.col("_dr")
+    g_oc = -F.col("_dc")
+    wx = g_oc.cast("double") * (F.lit(2.0) - F.abs(g_or).cast("double"))
+    wy = g_or.cast("double") * (F.lit(2.0) - F.abs(g_oc).cast("double"))
+    agg = d.groupBy(key, row, col).agg(
+        F.count(val).alias("_n"),
+        F.sum(F.col(val) * wx).alias("_sx"),
+        F.sum(F.col(val) * wy).alias("_sy"),
+        F.max(
+            F.when((F.col("_dr") == 0) & (F.col("_dc") == 0), 1).otherwise(0)
+        ).alias("_is_cell"),
+    )
+    agg = agg.where((F.col("_is_cell") == 1) & (F.col("_n") == 9))
+    gx = F.col("_sx") / F.lit(8.0 * cellsize)
+    gy = F.col("_sy") / F.lit(8.0 * cellsize)
+    slope = F.atan(F.lit(float(z_factor)) * F.sqrt(gx * gx + gy * gy))
+    two_pi = 2.0 * math.pi
+    aspect_raw = F.atan2(gy, -gx)
+    aspect = F.when(aspect_raw < 0, aspect_raw + F.lit(two_pi)).otherwise(aspect_raw)
+    zen = math.radians(90.0 - altitude)
+    az_math = math.radians((360.0 - azimuth + 90.0) % 360.0)
+    shade = F.lit(255.0) * (
+        F.lit(math.cos(zen)) * F.cos(slope)
+        + F.lit(math.sin(zen)) * F.sin(slope) * F.cos(F.lit(az_math) - aspect)
+    )
+    return agg.select(
+        key,
+        row,
+        col,
+        F.round(gx, 9).alias("dzdx"),
+        F.round(gy, 9).alias("dzdy"),
+        slope.alias("slope_rad"),
+        aspect.alias("aspect_rad"),
+        F.greatest(shade, F.lit(0.0)).alias("hillshade"),
+    )
+
+
+def zonal_stats(
+    points: DataFrame,
+    zones: DataFrame,
+    zone_id: str,
+    val: str = "z",
+    lon: str = "lon_c",
+    lat: str = "lat_c",
+    **pip_kwargs,
+) -> DataFrame:
+    """Zonal statistics: aggregate a point/pixel value per vector
+    zone — per-parcel mean elevation, per-admin-cell image coverage,
+    per-AOI pixel histograms. The raster->vector leg of the
+    north_rule: feed it ``raster_to_points`` output (or any point
+    table) and a polygon layer shaped like ``pip_join``'s ``polys``
+    side (ring/holes columns).
+
+    Plan: the certified cell-bucketed ``pip_join`` (broadcast or
+    shuffle, salting knob passes through via ``pip_kwargs``) + ONE
+    hash aggregate on the zone key. Zones that match no point are
+    absent (inner-join semantics; left-join the zone table back if
+    you need empty zones)."""
+    from gfp_gdal_spark.operators.joins import pip_join
+
+    j = pip_join(points, zones, lon=lon, lat=lat, **pip_kwargs)
+    return j.groupBy(zone_id).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.avg(val).alias("zonal_mean"),
+        F.min(val).alias("zonal_min"),
+        F.max(val).alias("zonal_max"),
+        F.sum(val).alias("zonal_sum"),
+    )

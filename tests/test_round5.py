@@ -431,3 +431,133 @@ def test_pack_chunks_bruteforce(spark):
         assert r["n_chunks"] == cl - cf + 1
     with pytest.raises(ValueError, match="positive"):
         pack_chunks(df, id_col="doc_id", tokens="n_tokens", budget=0)
+
+
+# ---------------------------------------------------------------------------
+# map algebra (focal / terrain / zonal)
+
+
+def _rand_grid(spark, seed, nk=3, h=12, w=15):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for k in range(nk):
+        z = rng.integers(0, 255, (h, w)).astype(float)
+        for r in range(h):
+            for c in range(w):
+                rows.append((f"img{k}", r, c, z[r, c]))
+    pdf = pd.DataFrame(rows, columns=["image_id", "r", "c", "z"])
+    return spark.createDataFrame(pdf), {
+        f"img{k}": pdf[pdf.image_id == f"img{k}"]
+        .pivot(index="r", columns="c", values="z")
+        .to_numpy()
+        for k in range(nk)
+    }
+
+
+@pytest.mark.parametrize("radius", [1, 2])
+def test_focal_stats_bruteforce(spark, radius):
+    from gfp_gdal_spark.operators.map_algebra import focal_stats
+
+    df, grids = _rand_grid(spark, 11)
+    out = focal_stats(df, radius=radius, interior_only=False).collect()
+    h, w = next(iter(grids.values())).shape
+    assert len(out) == len(grids) * h * w  # every real cell, no phantoms
+    for row in out:
+        z = grids[row["image_id"]]
+        r, c = row["r"], row["c"]
+        win = z[max(0, r - radius): r + radius + 1, max(0, c - radius): c + radius + 1]
+        assert row["n_nbrs"] == win.size
+        assert row["focal_min"] == win.min()
+        assert row["focal_max"] == win.max()
+        assert abs(row["focal_sum"] - win.sum()) < 1e-9
+        assert abs(row["focal_mean"] - win.mean()) < 1e-9
+
+    interior = focal_stats(df, radius=radius, interior_only=True).collect()
+    assert len(interior) == len(grids) * (h - 2 * radius) * (w - 2 * radius)
+    assert all(row["n_nbrs"] == (2 * radius + 1) ** 2 for row in interior)
+
+
+def test_focal_stats_single_shuffle(spark):
+    from gfp_gdal_spark.operators.map_algebra import focal_stats
+
+    df, _ = _rand_grid(spark, 1, nk=1, h=4, w=4)
+    plan = focal_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_slope_hillshade_bruteforce(spark):
+    import math
+
+    from gfp_gdal_spark.operators.map_algebra import slope_hillshade
+
+    df, grids = _rand_grid(spark, 23, nk=2, h=10, w=11)
+    cs, zf, azi, alt = 2.5, 0.7, 315.0, 45.0
+    out = slope_hillshade(
+        df, cellsize=cs, z_factor=zf, azimuth=azi, altitude=alt
+    ).collect()
+    h, w = next(iter(grids.values())).shape
+    assert len(out) == len(grids) * (h - 2) * (w - 2)
+    zen = math.radians(90.0 - alt)
+    azm = math.radians((360.0 - azi + 90.0) % 360.0)
+    for row in out:
+        z = grids[row["image_id"]]
+        r, c = row["r"], row["c"]
+        win = z[r - 1: r + 2, c - 1: c + 2]
+        gx = ((win[0, 2] + 2 * win[1, 2] + win[2, 2])
+              - (win[0, 0] + 2 * win[1, 0] + win[2, 0])) / (8 * cs)
+        gy = ((win[2, 0] + 2 * win[2, 1] + win[2, 2])
+              - (win[0, 0] + 2 * win[0, 1] + win[0, 2])) / (8 * cs)
+        slope = math.atan(zf * math.hypot(gx, gy))
+        aspect = math.atan2(gy, -gx) % (2 * math.pi)
+        shade = max(
+            0.0,
+            255.0 * (math.cos(zen) * math.cos(slope)
+                     + math.sin(zen) * math.sin(slope) * math.cos(azm - aspect)),
+        )
+        assert abs(row["dzdx"] - round(gx, 9)) < 1e-9
+        assert abs(row["dzdy"] - round(gy, 9)) < 1e-9
+        assert abs(row["slope_rad"] - slope) < 1e-9
+        assert abs(row["aspect_rad"] - aspect) < 1e-9
+        assert abs(row["hillshade"] - shade) < 1e-6
+
+
+def test_zonal_stats_bruteforce(spark):
+    from gfp_gdal_spark.operators.map_algebra import zonal_stats
+
+    rng = np.random.default_rng(5)
+    n = 600
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon_c": rng.uniform(-40, 40, n),
+            "lat_c": rng.uniform(-30, 30, n),
+            "z": rng.uniform(0, 100, n),
+        }
+    )
+    zones = []
+    for zid in range(12):
+        x0 = -45 + (zid % 4) * 22.0
+        y0 = -33 + (zid // 4) * 21.0
+        x1, y1 = x0 + 18.0, y0 + 16.0
+        zones.append((zid, x0, y0, x1, y1,
+                      [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]))
+    zdf = spark.createDataFrame(
+        [(z[0], z[5]) for z in zones], "zone_id int, ring array<array<double>>"
+    )
+    out = zonal_stats(
+        spark.createDataFrame(pts), zdf, zone_id="zone_id",
+        z=4, holes=None, broadcast=True,
+    ).collect()
+    want = {}
+    for zid, x0, y0, x1, y1, _ in zones:
+        m = (pts.lon_c > x0) & (pts.lon_c < x1) & (pts.lat_c > y0) & (pts.lat_c < y1)
+        if m.sum():
+            v = pts.z[m]
+            want[zid] = (m.sum(), v.mean(), v.min(), v.max(), v.sum())
+    assert {r["zone_id"] for r in out} == set(want)
+    for r in out:
+        wn, wmean, wmin, wmax, wsum = want[r["zone_id"]]
+        assert r["n_points"] == wn
+        assert abs(r["zonal_mean"] - wmean) < 1e-9
+        assert r["zonal_min"] == wmin and r["zonal_max"] == wmax
+        assert abs(r["zonal_sum"] - wsum) < 1e-9
