@@ -161,6 +161,7 @@ def main() -> None:
         "focal_stats",
         "hillshade",
         "zonal_stats",
+        "tile_pyramid",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

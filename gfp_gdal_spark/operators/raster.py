@@ -32,6 +32,8 @@ __all__ = [
     "stack_bands",
     "write_tiles",
     "flatten_multipolygon",
+    "downsample_tiles",
+    "tile_pyramid_images",
 ]
 
 
@@ -231,3 +233,174 @@ def flatten_multipolygon(df: DataFrame, parts: str = "parts") -> DataFrame:
         "*", F.posexplode(F.col(parts)).alias("part_seq", "ring")
     ).drop(parts)
     return exploded
+
+
+def downsample_tiles(
+    tiles: DataFrame,
+    fill: int = 0,
+    tile_z: str = "tile_z",
+    tile_x: str = "tile_x",
+    tile_y: str = "tile_y",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """ONE image-pyramid level: tiles at zoom z -> parent tiles at
+    z-1, with actual pixel content (the serving-pyramid builder that
+    `tile_rollup` does for counts). Each parent assembles its <=4
+    children into a 2w x 2h mosaic (slippy quadrant (x&1, y&1); y&1=1
+    is the SOUTH row, matching WebMercator y-down), missing quadrants
+    filled with ``fill``, then 2x2 mean-pools back to w x h
+    (np.rint half-to-even, clipped to uint8).
+
+    Plan: children shuffle ONCE to their parent key
+    (groupBy + collect_list of <=4 blobs — bounded fan-in, so the agg
+    state per key is 4 tiles no matter the corpus size), then a
+    mapInPandas pass does ALL pixel work whole-batch: per uniform
+    (fmt, w, h) group one decode_group, FOUR vectorized quadrant
+    placements (children of the same quadrant land in one fancy-index
+    assignment), one reshape-mean pool, one encode_group. Per-child
+    Python is only the dict gather off the collect_list structs
+    (memcpy-level, same as stack_bands' band gather).
+
+    Fail-loud: mixed (fmt, w, h) within a parent, duplicate quadrant
+    (duplicate child coords), or odd tile dims raise. Tile shape comes
+    from the input_hint ``w``/``h`` columns (no header probing).
+    Iterate levels with ``tile_pyramid_images``.
+    """
+    child = tiles.select(
+        (F.col(tile_z) - 1).cast("int").alias("_pz"),
+        F.shiftright(F.col(tile_x).cast("long"), 1).alias("_px"),
+        F.shiftright(F.col(tile_y).cast("long"), 1).alias("_py"),
+        (F.col(tile_x).cast("long") % 2).cast("int").alias("_qx"),
+        (F.col(tile_y).cast("long") % 2).cast("int").alias("_qy"),
+        F.col("w").cast("int").alias("_w"),
+        F.col("h").cast("int").alias("_h"),
+        F.col(bytes_col).alias("_b"),
+        F.col(fmt_col).alias("_f"),
+    )
+    g = child.groupBy("_pz", "_px", "_py").agg(
+        F.collect_list(F.struct("_qx", "_qy", "_w", "_h", "_b", "_f")).alias("_ch")
+    )
+    schema = (
+        f"{tile_z} int, {tile_x} long, {tile_y} long, "
+        f"w int, h int, {bytes_col} binary, {fmt_col} string"
+    )
+
+    def op(batches):
+        tune_worker()
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # gather children flat: parent idx, quadrant, blob, fmt
+            p_idx: list[int] = []
+            qxs: list[int] = []
+            qys: list[int] = []
+            blobs: list[bytes] = []
+            fmts: list[str] = []
+            shapes: list[tuple] = []
+            for i, ch in enumerate(pdf["_ch"]):
+                seen = set()
+                for c in ch:
+                    q = (c["_qx"], c["_qy"])
+                    if q in seen:
+                        raise ValueError(
+                            f"duplicate child quadrant {q} under parent "
+                            f"{(pdf['_pz'].iat[i], pdf['_px'].iat[i], pdf['_py'].iat[i])}"
+                        )
+                    seen.add(q)
+                    p_idx.append(i)
+                    qxs.append(c["_qx"])
+                    qys.append(c["_qy"])
+                    blobs.append(c["_b"])
+                    fmts.append(c["_f"])
+                    shapes.append((c["_w"], c["_h"]))
+            # uniform (fmt, w, h) groups; parent shape = child shape
+            par_shape: dict[int, tuple] = {}
+            for i, f, (w, h) in zip(p_idx, fmts, shapes):
+                key = (f, int(w), int(h))
+                if par_shape.setdefault(i, key) != key:
+                    raise ValueError(
+                        f"mixed child (fmt, w, h) under one parent: "
+                        f"{par_shape[i]} vs {key}"
+                    )
+            import collections
+
+            groups: dict[tuple, list[int]] = collections.defaultdict(list)
+            for i, key in par_shape.items():
+                groups[key].append(i)
+            out_w = np.zeros(n, dtype=np.int32)
+            out_h = np.zeros(n, dtype=np.int32)
+            out_b: list = [None] * n
+            out_f: list = [None] * n
+            child_of = collections.defaultdict(list)
+            for ci, i in enumerate(p_idx):
+                child_of[i].append(ci)
+            for (f, w, h), parents in groups.items():
+                if w % 2 or h % 2:
+                    raise ValueError(f"tile dims must be even, got {(w, h)}")
+                cis = [ci for i in parents for ci in child_of[i]]
+                pix = _codec.decode_group([blobs[ci] for ci in cis], f, w, h)
+                nch = 3 if pix.ndim == 4 else 1
+                m = len(parents)
+                pos = {i: j for j, i in enumerate(parents)}
+                canvas = np.full(
+                    (m, 2 * h, 2 * w) + ((3,) if nch == 3 else ()),
+                    fill,
+                    dtype=np.float64,
+                )
+                cq = np.array([[qys[ci], qxs[ci], pos[p_idx[ci]]] for ci in cis])
+                for qy in (0, 1):
+                    for qx in (0, 1):
+                        sel = (cq[:, 0] == qy) & (cq[:, 1] == qx)
+                        if not sel.any():
+                            continue
+                        canvas[
+                            cq[sel, 2],
+                            qy * h : (qy + 1) * h,
+                            qx * w : (qx + 1) * w,
+                        ] = pix[np.flatnonzero(sel)]
+                pooled = canvas.reshape(
+                    (m, h, 2, w, 2) + ((3,) if nch == 3 else ())
+                ).mean(axis=(2, 4))
+                enc = _codec.encode_group(
+                    np.clip(np.rint(pooled), 0, 255).astype(np.uint8), f
+                )
+                for j, i in enumerate(parents):
+                    out_b[i] = enc[j]
+                    out_f[i] = f
+                    out_w[i] = w
+                    out_h[i] = h
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    tile_z: pdf["_pz"].astype("int32"),
+                    tile_x: pdf["_px"].astype("int64"),
+                    tile_y: pdf["_py"].astype("int64"),
+                    "w": out_w,
+                    "h": out_h,
+                    bytes_col: out_b,
+                    fmt_col: out_f,
+                }
+            )
+
+    return g.mapInPandas(op, schema)
+
+
+def tile_pyramid_images(tiles: DataFrame, z_from: int, z_to: int, **kw) -> DataFrame:
+    """Full image pyramid z_from -> z_to (exclusive of the input
+    level): repeatedly ``downsample_tiles`` and union the levels.
+    Each level is one shuffle over an input 4x smaller than the last —
+    total cost ~4/3 of the base level, the standard pyramid bound."""
+    if z_to >= z_from:
+        raise ValueError(f"z_to must be < z_from, got {z_from} -> {z_to}")
+    levels = []
+    cur = tiles
+    for _ in range(z_from - z_to):
+        cur = downsample_tiles(cur, **kw)
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -561,3 +561,113 @@ def test_zonal_stats_bruteforce(spark):
         assert abs(r["zonal_mean"] - wmean) < 1e-9
         assert r["zonal_min"] == wmin and r["zonal_max"] == wmax
         assert abs(r["zonal_sum"] - wsum) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# image pyramid (downsample_tiles)
+
+
+def _tile_rows(rng, coords, w=8, h=6, fmt="ppm"):
+    from gfp_gdal_spark.kernels.codec import encode_image
+
+    rows = []
+    pix = {}
+    for (z, x, y) in coords:
+        p = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        pix[(z, x, y)] = p
+        rows.append((z, x, y, w, h, bytearray(encode_image(p, fmt)), fmt))
+    return rows, pix
+
+
+def _expected_parent(pix, z, px, py, w, h, fill=0):
+    canvas = np.full((2 * h, 2 * w, 3), fill, dtype=np.float64)
+    for qy in (0, 1):
+        for qx in (0, 1):
+            ch = pix.get((z, 2 * px + qx, 2 * py + qy))
+            if ch is not None:
+                canvas[qy * h:(qy + 1) * h, qx * w:(qx + 1) * w] = ch
+    pooled = canvas.reshape(h, 2, w, 2, 3).mean(axis=(1, 3))
+    return np.clip(np.rint(pooled), 0, 255).astype(np.uint8)
+
+
+def test_downsample_tiles_bruteforce(spark):
+    from gfp_gdal_spark.kernels.codec import decode_image
+    from gfp_gdal_spark.operators.raster import downsample_tiles
+
+    rng = np.random.default_rng(77)
+    # parents with 4, 2, and 1 children + a lone far-away tile
+    coords = [(9, x, y) for x in (10, 11) for y in (20, 21)]
+    coords += [(9, 14, 20), (9, 15, 21)]
+    coords += [(9, 30, 41)]
+    rows, pix = _tile_rows(rng, coords)
+    df = spark.createDataFrame(
+        rows, "tile_z int, tile_x long, tile_y long, w int, h int, bytes binary, fmt string"
+    )
+    out = downsample_tiles(df).collect()
+    assert {(r["tile_z"], r["tile_x"], r["tile_y"]) for r in out} == {
+        (8, 5, 10), (8, 7, 10), (8, 15, 20)
+    }
+    for r in out:
+        got = decode_image(bytes(r["bytes"]), r["fmt"])
+        want = _expected_parent(pix, 9, r["tile_x"], r["tile_y"], 8, 6)
+        assert got.shape == want.shape == (6, 8, 3)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_downsample_tiles_pgm_and_fill(spark):
+    from gfp_gdal_spark.kernels.codec import decode_image, encode_image
+    from gfp_gdal_spark.operators.raster import downsample_tiles
+
+    p = (np.ones((4, 4)) * 200).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(5, 2, 3, 4, 4, bytearray(encode_image(p, "pgm")), "pgm")],
+        "tile_z int, tile_x long, tile_y long, w int, h int, bytes binary, fmt string",
+    )
+    out = downsample_tiles(df, fill=100).collect()
+    assert len(out) == 1 and (out[0]["tile_x"], out[0]["tile_y"]) == (1, 1)
+    got = decode_image(bytes(out[0]["bytes"]), "pgm")
+    # child at quadrant (0,1): left-bottom... qx=2%2=0, qy=3%2=1 -> SW
+    want = np.full((4, 4), 100.0)
+    want[2:, :2] = 200.0
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+def test_tile_pyramid_images_two_levels(spark):
+    from gfp_gdal_spark.operators.raster import tile_pyramid_images
+
+    rng = np.random.default_rng(3)
+    coords = [(6, x, y) for x in range(4) for y in range(4)]
+    rows, pix = _tile_rows(rng, coords, w=4, h=4)
+    df = spark.createDataFrame(
+        rows, "tile_z int, tile_x long, tile_y long, w int, h int, bytes binary, fmt string"
+    )
+    out = tile_pyramid_images(df, z_from=6, z_to=4).groupBy("tile_z").count().collect()
+    assert {(r["tile_z"], r["count"]) for r in out} == {(5, 4), (4, 1)}
+    with pytest.raises(ValueError, match="z_to"):
+        tile_pyramid_images(df, 6, 6)
+
+
+def test_downsample_tiles_fail_loud(spark):
+    from gfp_gdal_spark.kernels.codec import encode_image
+    from gfp_gdal_spark.operators.raster import downsample_tiles
+
+    p = np.zeros((4, 4, 3), dtype=np.uint8)
+    dup = [
+        (5, 2, 2, 4, 4, bytearray(encode_image(p, "ppm")), "ppm"),
+        (5, 2, 2, 4, 4, bytearray(encode_image(p, "ppm")), "ppm"),
+    ]
+    df = spark.createDataFrame(
+        dup, "tile_z int, tile_x long, tile_y long, w int, h int, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception, match="duplicate child quadrant"):
+        downsample_tiles(df).collect()
+
+    mixed = [
+        (5, 2, 2, 4, 4, bytearray(encode_image(p, "ppm")), "ppm"),
+        (5, 3, 2, 8, 4, bytearray(encode_image(np.zeros((4, 8, 3), np.uint8), "ppm")), "ppm"),
+    ]
+    df2 = spark.createDataFrame(
+        mixed, "tile_z int, tile_x long, tile_y long, w int, h int, bytes binary, fmt string"
+    )
+    with pytest.raises(Exception, match="mixed child"):
+        downsample_tiles(df2).collect()
