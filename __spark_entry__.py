@@ -1396,6 +1396,22 @@ def _q_pack_chunks(spark, sf):
     )
 
 
+def _q_decontaminate(spark, sf):
+    """Train/eval contamination check (GPT-3-style n-gram overlap) on
+    the documents table: eval = doc_id < 20, train = the rest (capped
+    for the oracle's quadratic replay). n=3 so the synthetic corpus
+    has real overlap; the oracle replays the identical distinct-gram
+    join + count algebra."""
+    from gfp_gdal_spark.operators.dedup import decontaminate
+
+    _prep(spark)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ev = d.where(F.col("doc_id") < 20)
+    tr = d.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 400))
+    out = decontaminate(tr, ev, n=3, min_hits=1)
+    return out.select("train_id", "n_hit_grams", "n_eval_docs")
+
+
 def _q_tile_pyramid(spark, sf):
     """One image-pyramid level with REAL pixel content: uniform-value
     8x8 pgm child tiles (v = (x*7 + y*13) % 97, one tile per customer
@@ -1605,7 +1621,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 79 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 80 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join), temporal.py
     # (interval_join defaults), sampling.py (sharded paths), audio.py
@@ -1613,7 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (hamming_pairs + simhash refactor -> minhash_recall,
     # simhash_dup_pairs, phash_pairs, ngram_jaccard, minhash_clusters
     # all in-window), plus the NEW round-5 queries — then the window is
-    # filled with the text/similarity/image suite. The 29 tail entries are all
+    # filled with the text/similarity/image suite. The 30 tail entries are all
     # r04-certified (or r03-certified with modules diff-unchanged since)
     # and their modules are untouched this round.
     return {
@@ -1668,7 +1684,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_roundtrip": _q_image_roundtrip,
         "image_ahash": _q_image_ahash,
         "exact_dedup": _q_exact_dedup,
-        "token_stats": _q_token_stats,
         "embedding_dedup": _q_embedding_dedup,
         # --- changed: dedup.py (hamming_pairs + simhash refactor) ---
         "minhash_recall": _q_minhash_recall,
@@ -1676,11 +1691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_pairs": _q_phash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_clusters": _q_minhash_clusters,
+        "decontaminate": _q_decontaminate,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
         "attribute_filter": _q_attribute_filter,
         "agg_pricing": _q_agg_pricing,
         "token_bpe": _q_token_bpe,
+        "token_stats": _q_token_stats,
         "text_quality": _q_text_quality,
         "cosine_topk": _q_cosine_topk,
         "topk_per_user": _q_topk_per_user,
@@ -2532,6 +2549,25 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_offset + t - 1) // 1000) - (tok_offset // 1000) + 1
                      AS n_chunks
             FROM c
+        """,
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents WHERE doc_id < 400
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i : i + 2], ' ') AS gram
+              FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS g(i)
+              WHERE length(array_to_string(t[i : i + 2], ' ')) > 0
+            ),
+            ev AS (SELECT doc_id AS eval_id, gram FROM grams WHERE doc_id < 20),
+            tr AS (SELECT doc_id AS train_id, gram FROM grams WHERE doc_id >= 20)
+            SELECT train_id,
+                   count(DISTINCT tr.gram) AS n_hit_grams,
+                   count(DISTINCT ev.eval_id) AS n_eval_docs
+            FROM tr JOIN ev USING (gram)
+            GROUP BY train_id
         """,
         "tile_pyramid": """
             -- uniform child tiles: every pooled parent pixel is one

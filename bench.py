@@ -162,6 +162,7 @@ def main() -> None:
         "hillshade",
         "zonal_stats",
         "tile_pyramid",
+        "decontaminate",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

@@ -25,7 +25,29 @@ __all__ = [
     "hamming_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "decontaminate",
 ]
+
+
+def _word_grams(df: DataFrame, text: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per document: (_id, gram) rows via the
+    pure-Column tokenize -> sliding-slice -> explode pipeline (no UDF).
+    Shared by ngram_jaccard_pairs and decontaminate so the two agree
+    on gram semantics exactly."""
+    toks = F.split(F.lower(F.col(text)), " ")
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+        .where(F.length("gram") > 0)
+        .distinct()
+    )
 
 
 def exact_dedup(
@@ -290,16 +312,7 @@ def ngram_jaccard_pairs(
     explicitly to opt into the uncapped (quadratic-fan-out-reachable)
     semantics on small fixture corpora.
     """
-    toks = F.split(F.lower(F.col(text)), " ")
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ).alias("gram"),
-    ).where(F.length("gram") > 0).distinct()
+    grams = _word_grams(df, text, id_col, n)
     if max_df is not None:
         # cheap pre-aggregation: gram -> document frequency; hot grams out
         dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
@@ -325,5 +338,54 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_hits: int = 1,
+    broadcast: bool = True,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Train/eval contamination detection — the pretraining-corpus
+    staple (the GPT-3-style 13-gram overlap check): a train document
+    is flagged when it shares >= ``min_hits`` distinct word n-grams
+    with the eval/benchmark set. Returns one row per flagged train
+    doc: (train_id, n_hit_grams = distinct overlapping grams,
+    n_eval_docs = distinct eval docs hit); clean the corpus with
+    ``train.join(out, train[id]==out.train_id, "left_anti")``.
+
+    Scale shape: the eval side is the SMALL side by construction
+    (benchmarks are ~10^4-10^7 grams vs 10^12 train docs), so its
+    distinct gram set is broadcast (``broadcast=True``) — train grams
+    stream through a map-side hash join and NEVER shuffle; the only
+    exchange is the final per-train-doc aggregate. ``hash_grams=True``
+    joins on xxhash64(gram) instead of the gram string (8-byte
+    broadcast table and join keys; collision odds ~2^-64 per pair —
+    pytest asserts parity with the exact path), for when the eval gram
+    table pushes broadcast limits.
+    """
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    tg = _word_grams(train, text, id_col, n).withColumnRenamed("_id", "train_id")
+    eg = _word_grams(eval_df, text, id_col, n).withColumnRenamed("_id", "eval_id")
+    if hash_grams:
+        tg = tg.select("train_id", F.xxhash64("gram").alias("gram"))
+        eg = eg.select("eval_id", F.xxhash64("gram").alias("gram"))
+    if broadcast:
+        eg = F.broadcast(eg)
+    out = (
+        tg.join(eg, "gram")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .where(F.col("n_hit_grams") >= min_hits)
     )
     return out

@@ -671,3 +671,62 @@ def test_downsample_tiles_fail_loud(spark):
     )
     with pytest.raises(Exception, match="mixed child"):
         downsample_tiles(df2).collect()
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def test_decontaminate_bruteforce(spark):
+    from gfp_gdal_spark.operators.dedup import decontaminate
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(40)]
+    ev = [(i, " ".join(rng.choice(vocab, 12))) for i in range(5)]
+    tr = []
+    for i in range(100, 160):
+        words = list(rng.choice(vocab, 15))
+        if i % 3 == 0:  # plant a copied eval 4-gram span
+            src = ev[i % 5][1].split()
+            words[4:8] = src[2:6]
+        tr.append((i, " ".join(words)))
+    n = 3
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+    tdf = spark.createDataFrame(tr, "doc_id long, text string")
+
+    def grams(s):
+        t = s.lower().split(" ")
+        return {" ".join(t[i: i + n]) for i in range(max(len(t) - n, 0) + 1)}
+
+    eg = {}
+    for i, s in ev:
+        for g in grams(s):
+            eg.setdefault(g, set()).add(i)
+    want = {}
+    for i, s in tr:
+        hit = {g for g in grams(s) if g in eg}
+        if hit:
+            want[i] = (len(hit), len({d for g in hit for d in eg[g]}))
+
+    for hashed in (False, True):
+        out = decontaminate(tdf, edf, n=n, hash_grams=hashed).collect()
+        got = {r["train_id"]: (r["n_hit_grams"], r["n_eval_docs"]) for r in out}
+        assert got == want, f"hash_grams={hashed}"
+    # planted docs are flagged
+    assert all(i in want for i, _ in tr if i % 3 == 0)
+
+    hi = decontaminate(tdf, edf, n=n, min_hits=3).collect()
+    assert {r["train_id"] for r in hi} == {i for i, v in want.items() if v[0] >= 3}
+    with pytest.raises(ValueError, match="min_hits"):
+        decontaminate(tdf, edf, min_hits=0)
+
+
+def test_decontaminate_broadcast_plan(spark):
+    from gfp_gdal_spark.operators.dedup import decontaminate
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = (
+        decontaminate(df, df, n=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
