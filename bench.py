@@ -163,6 +163,7 @@ def main() -> None:
         "zonal_stats",
         "tile_pyramid",
         "decontaminate",
+        "track_stats",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

@@ -730,3 +730,62 @@ def test_decontaminate_broadcast_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# trajectories
+
+
+def test_track_stats_bruteforce(spark):
+    import math
+
+    from gfp_gdal_spark.operators.tracks import track_stats
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for t in range(6):
+        npts = [1, 2, 5, 9, 3, 4][t]
+        tsec = np.sort(rng.choice(np.arange(0, 5000), npts, replace=False)).astype(float)
+        if t == 4:  # zero-duration multi-point track
+            tsec = np.array([100.0, 100.0, 100.0])
+        for i in range(npts):
+            rows.append((f"t{t}", float(tsec[i]), float(rng.uniform(-170, 170)),
+                         float(rng.uniform(-80, 80)), i))
+    df = spark.createDataFrame(rows, "track_id string, ts double, lon double, lat double, seq int")
+    out = {r["track_id"]: r for r in
+           track_stats(df, tiebreak="seq").collect()}
+
+    def hav(lo1, la1, lo2, la2):
+        a = (math.sin(math.radians(la2 - la1) / 2) ** 2
+             + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+             * math.sin(math.radians(lo2 - lo1) / 2) ** 2)
+        return 2 * 6371008.8 * math.asin(math.sqrt(min(a, 1.0)))
+
+    by_track = {}
+    for tid, tsec, lo, la, seq in rows:
+        by_track.setdefault(tid, []).append((tsec, seq, lo, la))
+    for tid, pts in by_track.items():
+        pts.sort()
+        legs = [round(hav(pts[i - 1][2], pts[i - 1][3], pts[i][2], pts[i][3]) * 1000)
+                for i in range(1, len(pts))]
+        r = out[tid]
+        assert r["n_points"] == len(pts)
+        assert r["t0"] == pts[0][0] and r["t1"] == pts[-1][0]
+        assert abs(r["path_m"] - sum(legs) / 1000.0) < 1e-9
+        assert abs(r["max_leg_m"] - (max(legs) / 1000.0 if legs else 0.0)) < 1e-9
+        dur = pts[-1][0] - pts[0][0]
+        if dur > 0:
+            assert abs(r["avg_speed_ms"] - (sum(legs) / 1000.0) / dur) < 1e-9
+        else:
+            assert r["avg_speed_ms"] is None
+    assert len(out) == 6
+
+
+def test_track_stats_single_shuffle(spark):
+    from gfp_gdal_spark.operators.tracks import track_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 0.0, 0.0)], "track_id string, ts double, lon double, lat double"
+    )
+    plan = track_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
