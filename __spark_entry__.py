@@ -1396,6 +1396,27 @@ def _q_pack_chunks(spark, sf):
     )
 
 
+def _q_bm25(spark, sf):
+    """BM25 top-10 retrieval over documents (queries = the first-4-
+    token prefixes of docs 0-4, so every query has guaranteed corpus
+    hits); scores rounded to 9 before ranking in BOTH engines, ties on
+    doc_id — the full tf/df/idf/avgdl algebra is replayed in SQL."""
+    from gfp_gdal_spark.operators.retrieval import bm25_search
+
+    _prep(spark)
+    d = _t(spark, sf, "documents").select("doc_id", "text").where(
+        F.col("doc_id") < 500
+    )
+    q = d.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"),
+        F.concat_ws(" ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 4)).alias(
+            "q_text"
+        ),
+    )
+    out = bm25_search(d, q, top_k=10)
+    return out.select("q_id", "doc_id", "score", "rank")
+
+
 def _q_track_stats(spark, sf):
     """Per-user trajectory summary over the events stream (fixes at
     the event_id-derived closed-form coordinates): path = sum of
@@ -1650,7 +1671,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 81 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 82 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join), temporal.py
     # (interval_join defaults), sampling.py (sharded paths), audio.py
@@ -1658,7 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (hamming_pairs + simhash refactor -> minhash_recall,
     # simhash_dup_pairs, phash_pairs, ngram_jaccard, minhash_clusters
     # all in-window), plus the NEW round-5 queries — then the window is
-    # filled with the text/similarity/image suite. The 31 tail entries are all
+    # filled with the text/similarity/image suite. The 32 tail entries are all
     # r04-certified (or r03-certified with modules diff-unchanged since)
     # and their modules are untouched this round.
     return {
@@ -1712,7 +1733,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quantiles": _q_corpus_quantiles,
         "corpus_quantiles_approx": _q_corpus_quantiles_approx,
         # --- window fill: text / dedup / similarity / image / misc ---
-        "image_ahash": _q_image_ahash,
         "exact_dedup": _q_exact_dedup,
         "embedding_dedup": _q_embedding_dedup,
         # --- changed: dedup.py (hamming_pairs + simhash refactor) ---
@@ -1722,11 +1742,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_clusters": _q_minhash_clusters,
         "decontaminate": _q_decontaminate,
+        # --- new: retrieval.py (BM25) ---
+        "bm25_search": _q_bm25,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
         "attribute_filter": _q_attribute_filter,
         "agg_pricing": _q_agg_pricing,
         "image_roundtrip": _q_image_roundtrip,
+        "image_ahash": _q_image_ahash,
         "token_bpe": _q_token_bpe,
         "token_stats": _q_token_stats,
         "text_quality": _q_text_quality,
@@ -2580,6 +2603,54 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_offset + t - 1) // 1000) - (tok_offset // 1000) + 1
                      AS n_chunks
             FROM c
+        """,
+        "bm25_search": """
+            WITH d AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents WHERE doc_id < 500
+            ),
+            terms AS (
+              SELECT doc_id, len(t) AS dl, u.term
+              FROM d, unnest(t) AS u(term) WHERE length(u.term) > 0
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+              FROM terms GROUP BY 1, 2
+            ),
+            stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl
+              FROM (SELECT doc_id, min(dl) AS dl FROM tf GROUP BY 1)
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            qt AS (
+              SELECT DISTINCT doc_id AS q_id, u.term
+              FROM (
+                SELECT doc_id, string_split(lower(text), ' ')[1:4] AS qt
+                FROM documents WHERE doc_id < 5
+              ), unnest(qt) AS u(term)
+              WHERE length(u.term) > 0
+            ),
+            sc AS (
+              SELECT qt.q_id, tf.doc_id,
+                     round(sum(
+                       ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl))
+                     ), 9) AS score
+              FROM tf
+              JOIN dfreq USING (term)
+              JOIN qt USING (term), stats
+              GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT q_id, doc_id, score,
+                     row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, doc_id ASC
+                     ) AS rank
+              FROM sc
+            )
+            SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10
         """,
         "track_stats": f"""
             WITH e AS (

@@ -164,6 +164,7 @@ def main() -> None:
         "tile_pyramid",
         "decontaminate",
         "track_stats",
+        "bm25_search",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

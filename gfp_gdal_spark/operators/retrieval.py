@@ -1,0 +1,101 @@
+"""Corpus retrieval / relevance scoring — the lexical complement of
+the embedding ANN family (operators/similarity.py): BM25 top-k over a
+document corpus, pure DataFrame algebra (tokenize -> explode -> count
+-> join -> window), no UDFs.
+
+Scale shape: term statistics are ONE groupBy over the exploded
+(doc, term) table; the query side is tiny (a benchmark/query set) and
+broadcasts, so the corpus postings never shuffle for the match — only
+the final per-(query, doc) aggregate and the top-k window move data,
+both keyed and bounded. Corpus-level scalars (N, avgdl) stay lazy via
+a broadcast 1-row cross join (no driver collect on the data path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_search"]
+
+
+def _terms(df: DataFrame, text: str, id_col: str, out_id: str) -> DataFrame:
+    toks = F.split(F.lower(F.col(text)), " ")
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.size(toks).alias("_dl"),
+            F.explode(toks).alias("term"),
+        )
+        .where(F.length("term") > 0)
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    q_id: str = "q_id",
+    q_text: str = "q_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval: for each query row, the ``top_k``
+    highest-scoring documents with their scores.
+
+    - tf = term occurrences in the doc; dl = doc token count;
+      idf = ln(1 + (N - df + 0.5) / (df + 0.5)) (the Lucene form —
+      never negative);
+    - score(q, d) = sum over shared terms of
+      idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)).
+
+    Determinism: scores are rounded to 9 decimals BEFORE ranking and
+    ties break on doc id, so the top-k set is reproducible across
+    partial-agg orders and engines (an unrounded float rank could flip
+    equal-score neighbors). Returned ``score`` is the rounded value.
+    """
+    t = _terms(docs, text, id_col, "_did")
+    tf = t.groupBy("_did", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("_dl").alias("dl")
+    )
+    stats = t.groupBy("_did").agg(F.first("_dl").alias("_dl")).agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qt = _terms(queries, q_text, q_id, "_qid").select("_qid", "term").distinct()
+    posting = tf.join(dfreq, "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w_td = idf * (
+        F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+        )
+    )
+    scored = (
+        posting.join(F.broadcast(qt), "term")
+        .groupBy("_qid", "_did")
+        .agg(F.round(F.sum(w_td), 9).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    rankw = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("_did").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(rankw))
+        .where(F.col("_rn") <= top_k)
+        .select(
+            F.col("_qid").alias(q_id),
+            F.col("_did").alias(id_col),
+            "score",
+            F.col("_rn").alias("rank"),
+        )
+    )

@@ -789,3 +789,55 @@ def test_track_stats_single_shuffle(spark):
     )
     plan = track_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+
+
+def test_bm25_bruteforce(spark):
+    import math
+
+    from gfp_gdal_spark.operators.retrieval import bm25_search
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [(i, " ".join(rng.choice(vocab, rng.integers(5, 20)))) for i in range(40)]
+    qs = [(0, "w1 w2 w3"), (1, "w7"), (2, "zzz"), (3, "w4 w4 w5")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(qs, "q_id long, q_text string")
+    k1, b, top_k = 1.2, 0.75, 5
+    out = bm25_search(ddf, qdf, k1=k1, b=b, top_k=top_k).collect()
+
+    toks = {i: s.split() for i, s in docs}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+    dfreq = {}
+    for t in toks.values():
+        for w in set(t):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    want = {}
+    for qid, qs_ in qs:
+        scores = {}
+        for d, t in toks.items():
+            s = 0.0
+            for w in set(qs_.split()):
+                tf = t.count(w)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (N - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if s > 0:
+                scores[d] = round(s, 9)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        want[qid] = ranked
+    got = {}
+    for r in out:
+        got.setdefault(r["q_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid].sort()
+    assert set(got) == {qid for qid, rk in want.items() if rk}
+    for qid, ranked in want.items():
+        if not ranked:
+            continue
+        assert got[qid] == [(j + 1, d, s) for j, (d, s) in enumerate(ranked)], qid
