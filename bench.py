@@ -157,6 +157,7 @@ def main() -> None:
         "interval_join",
         "bbox_join",
         "overlap_clusters",
+        "density_clusters",
         "pack_chunks",
         "focal_stats",
         "hillshade",

@@ -841,3 +841,75 @@ def test_bm25_bruteforce(spark):
         if not ranked:
             continue
         assert got[qid] == [(j + 1, d, s) for j, (d, s) in enumerate(ranked)], qid
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN
+
+
+def test_density_clusters_bruteforce(spark):
+    import math
+
+    from gfp_gdal_spark.operators.clustering import density_clusters
+
+    rng = np.random.default_rng(41)
+    n = 220
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "lon_c": rng.uniform(-10, 10, n),
+            "lat_c": rng.uniform(-8, 8, n),
+        }
+    )
+    eps, min_pts = 120_000.0, 4
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians,
+                                 (pts.lat_c[a], pts.lon_c[a], pts.lat_c[b], pts.lon_c[b]))
+        h = (math.sin((la2 - la1) / 2) ** 2
+             + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2)
+        return 2 * 6371008.8 * math.asin(math.sqrt(min(h, 1.0)))
+
+    nbrs = {i: {j for j in range(n) if hav(i, j) <= eps} for i in range(n)}
+    cores = {i for i in range(n) if len(nbrs[i]) >= min_pts}
+    # CC on core subgraph (union-find)
+    parent = {i: i for i in cores}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in cores:
+        for j in nbrs[i]:
+            if j in cores and j != i:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    label = {}
+    comp_min = {}
+    for i in cores:
+        comp_min.setdefault(find(i), []).append(i)
+    for root, members in comp_min.items():
+        m = min(members)
+        for i in members:
+            label[i] = m
+    for i in range(n):
+        if i in cores:
+            continue
+        cn = [label[j] for j in nbrs[i] if j in cores]
+        if cn:
+            label[i] = min(cn)
+
+    out = density_clusters(
+        spark.createDataFrame(pts), eps_m=eps, min_pts=min_pts
+    ).collect()
+    assert len(out) == n
+    for r in out:
+        i = r["point_id"]
+        assert r["is_core"] == (i in cores), i
+        assert r["cluster_id"] == label.get(i), i
+    # sanity: the fixture actually produced all three roles
+    assert cores and any(i not in cores and i in label for i in range(n))
+    assert any(i not in label for i in range(n))
