@@ -166,6 +166,7 @@ def main() -> None:
         "decontaminate",
         "track_stats",
         "bm25_search",
+        "bigram_lm",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

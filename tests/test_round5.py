@@ -913,3 +913,51 @@ def test_density_clusters_bruteforce(spark):
     # sanity: the fixture actually produced all three roles
     assert cores and any(i not in cores and i in label for i in range(n))
     assert any(i not in label for i in range(n))
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity
+
+
+def test_bigram_lm_bruteforce(spark):
+    import math
+
+    from gfp_gdal_spark.operators.lm import bigram_lm_scores
+
+    rng = np.random.default_rng(43)
+    vocab = [f"w{i}" for i in range(15)]
+    train = [(i, " ".join(rng.choice(vocab, rng.integers(2, 25)))) for i in range(30)]
+    # score a mix: in-corpus docs + a doc with unseen tokens + a 1-token doc
+    score = train[:10] + [(100, "zz qq w1"), (101, "solo")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    sdf = spark.createDataFrame(score, "doc_id long, text string")
+    k = 0.1
+    out = {r["doc_id"]: r for r in
+           bigram_lm_scores(sdf, train=tdf, k_smooth=k).collect()}
+
+    def bigrams(s):
+        t = s.lower().split(" ")
+        return [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+
+    c12, c1, toks = {}, {}, set()
+    for _, s in train:
+        for a, b in bigrams(s):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+        toks.update(s.lower().split(" "))
+    V = len(toks)
+    for i, s in score:
+        bgs = bigrams(s)
+        if not bgs:
+            assert i not in out  # 1-token doc contributes no row
+            continue
+        nll = -sum(
+            math.log((c12.get(bg, 0) + k) / (c1.get(bg[0], 0) + k * V))
+            for bg in bgs
+        ) / len(bgs)
+        r = out[i]
+        assert r["n_bigrams"] == len(bgs)
+        assert abs(r["nll"] - nll) < 1e-9, i
+        assert abs(r["ppl"] - math.exp(nll)) < 1e-6, i
+    # unseen-token doc must score strictly worse than every in-corpus doc
+    assert out[100]["ppl"] > max(out[i]["ppl"] for i, _ in train[:10])
