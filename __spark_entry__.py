@@ -1396,6 +1396,47 @@ def _q_pack_chunks(spark, sf):
     )
 
 
+def _q_mosaic(spark, sf):
+    """Per-tile mosaic compositing on uniform-value tiles: 240 tiles x
+    5 layers each (priority k%13 — distinct within a tile since the
+    layer stride 240 cycles {6,12,5,11} mod 13), value 0 (= nodata,
+    a fully-cloudy scene) when k%7=0 else k%89+1 (at most one nodata
+    layer per tile by residue arithmetic). Uniform layers make the
+    per-pixel first-valid rule collapse to arg_max(v, p) over v>0 —
+    one aggregate in the oracle. Certified through stack_bands ->
+    mosaic_composite -> raster_stats."""
+    from gfp_gdal_spark.operators.raster import (
+        mosaic_composite,
+        raster_stats,
+        stack_bands,
+    )
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 1200)
+    k = F.col("c_custkey")
+    v = F.when(k % 7 == 0, F.lit(0)).otherwise(k % 89 + 1).cast("double")
+    base = c.select(
+        k.alias("image_id"),
+        (k % 20).cast("long").alias("tile_x"),
+        (F.floor(k / 20) % 12).cast("long").alias("tile_y"),
+        (k % 13).alias("prio"),
+        F.lit(8).alias("w"),
+        F.lit(8).alias("h"),
+        F.array_repeat(v, 64).alias("band0"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    mos = mosaic_composite(tiles, priority="prio", nodata=0).withColumn(
+        "image_id", (F.col("tile_x") * 1000 + F.col("tile_y")).cast("string")
+    )
+    st = raster_stats(mos)
+    return st.join(mos.select("image_id", "n_layers"), "image_id").select(
+        "image_id",
+        "n_layers",
+        "px_min",
+        F.round("px_mean", 6).alias("px_val"),
+    )
+
+
 def _q_bigram_lm(spark, sf):
     """CCNet-style self-scored add-k bigram perplexity over documents
     (train = score corpus); the oracle replays the full count/smooth/
@@ -1718,7 +1759,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 84 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 85 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join), temporal.py
     # (interval_join defaults), sampling.py (sharded paths), audio.py
@@ -1726,7 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (hamming_pairs + simhash refactor -> minhash_recall,
     # simhash_dup_pairs, phash_pairs, ngram_jaccard, minhash_clusters
     # all in-window), plus the NEW round-5 queries — then the window is
-    # filled with the text/similarity/image suite. The 34 tail entries are all
+    # filled with the text/similarity/image suite. The 35 tail entries are all
     # r04-certified (or r03-certified with modules diff-unchanged since)
     # and their modules are untouched this round.
     return {
@@ -1737,7 +1778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_cover": _q_tile_cover,
         "pip_join_rect": _q_pip_join_rect,
         "pip_join_hex": _q_pip_join_hex,
-        "pip_join_s2": _q_pip_join_s2,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "pip_join_salted": _q_pip_join_salted,
         "pip_join_polygons": _q_pip_join_polygons,
@@ -1772,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
         "tile_pyramid": _q_tile_pyramid,
+        "mosaic": _q_mosaic,
         # --- new: map_algebra.py (focal / terrain / zonal) ---
         "focal_stats": _q_focal_stats,
         "hillshade": _q_hillshade,
@@ -1793,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
+        "pip_join_s2": _q_pip_join_s2,
         "salted_cell_count": _q_salted_cell_count,
         "attribute_filter": _q_attribute_filter,
         "agg_pricing": _q_agg_pricing,
@@ -2652,6 +2694,27 @@ def oracle_sql() -> dict[str, str]:
                    ((tok_offset + t - 1) // 1000) - (tok_offset // 1000) + 1
                      AS n_chunks
             FROM c
+        """,
+        "mosaic": """
+            -- uniform layers: per-pixel first-valid collapses to the
+            -- tile-level arg_max over non-nodata layers; priorities
+            -- are tie-free within a tile by the stride-residue
+            -- argument in the query docstring
+            WITH t AS (
+              SELECT c_custkey AS k, c_custkey % 20 AS x,
+                     (c_custkey // 20) % 12 AS y,
+                     c_custkey % 13 AS p,
+                     CASE WHEN c_custkey % 7 = 0 THEN 0
+                          ELSE c_custkey % 89 + 1 END AS v
+              FROM customer WHERE c_custkey < 1200
+            )
+            SELECT CAST(x * 1000 + y AS VARCHAR) AS image_id,
+                   CAST(count(*) AS INT) AS n_layers,
+                   CAST(coalesce(arg_max(v, p) FILTER (WHERE v > 0), 0)
+                        AS DOUBLE) AS px_min,
+                   CAST(coalesce(arg_max(v, p) FILTER (WHERE v > 0), 0)
+                        AS DOUBLE) AS px_val
+            FROM t GROUP BY x, y
         """,
         "bigram_lm": """
             WITH d AS (

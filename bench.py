@@ -163,6 +163,7 @@ def main() -> None:
         "hillshade",
         "zonal_stats",
         "tile_pyramid",
+        "mosaic",
         "decontaminate",
         "track_stats",
         "bm25_search",

@@ -34,6 +34,7 @@ __all__ = [
     "flatten_multipolygon",
     "downsample_tiles",
     "tile_pyramid_images",
+    "mosaic_composite",
 ]
 
 
@@ -404,3 +405,137 @@ def tile_pyramid_images(tiles: DataFrame, z_from: int, z_to: int, **kw) -> DataF
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def mosaic_composite(
+    tiles: DataFrame,
+    priority: str,
+    nodata: int = 0,
+    max_layers: int = 8,
+    tile_x: str = "tile_x",
+    tile_y: str = "tile_y",
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Per-tile mosaic compositing: N overlapping images of the SAME
+    tile -> one image, each pixel taken from the highest-``priority``
+    layer whose pixel != ``nodata`` (the cloud-mask / freshest-scene
+    composite every imagery pipeline runs after tiling). Pixels nodata
+    in EVERY kept layer stay nodata.
+
+    Scale shape: a per-tile window ranks layers by (priority DESC,
+    id ASC) and keeps only ``max_layers`` BEFORE anything heavy —  the
+    per-tile shuffle and Python-side state are bounded by max_layers
+    regardless of how many scenes pile on a hot tile (the same
+    bounded-fan-in idea as downsample_tiles' 4 quadrants). Then one
+    groupBy collects the kept layers and a mapInPandas pass does all
+    pixel work whole-batch per uniform (fmt, w, h) group: one
+    decode_group over every layer in the batch, one vectorized
+    first-valid-layer argmax over a rank-ordered padded tensor, one
+    encode_group. Fail-loud on mixed child (fmt, w, h) within a tile.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        tiles.select(
+            F.col(tile_x).cast("long").alias("_tx"),
+            F.col(tile_y).cast("long").alias("_ty"),
+            F.col(priority).alias("_p"),
+            F.col(id_col).alias("_iid"),
+            F.col("w").cast("int").alias("_w"),
+            F.col("h").cast("int").alias("_h"),
+            F.col(bytes_col).alias("_b"),
+            F.col(fmt_col).alias("_f"),
+        )
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_tx", "_ty").orderBy(
+                F.col("_p").desc(), F.col("_iid").asc()
+            )
+        ))
+        .where(F.col("_rn") <= max_layers)
+    )
+    g = d.groupBy("_tx", "_ty").agg(
+        F.collect_list(F.struct("_rn", "_w", "_h", "_b", "_f")).alias("_ly"),
+        F.count(F.lit(1)).alias("_nl"),
+    )
+    schema = (
+        f"{tile_x} long, {tile_y} long, n_layers int, "
+        f"w int, h int, {bytes_col} binary, {fmt_col} string"
+    )
+    nd = nodata
+
+    def op(batches):
+        import collections
+
+        import pandas as pd
+
+        tune_worker()
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            tile_shape: dict[int, tuple] = {}
+            flat = []  # (tile_idx, rank, blob)
+            for i, ly in enumerate(pdf["_ly"]):
+                for c in ly:
+                    key = (c["_f"], int(c["_w"]), int(c["_h"]))
+                    if tile_shape.setdefault(i, key) != key:
+                        raise ValueError(
+                            f"mixed layer (fmt, w, h) within one tile: "
+                            f"{tile_shape[i]} vs {key}"
+                        )
+                    flat.append((i, int(c["_rn"]), c["_b"]))
+            groups: dict[tuple, list[int]] = collections.defaultdict(list)
+            for i, key in tile_shape.items():
+                groups[key].append(i)
+            lay_of = collections.defaultdict(list)
+            for j, (i, rn, b) in enumerate(flat):
+                lay_of[i].append(j)
+            out_b: list = [None] * n
+            out_f: list = [None] * n
+            out_w = np.zeros(n, dtype=np.int32)
+            out_h = np.zeros(n, dtype=np.int32)
+            for (f, w, h), tidx in groups.items():
+                js = [j for i in tidx for j in lay_of[i]]
+                pix = _codec.decode_group([flat[j][2] for j in js], f, w, h)
+                nch = 3 if pix.ndim == 4 else 1
+                L = max(len(lay_of[i]) for i in tidx)
+                m = len(tidx)
+                pos = {i: t for t, i in enumerate(tidx)}
+                tensor = np.full(
+                    (m, L, h, w) + ((3,) if nch == 3 else ()), nd, dtype=pix.dtype
+                )
+                for jj, j in enumerate(js):
+                    i, rn, _ = flat[j]
+                    tensor[pos[i], rn - 1] = pix[jj]
+                valid = (
+                    (tensor != nd).any(axis=-1) if nch == 3 else (tensor != nd)
+                )  # (m, L, h, w)
+                first = valid.argmax(axis=1)  # first valid layer (0 if none)
+                idx = first[:, None, :, :]
+                if nch == 3:
+                    comp = np.take_along_axis(
+                        tensor, idx[..., None], axis=1
+                    )[:, 0]
+                else:
+                    comp = np.take_along_axis(tensor, idx, axis=1)[:, 0]
+                enc = _codec.encode_group(comp.astype(np.uint8), f)
+                for t, i in enumerate(tidx):
+                    out_b[i] = enc[t]
+                    out_f[i] = f
+                    out_w[i] = w
+                    out_h[i] = h
+            yield pd.DataFrame(
+                {
+                    tile_x: pdf["_tx"].astype("int64"),
+                    tile_y: pdf["_ty"].astype("int64"),
+                    "n_layers": pdf["_nl"].astype("int32"),
+                    "w": out_w,
+                    "h": out_h,
+                    bytes_col: out_b,
+                    fmt_col: out_f,
+                }
+            )
+
+    return g.mapInPandas(op, schema)

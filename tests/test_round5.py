@@ -961,3 +961,67 @@ def test_bigram_lm_bruteforce(spark):
         assert abs(r["ppl"] - math.exp(nll)) < 1e-6, i
     # unseen-token doc must score strictly worse than every in-corpus doc
     assert out[100]["ppl"] > max(out[i]["ppl"] for i, _ in train[:10])
+
+
+# ---------------------------------------------------------------------------
+# mosaic compositing
+
+
+def test_mosaic_composite_bruteforce(spark):
+    from gfp_gdal_spark.kernels.codec import decode_image, encode_image
+    from gfp_gdal_spark.operators.raster import mosaic_composite
+
+    rng = np.random.default_rng(53)
+    w, h, nd = 6, 5, 0
+    rows, layers = [], {}
+    iid = 0
+    for tx, ty, nl in [(0, 0, 1), (1, 0, 3), (2, 5, 4)]:
+        for l in range(nl):
+            p = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            p[rng.random((h, w)) < 0.45] = nd  # random transparent holes
+            prio = int(rng.integers(0, 50))
+            layers.setdefault((tx, ty), []).append((prio, iid, p))
+            rows.append((tx, ty, iid, prio, w, h,
+                         bytearray(encode_image(p, "ppm")), "ppm"))
+            iid += 1
+    df = spark.createDataFrame(
+        rows,
+        "tile_x long, tile_y long, image_id long, prio long, "
+        "w int, h int, bytes binary, fmt string",
+    )
+    out = mosaic_composite(df, priority="prio", nodata=nd).collect()
+    assert {(r["tile_x"], r["tile_y"]) for r in out} == set(layers)
+    for r in out:
+        ls = sorted(layers[(r["tile_x"], r["tile_y"])],
+                    key=lambda t: (-t[0], t[1]))
+        assert r["n_layers"] == len(ls)
+        want = np.full((h, w, 3), nd, dtype=np.uint8)
+        done = np.zeros((h, w), dtype=bool)
+        for _, _, p in ls:
+            valid = (p != nd).any(axis=-1) & ~done
+            want[valid] = p[valid]
+            done |= valid
+        got = decode_image(bytes(r["bytes"]), r["fmt"])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_mosaic_composite_max_layers_cap(spark):
+    from gfp_gdal_spark.kernels.codec import decode_image, encode_image
+    from gfp_gdal_spark.operators.raster import mosaic_composite
+
+    w, h = 4, 4
+    rows = []
+    # 5 fully-opaque layers, priorities 1..5; cap at 2 -> winner prio 5
+    for l in range(5):
+        p = np.full((h, w), 50 + l, dtype=np.uint8)
+        rows.append((7, 7, l, l + 1, w, h, bytearray(encode_image(p, "pgm")), "pgm"))
+    df = spark.createDataFrame(
+        rows,
+        "tile_x long, tile_y long, image_id long, prio long, "
+        "w int, h int, bytes binary, fmt string",
+    )
+    out = mosaic_composite(df, priority="prio", max_layers=2).collect()
+    assert len(out) == 1 and out[0]["n_layers"] == 2
+    np.testing.assert_array_equal(
+        decode_image(bytes(out[0]["bytes"]), "pgm"), np.full((h, w), 54)
+    )
