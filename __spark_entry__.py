@@ -1396,6 +1396,27 @@ def _q_pack_chunks(spark, sf):
     )
 
 
+def _q_band_index(spark, sf):
+    """LOCAL map algebra: pseudo-NDVI (g-r)/(g+r) per pixel over the
+    synthetic images, floor-quantized to integer micro-units (see the
+    operator docstring for why floor, not round), reduced to per-image
+    stats; the oracle replays the channel formula + quantization in
+    SQL."""
+    from gfp_gdal_spark.operators.map_algebra import band_index_stats
+
+    _prep(spark)
+    imgs = datagen.images_table(spark, 300, with_bytes=True)
+    out = band_index_stats(imgs, band_a=1, band_b=0)
+    return out.select(
+        "image_id",
+        "n_px",
+        F.round("idx_mean", 6).alias("idx_mean"),
+        "idx_min",
+        "idx_max",
+        F.round("frac_pos", 6).alias("frac_pos"),
+    )
+
+
 def _q_mosaic(spark, sf):
     """Per-tile mosaic compositing on uniform-value tiles: 240 tiles x
     5 layers each (priority k%13 — distinct within a tile since the
@@ -1759,7 +1780,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 85 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 86 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join), temporal.py
     # (interval_join defaults), sampling.py (sharded paths), audio.py
@@ -1767,7 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (hamming_pairs + simhash refactor -> minhash_recall,
     # simhash_dup_pairs, phash_pairs, ngram_jaccard, minhash_clusters
     # all in-window), plus the NEW round-5 queries — then the window is
-    # filled with the text/similarity/image suite. The 35 tail entries are all
+    # filled with the text/similarity/image suite. The 36 tail entries are all
     # r04-certified (or r03-certified with modules diff-unchanged since)
     # and their modules are untouched this round.
     return {
@@ -1777,7 +1798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_rollup": _q_tile_rollup,
         "tile_cover": _q_tile_cover,
         "pip_join_rect": _q_pip_join_rect,
-        "pip_join_hex": _q_pip_join_hex,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "pip_join_salted": _q_pip_join_salted,
         "pip_join_polygons": _q_pip_join_polygons,
@@ -1817,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_stats": _q_focal_stats,
         "hillshade": _q_hillshade,
         "zonal_stats": _q_zonal_stats,
+        "band_index": _q_band_index,
         # --- profiling: exact + the newly certified sketch path ---
         "corpus_quantiles": _q_corpus_quantiles,
         "corpus_quantiles_approx": _q_corpus_quantiles_approx,
@@ -1834,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
+        "pip_join_hex": _q_pip_join_hex,
         "pip_join_s2": _q_pip_join_s2,
         "salted_cell_count": _q_salted_cell_count,
         "attribute_filter": _q_attribute_filter,
@@ -3067,6 +3089,23 @@ def oracle_sql() -> dict[str, str]:
               AND lon_c >= cx - rad*0.2 AND lon_c < cx + rad*0.2
               AND lat_c >= cy - rad*0.2 AND lat_c < cy + rad*0.2
             )
+        """,
+        "band_index": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=299) + """
+            , u AS (
+              SELECT image_id,
+                     floor(CASE WHEN g + r = 0 THEN 0.0
+                                ELSE (g - r) / CAST(g + r AS DOUBLE)
+                           END * 1000000.0) AS u
+              FROM pix
+            )
+            SELECT image_id,
+                   count(*) AS n_px,
+                   round(avg(u) / 1000000.0, 6) AS idx_mean,
+                   min(u) / 1000000.0 AS idx_min,
+                   max(u) / 1000000.0 AS idx_max,
+                   round(avg(CASE WHEN u > 0 THEN 1.0 ELSE 0.0 END), 6)
+                     AS frac_pos
+            FROM u GROUP BY image_id
         """,
         "raster_stats": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=299) + """
             SELECT image_id, CAST(0 AS INTEGER) AS band,

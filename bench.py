@@ -162,6 +162,7 @@ def main() -> None:
         "focal_stats",
         "hillshade",
         "zonal_stats",
+        "band_index",
         "tile_pyramid",
         "mosaic",
         "decontaminate",

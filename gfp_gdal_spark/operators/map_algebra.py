@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +33,7 @@ __all__ = [
     "focal_stats",
     "slope_hillshade",
     "zonal_stats",
+    "band_index_stats",
 ]
 
 
@@ -207,3 +209,93 @@ def zonal_stats(
         F.max(val).alias("zonal_max"),
         F.sum(val).alias("zonal_sum"),
     )
+
+
+def band_index_stats(
+    images: DataFrame,
+    band_a: int = 1,
+    band_b: int = 0,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """LOCAL map algebra — the per-pixel normalized-difference band
+    index family (NDVI/NDWI/NDSI: (a - b) / (a + b), index 0 where
+    a + b == 0), reduced to per-image statistics: mean, min, max, and
+    the fraction of positive-index pixels (the "vegetation fraction"
+    readout). Completes Tomlin's triad beside ``focal_stats`` (FOCAL)
+    and ``zonal_stats`` (ZONAL).
+
+    Determinism contract: the per-pixel index is quantized to integer
+    MICRO-units via floor(idx * 1e6) before any reduction, so every
+    aggregate is a sum of integers — order-independent across Arrow
+    batch boundaries, partial-agg orders, and engines (same contract
+    as track_stats' millimeter legs). floor, not round: IEEE
+    round-half-even (numpy) and round-half-away (SQL) disagree on
+    exact .5 micro-values, which REAL channel ratios do hit
+    (e.g. (129-127)/(129+127) * 1e6 = 7812.5); floor is identical
+    everywhere.
+
+    Whole-batch execution: rows group by (fmt, w, h) inside each
+    Arrow batch, one ``decode_group`` + one vectorized index/floor
+    pass per group — no per-image Python."""
+    import collections
+
+    import pyarrow as pa
+
+    from gfp_gdal_spark.functions.worker_tuning import tune_worker
+    from gfp_gdal_spark.kernels import codec as _codec
+
+    schema = (
+        f"{id_col} string, n_px long, idx_mean double, idx_min double, "
+        f"idx_max double, frac_pos double"
+    )
+
+    def op(batches):
+        tune_worker()
+        for b in batches:
+            names = b.schema.names
+            blobs = b.column(names.index(bytes_col))
+            fmts = b.column(names.index(fmt_col)).to_pylist()
+            ids = b.column(names.index(id_col))
+            n = b.num_rows
+            if n == 0:
+                continue
+            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
+            groups = collections.defaultdict(list)
+            for i in range(n):
+                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            npx = np.zeros(n, dtype=np.int64)
+            mean = np.zeros(n)
+            mn = np.zeros(n)
+            mx = np.zeros(n)
+            fp = np.zeros(n)
+            for (f, w, h), idxs in groups.items():
+                pix = _codec.decode_group(
+                    [blobs[i].as_py() for i in idxs], f, w, h
+                )
+                if pix.ndim != 4:
+                    raise ValueError(
+                        f"band_index_stats needs multi-channel images; got {f}"
+                    )
+                a = pix[..., band_a].astype(np.float64)
+                c = pix[..., band_b].astype(np.float64)
+                s = a + c
+                idx = np.where(s == 0, 0.0, (a - c) / np.where(s == 0, 1.0, s))
+                u = np.floor(idx * 1e6)  # integer micro-units
+                m = len(idxs)
+                uf = u.reshape(m, -1)
+                npx[idxs] = uf.shape[1]
+                mean[idxs] = uf.mean(axis=1) / 1e6
+                mn[idxs] = uf.min(axis=1) / 1e6
+                mx[idxs] = uf.max(axis=1) / 1e6
+                fp[idxs] = (uf > 0).mean(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(npx), pa.array(mean), pa.array(mn),
+                 pa.array(mx), pa.array(fp)],
+                names=[id_col, "n_px", "idx_mean", "idx_min", "idx_max", "frac_pos"],
+            )
+
+    cols = [id_col, bytes_col, fmt_col, "w", "h"]
+    return images.select(*cols).mapInArrow(op, schema)

@@ -1025,3 +1025,50 @@ def test_mosaic_composite_max_layers_cap(spark):
     np.testing.assert_array_equal(
         decode_image(bytes(out[0]["bytes"]), "pgm"), np.full((h, w), 54)
     )
+
+
+# ---------------------------------------------------------------------------
+# band index (LOCAL map algebra)
+
+
+def test_band_index_stats_bruteforce(spark):
+    from gfp_gdal_spark.operators.map_algebra import band_index_stats
+    from gfp_gdal_spark.sources import datagen
+    from gfp_gdal_spark.kernels.codec import decode_image
+
+    imgs = datagen.images_table(spark, 60, with_bytes=True)
+    out = {r["image_id"]: r for r in band_index_stats(imgs).collect()}
+    pdf = datagen.images_pandas(60, with_bytes=True)
+    assert len(out) == 60
+    for _, row in pdf.iterrows():
+        pix = decode_image(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+        a, c = pix[..., 1], pix[..., 0]
+        s = a + c
+        idx = np.where(s == 0, 0.0, (a - c) / np.where(s == 0, 1.0, s))
+        u = np.floor(idx * 1e6)
+        r = out[row["image_id"]]
+        assert r["n_px"] == u.size
+        assert abs(r["idx_mean"] - u.mean() / 1e6) < 1e-12
+        assert r["idx_min"] == u.min() / 1e6
+        assert r["idx_max"] == u.max() / 1e6
+        assert abs(r["frac_pos"] - (u > 0).mean()) < 1e-12
+
+
+def test_band_index_floor_tie_contract(spark):
+    """The documented .5-micro-unit case: (129-127)/(129+127)*1e6 =
+    7812.5 — floor keeps numpy and SQL identical where round() would
+    split half-even vs half-away."""
+    from gfp_gdal_spark.kernels.codec import encode_image
+    from gfp_gdal_spark.operators.map_algebra import band_index_stats
+
+    p = np.zeros((2, 2, 3), dtype=np.uint8)
+    p[..., 0] = 127
+    p[..., 1] = 129
+    df = spark.createDataFrame(
+        [("t", bytearray(encode_image(p, "ppm")), "ppm", 2, 2)],
+        "image_id string, bytes binary, fmt string, w int, h int",
+    )
+    r = band_index_stats(df).collect()[0]
+    assert r["idx_mean"] == 0.007812  # floor(7812.5)/1e6, NOT .0078125-rounded
+    assert r["idx_min"] == r["idx_max"] == 0.007812
+    assert r["frac_pos"] == 1.0
