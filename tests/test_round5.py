@@ -1072,3 +1072,42 @@ def test_band_index_floor_tie_contract(spark):
     assert r["idx_mean"] == 0.007812  # floor(7812.5)/1e6, NOT .0078125-rounded
     assert r["idx_min"] == r["idx_max"] == 0.007812
     assert r["frac_pos"] == 1.0
+
+
+def test_track_stats_time_bucket_parity(spark):
+    """time_bucket=w must be BIT-IDENTICAL to the plain path for
+    widths >> span, ~ gap, and << gap, on a planted hot track with
+    duplicate timestamps and multi-bucket time gaps."""
+    from gfp_gdal_spark.operators.tracks import track_stats
+
+    rng = np.random.default_rng(59)
+    rows = []
+    # hot track: 3000 fixes, bursty gaps incl. long jumps (empty buckets)
+    t = np.cumsum(rng.choice([1.0, 7.0, 500.0, 20_000.0], 3000,
+                             p=[0.6, 0.25, 0.12, 0.03]))
+    t[100] = t[101]  # duplicate timestamp -> tiebreak decides
+    for i in range(3000):
+        rows.append(("hot", float(t[i]), float(rng.uniform(-170, 170)),
+                     float(rng.uniform(-80, 80)), i))
+    for k in range(5):  # cold tracks
+        tt = np.sort(rng.uniform(0, 1e5, 8))
+        for i in range(8):
+            rows.append((f"c{k}", float(tt[i]), float(rng.uniform(-170, 170)),
+                         float(rng.uniform(-80, 80)), i))
+    df = spark.createDataFrame(
+        rows, "track_id string, ts double, lon double, lat double, seq int"
+    ).repartition(8).cache()
+    base = track_stats(df, tiebreak="seq")
+    want = sorted(map(tuple, base.collect()))
+    for width in (1e9, 300.0, 2.5):
+        got = track_stats(df, tiebreak="seq", time_bucket=width)
+        assert sorted(map(tuple, got.collect())) == want, f"width {width}"
+    with pytest.raises(ValueError, match="time_bucket"):
+        track_stats(df, time_bucket=0)
+    # plan: the event-stream window partitions on (track, bucket)
+    plan = track_stats(df, tiebreak="seq", time_bucket=300.0)\
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert any("_bkt" in s for s in specs), plan
+    df.unpersist()
