@@ -169,6 +169,7 @@ def main() -> None:
         "track_stats",
         "track_stats_bucketed",
         "bm25_search",
+        "bm25_sharded",
         "bigram_lm",
         "tile_rollup",
         "audio_stats",

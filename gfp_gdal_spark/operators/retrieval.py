@@ -41,6 +41,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
+    shards: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 top-k retrieval: for each query row, the ``top_k``
     highest-scoring documents with their scores.
@@ -55,6 +56,14 @@ def bm25_search(
     ties break on doc id, so the top-k set is reproducible across
     partial-agg orders and engines (an unrounded float rank could flip
     equal-score neighbors). Returned ``score`` is the rounded value.
+
+    Hot-query execution (``shards=k``): a query hitting a common term
+    can score millions of docs, and the plain top-k window serializes
+    that one partition — the same hot-key shape as sample_per_group.
+    ``shards=k`` first ranks per (query, hash-shard of the doc id) and
+    keeps each shard's top_k, then re-ranks the <= k*top_k survivors —
+    bit-identical output (the global top-k is contained in the union
+    of per-shard top-ks), widest window partition divided by k.
     """
     t = _terms(docs, text, id_col, "_did")
     tf = t.groupBy("_did", "term").agg(
@@ -86,6 +95,23 @@ def bm25_search(
     )
     from pyspark.sql import Window
 
+    if shards is not None:
+        if shards < 1:
+            raise ValueError(f"shards must be >= 1, got {shards}")
+        sh = F.pmod(F.xxhash64(F.col("_did")), F.lit(shards))
+        scored = (
+            scored.withColumn("_sh", sh)
+            .withColumn(
+                "_srn",
+                F.row_number().over(
+                    Window.partitionBy("_qid", "_sh").orderBy(
+                        F.col("score").desc(), F.col("_did").asc()
+                    )
+                ),
+            )
+            .where(F.col("_srn") <= top_k)
+            .drop("_sh", "_srn")
+        )
     rankw = Window.partitionBy("_qid").orderBy(
         F.col("score").desc(), F.col("_did").asc()
     )

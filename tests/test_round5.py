@@ -1111,3 +1111,27 @@ def test_track_stats_time_bucket_parity(spark):
     specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
     assert any("_bkt" in s for s in specs), plan
     df.unpersist()
+
+
+def test_bm25_shards_parity(spark):
+    """shards=k must return the bit-identical top-k (per-shard prefix
+    union contains the global top-k); the first-pass window really
+    partitions on the shard column."""
+    from gfp_gdal_spark.operators.retrieval import bm25_search
+
+    rng = np.random.default_rng(61)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab, rng.integers(4, 30)))) for i in range(250)]
+    qs = [(0, "w1 w2"), (1, "w3 w4 w5")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string").cache()
+    qdf = spark.createDataFrame(qs, "q_id long, q_text string")
+    plain = sorted(map(tuple, bm25_search(ddf, qdf, top_k=7).collect()))
+    for k in (1, 4, 16):
+        sh = sorted(map(tuple, bm25_search(ddf, qdf, top_k=7, shards=k).collect()))
+        assert sh == plain, k
+    plan = bm25_search(ddf, qdf, shards=4)._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "_sh" in plan
+    with pytest.raises(ValueError, match="shards"):
+        bm25_search(ddf, qdf, shards=0)
+    ddf.unpersist()
