@@ -304,6 +304,15 @@ def downsample_tiles(
                 seen = set()
                 for c in ch:
                     q = (c["_qx"], c["_qy"])
+                    if q not in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                        # negative tile coords: Spark % keeps the sign,
+                        # so x=-1 -> quadrant -1, which would silently
+                        # wrap the canvas index. Slippy coords are
+                        # non-negative by definition — fail loud.
+                        raise ValueError(
+                            f"negative tile coordinates (quadrant {q}) — "
+                            f"slippy z/x/y tiles must be non-negative"
+                        )
                     if q in seen:
                         raise ValueError(
                             f"duplicate child quadrant {q} under parent "

@@ -1135,3 +1135,16 @@ def test_bm25_shards_parity(spark):
     with pytest.raises(ValueError, match="shards"):
         bm25_search(ddf, qdf, shards=0)
     ddf.unpersist()
+
+
+def test_downsample_tiles_negative_coords_fail_loud(spark):
+    from gfp_gdal_spark.kernels.codec import encode_image
+    from gfp_gdal_spark.operators.raster import downsample_tiles
+
+    p = np.zeros((4, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(5, -1, 2, 4, 4, bytearray(encode_image(p, "ppm")), "ppm")],
+        "tile_z int, tile_x long, tile_y long, w int, h int, bytes binary, fmt string",
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        downsample_tiles(df).collect()
