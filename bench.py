@@ -171,6 +171,8 @@ def main() -> None:
         "bm25_search",
         "bm25_sharded",
         "bigram_lm",
+        "centroid",
+        "convex_hull",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

@@ -11,6 +11,7 @@ holes column type: ``array<array<array<double>>>``.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -263,3 +264,110 @@ def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Colum
     dlon = F.radians(lon2 - lon1)
     a = F.sin(dlat / 2) ** 2 + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
     return 2 * r * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def ring_centroid(ring: Column) -> Column:
+    """Area-weighted polygon centroid (the shoelace/Green's-theorem
+    formula) of an UNCLOSED ring — pure JVM fold, orientation-
+    independent (the signed area cancels in the Cx/Cy ratios).
+    Returns struct(cx, cy); degenerate rings (|area| == 0, e.g. all
+    points collinear) fall back to the vertex mean — defined for every
+    input rather than NaN."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def cross(i):
+        p = F.get(ring, i)
+        q = F.get(ring, F.pmod(i + 1, n))  # wrap last -> first
+        return p[0] * q[1] - q[0] * p[1]
+
+    acc0 = F.struct(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")
+    )
+    folded = F.aggregate(
+        idx,
+        acc0,
+        lambda acc, i: F.struct(
+            (acc["a"] + cross(i)).alias("a"),
+            (
+                acc["sx"]
+                + (F.get(ring, i)[0] + F.get(ring, F.pmod(i + 1, n))[0]) * cross(i)
+            ).alias("sx"),
+            (
+                acc["sy"]
+                + (F.get(ring, i)[1] + F.get(ring, F.pmod(i + 1, n))[1]) * cross(i)
+            ).alias("sy"),
+        ),
+    )
+    mean_x = F.aggregate(
+        ring, F.lit(0.0), lambda acc, p: acc + p[0]
+    ) / n.cast("double")
+    mean_y = F.aggregate(
+        ring, F.lit(0.0), lambda acc, p: acc + p[1]
+    ) / n.cast("double")
+    cx = F.when(
+        folded["a"] != 0.0, folded["sx"] / (F.lit(3.0) * folded["a"])
+    ).otherwise(mean_x)
+    cy = F.when(
+        folded["a"] != 0.0, folded["sy"] / (F.lit(3.0) * folded["a"])
+    ).otherwise(mean_y)
+    return F.struct(cx.alias("cx"), cy.alias("cy"))
+
+
+def points_hull(points: Column) -> Column:
+    """Convex hull of a point array (array<array<double>>) — Andrew's
+    monotone chain (1979) with STRICT turns, so collinear boundary
+    points are excluded. Returns struct(ring, n_hull, hull_area):
+    hull ring CCW, unclosed, starting at the lexicographic-min vertex
+    (canonical — deterministic across runs/engines); area by the
+    shoelace formula (0 for degenerate <3-point hulls). Arrow-batched
+    pandas UDF; per-ROW work is one numpy chain over that row's
+    points (rows here are per-key aggregates, not raw points)."""
+    out_t = T.StructType(
+        [
+            T.StructField("ring", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("n_hull", T.IntegerType()),
+            T.StructField("hull_area", T.DoubleType()),
+        ]
+    )
+
+    def _hull_one(arr) -> tuple:
+        pts = np.asarray([np.asarray(p, dtype=np.float64) for p in arr])
+        pts = np.unique(pts[:, :2], axis=0)  # lexicographic sort + dedup
+        if len(pts) == 1:
+            return ([pts[0].tolist()], 1, 0.0)
+
+        def chain(seq):
+            out: list = []
+            for p in seq:
+                while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                ) <= 0:
+                    out.pop()
+                out.append(p)
+            return out
+
+        lower = chain(pts)
+        upper = chain(pts[::-1])
+        hull = lower[:-1] + upper[:-1]
+        n = len(hull)
+        area = 0.0
+        for i in range(n):
+            x0, y0 = hull[i][0], hull[i][1]
+            x1, y1 = hull[(i + 1) % n][0], hull[(i + 1) % n][1]
+            area += x0 * y1 - x1 * y0
+        return ([p.tolist() for p in hull], n, abs(area) / 2.0)
+
+    @F.pandas_udf(out_t)
+    def _f(s: pd.Series) -> pd.DataFrame:
+        rows = [_hull_one(arr) for arr in s]
+        return pd.DataFrame(
+            {
+                "ring": [r[0] for r in rows],
+                "n_hull": [r[1] for r in rows],
+                "hull_area": [r[2] for r in rows],
+            }
+        )
+
+    return _f(points)

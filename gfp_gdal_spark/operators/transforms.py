@@ -126,3 +126,58 @@ def enrich_geometry(df: DataFrame, ring: str = "ring", holes: str | None = None)
     else:
         df = df.withColumn("wkt", ring_wkt(F.col(ring)))
     return df
+
+
+def convex_hull_per_key(
+    df: DataFrame,
+    key: str,
+    lon: str = "lon_c",
+    lat: str = "lat_c",
+    shards: int | None = None,
+) -> DataFrame:
+    """Per-key convex hull of a point set (scene footprint from its
+    pixel/fix cloud, coverage outline per region) -> one row per key
+    with the canonical hull ring (CCW, unclosed, lexicographic-min
+    start), vertex count, and shoelace area — the GEOS convex-hull
+    node's per-group analog, built on functions.geometry.points_hull.
+
+    Plain path: groupBy(key) + collect_list + the hull kernel — one
+    shuffle carrying the raw points of each key.
+
+    Hot-key execution (``shards=k``): hull(A ∪ B) =
+    hull(hull(A) ∪ hull(B)), so per-(key, point-hash-shard) PARTIAL
+    hulls are computed first and the final hull runs over the
+    concatenated partial-hull vertices — the per-key shuffle payload
+    drops from all points to <= k * |partial hull| vertices
+    (EXPECTED O(log n) each for points in general position), and the
+    widest collect is divided by k. Bit-identical to the plain path
+    (parity-tested), because the canonicalization lives entirely in
+    the final chain pass.
+    """
+    from gfp_gdal_spark.functions.geometry import points_hull
+
+    pt = F.array(F.col(lon).cast("double"), F.col(lat).cast("double"))
+    if shards is None:
+        pts = df.groupBy(key).agg(F.collect_list(pt).alias("_pts"))
+    else:
+        if shards < 1:
+            raise ValueError(f"shards must be >= 1, got {shards}")
+        sh = F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(shards))
+        partial = (
+            df.withColumn("_sh", sh)
+            .groupBy(key, "_sh")
+            .agg(F.collect_list(pt).alias("_pp"))
+            .withColumn("_h", points_hull(F.col("_pp")))
+        )
+        pts = (
+            partial.select(key, F.col("_h.ring").alias("_r"))
+            .groupBy(key)
+            .agg(F.flatten(F.collect_list("_r")).alias("_pts"))
+        )
+    out = pts.withColumn("_h", points_hull(F.col("_pts")))
+    return out.select(
+        key,
+        F.col("_h.ring").alias("hull_ring"),
+        F.col("_h.n_hull").alias("n_hull"),
+        F.col("_h.hull_area").alias("hull_area"),
+    )

@@ -1148,3 +1148,104 @@ def test_downsample_tiles_negative_coords_fail_loud(spark):
     )
     with pytest.raises(Exception, match="non-negative"):
         downsample_tiles(df).collect()
+
+
+# ---------------------------------------------------------------------------
+# centroid + convex hull
+
+
+def test_ring_centroid_bruteforce(spark):
+    from gfp_gdal_spark.functions.geometry import ring_centroid
+
+    rng = np.random.default_rng(67)
+    rows = []
+    want = []
+    for i in range(30):
+        k = rng.integers(3, 9)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        if len(np.unique(np.round(ang, 6))) < 3:
+            ang = np.linspace(0, 2 * np.pi, 4)[:3]
+        r = rng.uniform(1, 5, len(ang))
+        xs = 10 + r * np.cos(ang)
+        ys = -4 + r * np.sin(ang)
+        ring = [[float(x), float(y)] for x, y in zip(xs, ys)]
+        if i % 2:
+            ring = ring[::-1]  # CW: centroid must be orientation-independent
+        rows.append((i, ring))
+        a = sx = sy = 0.0
+        n = len(ring)
+        for j in range(n):
+            x0, y0 = ring[j]
+            x1, y1 = ring[(j + 1) % n]
+            c = x0 * y1 - x1 * y0
+            a += c
+            sx += (x0 + x1) * c
+            sy += (y0 + y1) * c
+        want.append((sx / (3 * a), sy / (3 * a)))
+    df = spark.createDataFrame(rows, "i long, ring array<array<double>>")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", ring_centroid(F.col("ring")).alias("c")).collect()}
+    for i, (wx, wy) in enumerate(want):
+        assert abs(got[i]["cx"] - wx) < 1e-9 and abs(got[i]["cy"] - wy) < 1e-9, i
+    # degenerate collinear ring -> vertex mean, not NaN
+    dg = spark.createDataFrame(
+        [(0, [[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]])], "i long, ring array<array<double>>"
+    )
+    c = dg.select(ring_centroid(F.col("ring")).alias("c")).collect()[0]["c"]
+    assert (c["cx"], c["cy"]) == (1.0, 1.0)
+
+
+def test_convex_hull_bruteforce_and_shards(spark):
+    from gfp_gdal_spark.operators.transforms import convex_hull_per_key
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for k in range(6):
+        n = int(rng.integers(5, 120))
+        for _ in range(n):
+            rows.append((k, float(rng.uniform(-50, 50)), float(rng.uniform(-30, 30))))
+    # degenerate keys: single point, all-collinear
+    rows += [(100, 3.0, 4.0)]
+    rows += [(101, float(x), float(2 * x)) for x in range(5)]
+    df = spark.createDataFrame(rows, "k long, lon_c double, lat_c double").cache()
+    plain = {r["k"]: r for r in convex_hull_per_key(df, key="k").collect()}
+
+    def ref_hull(pts):
+        pts = sorted(set(pts))
+        if len(pts) == 1:
+            return pts, 0.0
+        def chain(seq):
+            out = []
+            for p in seq:
+                while len(out) >= 2 and (
+                    (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                    - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+                ) <= 0:
+                    out.pop()
+                out.append(p)
+            return out
+        h = chain(pts)[:-1] + chain(pts[::-1])[:-1]
+        a = 0.0
+        for i in range(len(h)):
+            x0, y0 = h[i]
+            x1, y1 = h[(i + 1) % len(h)]
+            a += x0 * y1 - x1 * y0
+        return h, abs(a) / 2
+    by_key = {}
+    for k, x, y in rows:
+        by_key.setdefault(k, []).append((x, y))
+    for k, pts in by_key.items():
+        h, a = ref_hull(pts)
+        r = plain[k]
+        assert r["n_hull"] == len(h), k
+        assert [tuple(p) for p in r["hull_ring"]] == h, k
+        assert abs(r["hull_area"] - a) < 1e-9, k
+    # shard merge is bit-identical
+    for s in (1, 4, 16):
+        sh = {r["k"]: r for r in convex_hull_per_key(df, key="k", shards=s).collect()}
+        for k in plain:
+            assert sh[k]["hull_ring"] == plain[k]["hull_ring"], (s, k)
+            assert sh[k]["hull_area"] == plain[k]["hull_area"], (s, k)
+    with pytest.raises(ValueError, match="shards"):
+        convex_hull_per_key(df, key="k", shards=0)
+    df.unpersist()
