@@ -193,3 +193,16 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_band_index(images_stream: DataFrame) -> DataFrame:
+    """operators.map_algebra.band_index_stats over the image stream
+    verbatim — the whole-batch decode + micro-unit quantized index is
+    stateless (one output row per input image), so a streaming
+    micro-batch, a restarted stream, and the batch job emit identical
+    rows (append mode, no state). The continuous-ingest form of the
+    quality-screen: score each arriving image's band index before it
+    enters the corpus."""
+    from gfp_gdal_spark.operators.map_algebra import band_index_stats
+
+    return band_index_stats(images_stream)

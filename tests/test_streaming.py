@@ -227,3 +227,32 @@ def test_streaming_hash_split_matches_batch(spark, tmp_path):
         assert got == want and len(got) == 2000
     finally:
         q.stop()
+
+
+def test_streaming_band_index_matches_batch(spark, tmp_path):
+    """Stateless image scoring over a TWO-micro-batch stream must
+    equal the batch band_index_stats over the full static table."""
+    from gfp_gdal_spark.operators.map_algebra import band_index_stats
+
+    d = str(tmp_path / "imgs_bidx")
+    imgs = datagen.images_table(spark, 120, with_bytes=True)
+    imgs.where("image_id < 'img00000060'").coalesce(1).write.mode("append").parquet(d)
+    stream = SI.read_image_stream(spark, d)
+    q = (
+        SI.streaming_band_index(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bidx_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        imgs.where("image_id >= 'img00000060'").coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        static = band_index_stats(spark.read.parquet(d))
+        got = spark.sql("SELECT * FROM bidx_stream")
+        assert got.count() == 120
+        assert static.exceptAll(got).isEmpty()
+        assert got.exceptAll(static).isEmpty()
+    finally:
+        q.stop()
