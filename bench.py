@@ -173,6 +173,8 @@ def main() -> None:
         "bigram_lm",
         "centroid",
         "convex_hull",
+        "vocab_topk",
+        "distinct_profile",
         "tile_rollup",
         "audio_stats",
         "resample_audio",

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["corpus_quantiles"]
+__all__ = ["corpus_quantiles", "vocab_topk", "distinct_profile"]
 
 
 def corpus_quantiles(
@@ -46,3 +46,82 @@ def corpus_quantiles(
         aggs.append(fn(ntok, F.lit(p)).alias(f"tokens_{tag}"))
     g = docs.groupBy(by) if by else docs.groupBy()
     return g.agg(*aggs)
+
+
+def vocab_topk(
+    docs: DataFrame,
+    text: str = "text",
+    by: str | None = None,
+    n: int = 20,
+    shards: int | None = None,
+) -> DataFrame:
+    """Vocabulary profile — the tokenizer-building / stop-word-triage
+    pass: the top-``n`` whitespace tokens by frequency, globally or per
+    ``by`` slice (language, domain). Pure integer counting: one explode
+    + one (slice, token) hash agg (map-side combined) + the top-n
+    window; ties break on the token string, so the result is fully
+    deterministic.
+
+    Hot-slice execution (``shards=k``): the top-n window partitions per
+    slice over VOCABULARY-sized partitions (10^7+ distinct tokens for a
+    web-scale slice); ``shards=k`` first ranks per (slice, token-hash
+    shard) and keeps each shard's top n, then re-ranks the <= k*n
+    survivors — bit-identical (the global top-n is inside the union of
+    per-shard top-ns), widest window partition divided by k.
+    """
+    from pyspark.sql import Window
+
+    toks = F.explode(F.split(F.lower(F.col(text)), " ")).alias("token")
+    d = docs.select(*([by] if by else []), toks).where(F.length("token") > 0)
+    keys = [by] if by else []
+    counts = d.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("n_occ"))
+    order = [F.col("n_occ").desc(), F.col("token").asc()]
+    if shards is not None:
+        if shards < 1:
+            raise ValueError(f"shards must be >= 1, got {shards}")
+        sh = F.pmod(F.xxhash64("token"), F.lit(shards))
+        counts = (
+            counts.withColumn("_sh", sh)
+            .withColumn(
+                "_srn",
+                F.row_number().over(Window.partitionBy(*keys, "_sh").orderBy(*order)),
+            )
+            .where(F.col("_srn") <= n)
+            .drop("_sh", "_srn")
+        )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    return (
+        counts.withColumn("rank", F.row_number().over(w.orderBy(*order)))
+        .where(F.col("rank") <= n)
+    )
+
+
+def distinct_profile(
+    df: DataFrame,
+    cols: list[str],
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Cardinality profile: distinct count per column — the dedup-rate
+    / key-space sizing pass (distinct URLs, domains, doc fingerprints).
+    Returns one narrow row per column: (column, n_distinct).
+
+    ``exact=True`` runs one count(DISTINCT) pass per column (exact,
+    oracle-checkable). ``exact=False`` switches every column to
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``) —
+    the mergeable-sketch path for 10^12-row tables, same trade as
+    ``corpus_quantiles(exact=False)``; certified by bracketing against
+    the exact counts (see the driver's `distinct_profile_approx`).
+    """
+    fn = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact
+        else (lambda c: F.approx_count_distinct(F.col(c), rsd))
+    )
+    out = None
+    for c in cols:
+        row = df.agg(fn(c).alias("n_distinct")).select(
+            F.lit(c).alias("column"), "n_distinct"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1249,3 +1249,60 @@ def test_convex_hull_bruteforce_and_shards(spark):
     with pytest.raises(ValueError, match="shards"):
         convex_hull_per_key(df, key="k", shards=0)
     df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# corpus profiling: vocab top-k + cardinality
+
+
+def test_vocab_topk_bruteforce(spark):
+    from collections import Counter
+
+    from gfp_gdal_spark.operators.profiling import vocab_topk
+
+    rng = np.random.default_rng(73)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, ["en", "fr"][i % 2], " ".join(rng.choice(vocab, 25)))
+            for i in range(80)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string").cache()
+
+    cnt = {"en": Counter(), "fr": Counter()}
+    for _, lang, s in docs:
+        cnt[lang].update(s.split())
+
+    def top(c, n):
+        return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+    for shards in (None, 1, 5):
+        out = vocab_topk(df, by="lang", n=7, shards=shards).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["lang"], []).append((r["rank"], r["token"], r["n_occ"]))
+        for lang in ("en", "fr"):
+            got[lang].sort()
+            assert got[lang] == [(j + 1, t, c) for j, (t, c) in
+                                 enumerate(top(cnt[lang], 7))], (lang, shards)
+    # global (no `by`)
+    allc = cnt["en"] + cnt["fr"]
+    g = sorted((r["rank"], r["token"], r["n_occ"])
+               for r in vocab_topk(df, n=5).collect())
+    assert g == [(j + 1, t, c) for j, (t, c) in enumerate(top(allc, 5))]
+    with pytest.raises(ValueError, match="shards"):
+        vocab_topk(df, shards=0)
+    df.unpersist()
+
+
+def test_distinct_profile(spark):
+    from gfp_gdal_spark.operators.profiling import distinct_profile
+
+    df = spark.createDataFrame(
+        [(i % 17, f"d{i % 5}", float(i)) for i in range(300)],
+        "a long, b string, c double",
+    )
+    got = {r["column"]: r["n_distinct"]
+           for r in distinct_profile(df, ["a", "b", "c"]).collect()}
+    assert got == {"a": 17, "b": 5, "c": 300}
+    ap = {r["column"]: r["n_distinct"]
+          for r in distinct_profile(df, ["a", "b", "c"], exact=False).collect()}
+    for k, v in got.items():
+        assert abs(ap[k] - v) <= max(3, 3 * 0.02 * v), k
