@@ -1458,6 +1458,35 @@ def _q_mosaic(spark, sf):
     )
 
 
+def _q_rasterize(spark, sf):
+    """Vector -> raster burning: 25 nation-keyed 16x12 frames on a
+    20x15-degree grid, customer rects (value = k%199+1, min-value
+    painter's rule) burned wherever a pixel CENTER is strictly inside;
+    the oracle replays the exact center geotransform + containment +
+    min/count/sum in SQL (zero-burn frames kept via left join)."""
+    from gfp_gdal_spark.operators.raster import rasterize_zones
+
+    _prep(spark)
+    n = _t(spark, sf, "nation")
+    k = F.col("n_nationkey")
+    frames = n.select(
+        k.cast("string").alias("image_id"),
+        ((k % 5).cast("double") * 20.0 - 50.0).alias("min_lon"),
+        (F.floor(k / 5).cast("double") * 15.0 - 37.5).alias("min_lat"),
+        ((k % 5).cast("double") * 20.0 - 30.0).alias("max_lon"),
+        (F.floor(k / 5).cast("double") * 15.0 - 22.5).alias("max_lat"),
+        F.lit(16).alias("w"),
+        F.lit(12).alias("h"),
+    )
+    zones = _rects_from_customer(_t(spark, sf, "customer")).withColumn(
+        "zval", (F.col("c_custkey") % 199 + 1).cast("int")
+    )
+    out = rasterize_zones(
+        frames, zones, value="zval", key="image_id", z=4, holes=None, broadcast=True
+    )
+    return out.select("image_id", "n_burned", "val_sum")
+
+
 def _q_vocab_topk(spark, sf):
     """Per-language top-10 vocabulary (through the shards=4 hot-slice
     path — bit-identical to the plain window by the prefix-union
@@ -1936,7 +1965,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 93 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 94 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -1949,12 +1978,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # byte-unchanged, so three of the six pip variants (hex/s2/polygons —
     # whose distinguishing cover/refine code lives in UNCHANGED
     # functions/spatial.py and functions/arrow_geom.py) sit in the tail
-    # while rect/shuffle/salted stay in-window. The 43 tail entries are
+    # while rect/shuffle/salted stay in-window. The 44 tail entries are
     # r04-certified (or r03-certified with modules diff-unchanged since).
     return {
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_assign": _q_tile_assign,
-        "tile_counts": _q_tile_counts,
         "tile_rollup": _q_tile_rollup,
         "tile_cover": _q_tile_cover,
         "pip_join_rect": _q_pip_join_rect,
@@ -1989,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed: raster.py (rotate back in per VERDICT r4 ask #4) ---
         "tile_pyramid": _q_tile_pyramid,
         "mosaic": _q_mosaic,
+        "rasterize": _q_rasterize,
         # --- new: map_algebra.py (focal / terrain / zonal) ---
         "focal_stats": _q_focal_stats,
         "hillshade": _q_hillshade,
@@ -2018,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
         "corpus_quantiles": _q_corpus_quantiles,
+        "tile_counts": _q_tile_counts,
         "exact_dedup": _q_exact_dedup,
         "knn_join": _q_knn,
         "asof_join": _q_asof_join,
@@ -2904,6 +2934,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(arg_max(v, p) FILTER (WHERE v > 0), 0)
                         AS DOUBLE) AS px_val
             FROM t GROUP BY x, y
+        """,
+        "rasterize": f"""
+            WITH f AS (
+              SELECT n_nationkey AS k,
+                     (n_nationkey % 5) * 20.0 - 50.0 AS x0,
+                     (n_nationkey // 5) * 15.0 - 37.5 AS y0
+              FROM nation
+            ),
+            px AS (
+              SELECT k,
+                     x0 + (c.c + 0.5) * 20.0 / 16.0 AS lon,
+                     (y0 + 15.0) - (r.r + 0.5) * 15.0 / 12.0 AS lat
+              FROM f, range(0,12) r(r), range(0,16) c(c)
+            ),
+            z AS (
+              SELECT c_custkey % 199 + 1 AS v, clon, clat, dlon, dlat
+              FROM ({_SQL_RECT})
+            ),
+            b AS (
+              SELECT px.k, px.lon, px.lat, min(z.v) AS v
+              FROM px JOIN z
+                ON px.lon > z.clon - z.dlon AND px.lon < z.clon + z.dlon
+               AND px.lat > z.clat - z.dlat AND px.lat < z.clat + z.dlat
+              GROUP BY 1, 2, 3
+            ),
+            s AS (
+              SELECT k, count(*) AS n_burned, CAST(sum(v) AS BIGINT) AS val_sum
+              FROM b GROUP BY k
+            )
+            SELECT CAST(f.k AS VARCHAR) AS image_id,
+                   coalesce(s.n_burned, 0) AS n_burned,
+                   coalesce(s.val_sum, 0) AS val_sum
+            FROM f LEFT JOIN s ON f.k = s.k
         """,
         "vocab_topk": """
             WITH t AS (

@@ -165,6 +165,7 @@ def main() -> None:
         "band_index",
         "tile_pyramid",
         "mosaic",
+        "rasterize",
         "decontaminate",
         "track_stats",
         "track_stats_bucketed",

@@ -35,6 +35,7 @@ __all__ = [
     "downsample_tiles",
     "tile_pyramid_images",
     "mosaic_composite",
+    "rasterize_zones",
 ]
 
 
@@ -548,3 +549,140 @@ def mosaic_composite(
             )
 
     return g.mapInPandas(op, schema)
+
+
+def rasterize_zones(
+    frames: DataFrame,
+    zones: DataFrame,
+    value: str,
+    key: str = "image_id",
+    bbox_cols: tuple[str, str, str, str] = ("min_lon", "min_lat", "max_lon", "max_lat"),
+    nodata: int = 0,
+    fmt: str = "pgm",
+    **pip_kwargs,
+) -> DataFrame:
+    """Vector -> raster burning (the `gdal_rasterize` analog, closing
+    the raster<->vector bridge in BOTH directions beside
+    map_algebra.zonal_stats): for each output frame (a georeferenced
+    w x h grid over its bbox, north-up), every pixel whose CENTER
+    falls strictly inside a zone polygon is burned with that zone's
+    ``value`` (overlapping zones -> the MINIMUM value, a deterministic
+    painter's rule); all other pixels stay ``nodata``.
+
+    Plan — every stage is a certified primitive:
+    1. pixel centers: one explode per frame (w*h rows, the exact
+       inverse of raster_to_points' geotransform — bounded per task
+       like any tile fan-out);
+    2. the cell-bucketed ``pip_join`` against the zone layer
+       (broadcast/shuffle/salting knobs pass through ``pip_kwargs``) —
+       never all-pairs;
+    3. one (frame, pixel) min-value agg, then one per-frame
+       collect_list of the BURNED pixels only (sparse: collect size =
+       burned count <= w*h, not the dense grid);
+    4. a mapInPandas pass scatters all burned pixels of a uniform
+       (w, h) group into the dense canvas with ONE fancy-index
+       assignment and encodes via ``codec.encode_group``.
+
+    Returns (key, w, h, n_burned, val_sum, bytes, fmt); ``val_sum``
+    sums the burned integer values JVM-side (exact).
+    """
+    mnx, mny, mxx, mxy = bbox_cols
+    w_c, h_c = F.col("w").cast("int"), F.col("h").cast("int")
+    fr = frames.select(
+        F.col(key).alias("_k"),
+        F.col(mnx).cast("double").alias("_x0"),
+        F.col(mny).cast("double").alias("_y0"),
+        F.col(mxx).cast("double").alias("_x1"),
+        F.col(mxy).cast("double").alias("_y1"),
+        w_c.alias("_w"),
+        h_c.alias("_h"),
+    )
+    g = (
+        fr.withColumn("_r", F.explode(F.sequence(F.lit(0), F.col("_h") - 1)))
+        .withColumn("_c", F.explode(F.sequence(F.lit(0), F.col("_w") - 1)))
+    )
+    centers = g.select(
+        "_k",
+        "_w",
+        "_h",
+        (F.col("_r") * F.col("_w") + F.col("_c")).alias("_pix"),
+        (
+            F.col("_x0")
+            + (F.col("_c").cast("double") + 0.5)
+            * (F.col("_x1") - F.col("_x0"))
+            / F.col("_w").cast("double")
+        ).alias("lon_c"),
+        (
+            F.col("_y1")
+            - (F.col("_r").cast("double") + 0.5)
+            * (F.col("_y1") - F.col("_y0"))
+            / F.col("_h").cast("double")
+        ).alias("lat_c"),
+    )
+    from gfp_gdal_spark.operators.joins import pip_join
+
+    hit = pip_join(centers, zones, **pip_kwargs)
+    burned = hit.groupBy("_k", "_w", "_h", "_pix").agg(
+        F.min(F.col(value)).alias("_v")
+    )
+    agg = burned.groupBy("_k", "_w", "_h").agg(
+        F.count(F.lit(1)).alias("n_burned"),
+        F.sum(F.col("_v").cast("long")).alias("val_sum"),
+        F.collect_list(F.struct("_pix", "_v")).alias("_px"),
+    )
+    # frames with zero burned pixels still emit an (all-nodata) raster
+    agg = fr.select("_k", "_w", "_h").join(agg, ["_k", "_w", "_h"], "left")
+    schema = (
+        f"{key} string, w int, h int, n_burned long, val_sum long, "
+        f"bytes binary, fmt string"
+    )
+    nd = nodata
+    out_fmt = fmt
+
+    def op(batches):
+        import collections
+
+        import pandas as pd
+
+        tune_worker()
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            groups = collections.defaultdict(list)
+            for i in range(n):
+                groups[(int(pdf["_w"].iat[i]), int(pdf["_h"].iat[i]))].append(i)
+            out_b: list = [None] * n
+            for (w, h), idxs in groups.items():
+                m = len(idxs)
+                canvas = np.full((m, h * w), nd, dtype=np.float64)
+                ri, pi, vi = [], [], []
+                for j, i in enumerate(idxs):
+                    px = pdf["_px"].iat[i]
+                    if px is None:
+                        continue
+                    for cell in px:
+                        ri.append(j)
+                        pi.append(cell["_pix"])
+                        vi.append(cell["_v"])
+                if ri:
+                    canvas[np.asarray(ri), np.asarray(pi)] = np.asarray(
+                        vi, dtype=np.float64
+                    )
+                pix = np.clip(canvas, 0, 255).astype(np.uint8).reshape(m, h, w)
+                enc = _codec.encode_group(pix, out_fmt)
+                for j, i in enumerate(idxs):
+                    out_b[i] = enc[j]
+            yield pd.DataFrame(
+                {
+                    key: pdf["_k"].astype(str),
+                    "w": pdf["_w"].astype("int32"),
+                    "h": pdf["_h"].astype("int32"),
+                    "n_burned": pdf["n_burned"].fillna(0).astype("int64"),
+                    "val_sum": pdf["val_sum"].fillna(0).astype("int64"),
+                    "bytes": out_b,
+                    "fmt": out_fmt,
+                }
+            )
+
+    return agg.mapInPandas(op, schema)

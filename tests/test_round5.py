@@ -1306,3 +1306,67 @@ def test_distinct_profile(spark):
           for r in distinct_profile(df, ["a", "b", "c"], exact=False).collect()}
     for k, v in got.items():
         assert abs(ap[k] - v) <= max(3, 3 * 0.02 * v), k
+
+
+# ---------------------------------------------------------------------------
+# rasterize (vector -> raster)
+
+
+def test_rasterize_zones_bruteforce(spark):
+    from gfp_gdal_spark.kernels.codec import decode_image
+    from gfp_gdal_spark.operators.raster import rasterize_zones
+
+    rng = np.random.default_rng(79)
+    frames = []
+    for k in range(4):
+        x0 = -30.0 + k * 18.0
+        frames.append((f"f{k}", x0, -10.0, x0 + 16.0, 2.0, 10, 8))
+    fdf = spark.createDataFrame(
+        frames,
+        "image_id string, min_lon double, min_lat double, "
+        "max_lon double, max_lat double, w int, h int",
+    )
+    zones = []
+    for z in range(12):
+        cx = float(rng.uniform(-35, 45))
+        cy = float(rng.uniform(-12, 4))
+        dx, dy = float(rng.uniform(1, 9)), float(rng.uniform(1, 7))
+        ring = [[cx - dx, cy - dy], [cx + dx, cy - dy],
+                [cx + dx, cy + dy], [cx - dx, cy + dy]]
+        zones.append((z + 10, ring, cx - dx, cy - dy, cx + dx, cy + dy))
+    zdf = spark.createDataFrame(
+        [(z[0], z[1]) for z in zones], "zval int, ring array<array<double>>"
+    )
+    out = {r["image_id"]: r for r in rasterize_zones(
+        fdf, zdf, value="zval", z=4, holes=None, broadcast=True
+    ).collect()}
+    assert set(out) == {f"f{k}" for k in range(4)}
+    for kf, x0, y0, x1, y1, w, h in frames:
+        want = np.zeros((h, w), dtype=np.uint8)
+        nb, vs = 0, 0
+        for r in range(h):
+            for c in range(w):
+                lon = x0 + (c + 0.5) * (x1 - x0) / w
+                lat = y1 - (r + 0.5) * (y1 - y0) / h
+                vals = [zv for zv, _, mx, my, Mx, My in zones
+                        if mx < lon < Mx and my < lat < My]
+                if vals:
+                    want[r, c] = min(vals)
+                    nb += 1
+                    vs += min(vals)
+        rrow = out[kf]
+        assert rrow["n_burned"] == nb and rrow["val_sum"] == vs, kf
+        got = decode_image(bytes(rrow["bytes"]), rrow["fmt"])
+        np.testing.assert_array_equal(got, want)
+    # a frame far from every zone still emits an all-nodata raster
+    far = spark.createDataFrame(
+        [("lone", 160.0, 60.0, 170.0, 66.0, 6, 4)],
+        "image_id string, min_lon double, min_lat double, "
+        "max_lon double, max_lat double, w int, h int",
+    )
+    r = rasterize_zones(far, zdf, value="zval", z=4, holes=None,
+                        broadcast=True).collect()[0]
+    assert r["n_burned"] == 0 and r["val_sum"] == 0
+    np.testing.assert_array_equal(
+        decode_image(bytes(r["bytes"]), r["fmt"]), np.zeros((4, 6), np.uint8)
+    )
