@@ -166,6 +166,7 @@ def main() -> None:
         "tile_pyramid",
         "mosaic",
         "rasterize",
+        "reproject",
         "decontaminate",
         "track_stats",
         "track_stats_bucketed",

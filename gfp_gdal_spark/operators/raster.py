@@ -36,6 +36,7 @@ __all__ = [
     "tile_pyramid_images",
     "mosaic_composite",
     "rasterize_zones",
+    "reproject_webmercator",
 ]
 
 
@@ -686,3 +687,104 @@ def rasterize_zones(
             )
 
     return agg.mapInPandas(op, schema)
+
+
+def reproject_webmercator(
+    images: DataFrame,
+    h_out: int | None = None,
+) -> DataFrame:
+    """Raster warp (the `gdalwarp` analog, nearest-neighbor): each
+    footprint raster — a grid REGULAR IN LON/LAT over its bbox (the
+    raster_to_points geotransform) — is resampled onto a grid regular
+    in WEBMERCATOR METERS over the same bbox.
+
+    Geometry: WebMercator x is LINEAR in longitude, so columns map
+    1:1 and the warp reduces to a pure ROW remap — target row j sits
+    at y = y_top - (j+0.5)*(y_top-y_bot)/h_out meters, inverted to
+    phi = 2*atan(exp(y/R)) - pi/2 (Snyder 1987 eq. 7-4), then to the
+    nearest source row. Wholly vectorized: one (n, h_out) index
+    matrix per uniform (fmt, w, h) group, one fancy-gather, one
+    encode_group — no per-image Python.
+
+    Requires footprint columns (lon_c/lat_c/dlon/dlat — apply
+    functions.spatial.with_footprint). ``h_out`` defaults to the
+    source height. Latitudes must be Mercator-valid (|lat| < 85.05);
+    out-of-range footprints raise.
+    """
+    schema = "image_id string, w int, h int, bytes binary, fmt string"
+    R = 6378137.0
+
+    def op(batches):
+        import collections
+
+        tune_worker()
+        for b in batches:
+            names = b.schema.names
+            blobs = b.column(names.index("bytes"))
+            fmts = b.column(names.index("fmt")).to_pylist()
+            ids = b.column(names.index("image_id")).to_pylist()
+            lat_c = b.column(names.index("lat_c")).to_numpy(zero_copy_only=False)
+            dlat = b.column(names.index("dlat")).to_numpy(zero_copy_only=False)
+            n = b.num_rows
+            if n == 0:
+                continue
+            groups = collections.defaultdict(list)
+            # uniform (fmt, w, h) groups from the input_hint shape
+            # columns (decode_group needs the shape up front)
+            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
+            for i in range(n):
+                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            out_id: list = []
+            out_w: list = []
+            out_h: list = []
+            out_b: list = []
+            out_f: list = []
+            for (f, w, h), idxs in groups.items():
+                ho = h_out or h
+                m = len(idxs)
+                la = lat_c[idxs]
+                dl = dlat[idxs]
+                top = la + dl
+                bot = la - dl
+                if np.any(np.abs(top) >= 85.06) or np.any(np.abs(bot) >= 85.06):
+                    raise ValueError(
+                        "footprint latitude outside WebMercator validity "
+                        "(|lat| < 85.05)"
+                    )
+                ytop = R * np.log(np.tan(np.pi / 4 + np.radians(top) / 2))
+                ybot = R * np.log(np.tan(np.pi / 4 + np.radians(bot) / 2))
+                j = np.arange(ho) + 0.5
+                y = ytop[:, None] - j[None, :] * (ytop - ybot)[:, None] / ho
+                phi = np.degrees(2 * np.arctan(np.exp(y / R)) - np.pi / 2)
+                # source row from the lon/lat geotransform (north-up)
+                src = np.floor(
+                    (top[:, None] - phi) / (2 * dl)[:, None] * h
+                ).astype(np.int64)
+                src = np.clip(src, 0, h - 1)
+                pix = _codec.decode_group([blobs[i].as_py() for i in idxs], f, w, h)
+                warped = pix[np.arange(m)[:, None], src]
+                enc = _codec.encode_group(np.ascontiguousarray(warped), f)
+                for t, i in enumerate(idxs):
+                    out_id.append(ids[i])
+                    out_w.append(w)
+                    out_h.append(ho)
+                    out_b.append(enc[t])
+                    out_f.append(f)
+            import pandas as pd
+
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "image_id": out_id,
+                        "w": np.asarray(out_w, dtype=np.int32),
+                        "h": np.asarray(out_h, dtype=np.int32),
+                        "bytes": out_b,
+                        "fmt": out_f,
+                    }
+                ),
+                preserve_index=False,
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h", "lon_c", "lat_c", "dlon", "dlat"]
+    return images.select(*cols).mapInArrow(op, schema)

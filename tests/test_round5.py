@@ -1370,3 +1370,49 @@ def test_rasterize_zones_bruteforce(spark):
     np.testing.assert_array_equal(
         decode_image(bytes(r["bytes"]), r["fmt"]), np.zeros((4, 6), np.uint8)
     )
+
+
+# ---------------------------------------------------------------------------
+# raster warp (gdalwarp analog)
+
+
+def test_reproject_webmercator_properties(spark):
+    import math
+
+    from gfp_gdal_spark.functions.spatial import with_footprint
+    from gfp_gdal_spark.kernels.codec import decode_image
+    from gfp_gdal_spark.operators.raster import reproject_webmercator
+    from gfp_gdal_spark.sources import datagen
+
+    imgs = with_footprint(datagen.images_table(spark, 45, with_bytes=True))
+    src = {r["image_id"]: r for r in imgs.collect()}
+    out = {r["image_id"]: r for r in reproject_webmercator(imgs).collect()}
+    assert set(out) == set(src)
+    R = 6378137.0
+    for iid, r in out.items():
+        s = src[iid]
+        spix = decode_image(bytes(s["bytes"]), s["fmt"])
+        wpix = decode_image(bytes(r["bytes"]), r["fmt"])
+        assert wpix.shape == spix.shape
+        h = spix.shape[0]
+        top, bot = s["lat_c"] + s["dlat"], s["lat_c"] - s["dlat"]
+        ytop = R * math.log(math.tan(math.pi / 4 + math.radians(top) / 2))
+        ybot = R * math.log(math.tan(math.pi / 4 + math.radians(bot) / 2))
+        rows = []
+        for j in range(h):
+            y = ytop - (j + 0.5) * (ytop - ybot) / h
+            phi = math.degrees(2 * math.atan(math.exp(y / R)) - math.pi / 2)
+            rows.append(min(h - 1, max(0, int(math.floor((top - phi) / (2 * s["dlat"]) * h)))))
+        # independent per-row reference: warp == source row remap
+        np.testing.assert_array_equal(wpix, spix[rows])
+        # row map is monotone non-decreasing and anchored at both ends
+        assert rows == sorted(rows)
+        assert rows[0] == 0 and rows[-1] == h - 1
+    # polar footprint -> fail loud
+    bad = spark.createDataFrame(
+        [("p", bytearray(b""), "pgm", 4, 4, 0.0, 86.0, 1.0, 1.0)],
+        "image_id string, bytes binary, fmt string, w int, h int, "
+        "lon_c double, lat_c double, dlon double, dlat double",
+    )
+    with pytest.raises(Exception, match="WebMercator validity"):
+        reproject_webmercator(bad).collect()
