@@ -1522,6 +1522,153 @@ def _q_rasterize(spark, sf):
     return out.select("image_id", "n_burned", "val_sum")
 
 
+def _q_label_regions(spark, sf):
+    """gdal_polygonize analog on a planted 4x4 block checkerboard
+    (12x8 frames, 3x2-pixel blocks, two alternating values): under
+    4-connectivity every block is exactly one region (same-valued
+    blocks touch only diagonally), so region id (min linear index),
+    value, count and bbox are all closed-form; merging across block
+    interiors exercises both row and column propagation. The deep
+    geometry is brute-force-tested in tests/test_round5.py."""
+    from gfp_gdal_spark.operators.raster import stack_bands
+    from gfp_gdal_spark.operators.vectorize import label_regions
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+    w, h, bw, bh = 12, 8, 3, 2
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(w * h - 1)),
+        lambda i: (
+            F.lit(40)
+            * (
+                (
+                    ((i / w).cast("int") / bh).cast("int")
+                    + ((i % w) / bw).cast("int")
+                )
+                % 2
+            )
+            + (k % 7) * 10
+            + 10
+        ).cast("double"),
+    )
+    base = c.select(
+        k.cast("string").alias("image_id"),
+        F.lit(w).alias("w"),
+        F.lit(h).alias("h"),
+        band.alias("band0"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    return label_regions(tiles, connectivity=4).select(
+        "image_id", "region", "val", "n_pixels", "r0", "c0", "r1", "c1"
+    )
+
+
+def _q_proximity(spark, sf):
+    """gdal_proximity analog with two planted seeds per 8x8 frame at
+    arithmetic positions: per-pixel exact squared distance + nearest
+    seed, all integers, tie-broken (dist2, near_r, near_c) — the
+    oracle replays the same min over a two-row seed CTE."""
+    from gfp_gdal_spark.operators.raster import stack_bands
+    from gfp_gdal_spark.operators.vectorize import proximity_raster
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 120)
+    k = F.col("c_custkey")
+    s1 = (k % 8) * 8 + (k * 3 + 1) % 8
+    s2 = ((k * 5 + 2) % 8) * 8 + (k * 7 + 3) % 8
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when((i == s1) | (i == s2), 255.0).otherwise(0.0),
+    )
+    base = c.select(
+        k.cast("string").alias("image_id"),
+        F.lit(8).alias("w"),
+        F.lit(8).alias("h"),
+        band.alias("band0"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    return proximity_raster(tiles, 255).select(
+        "image_id", "r", "c", "dist2", "near_r", "near_c"
+    )
+
+
+def _q_contour(spark, sf):
+    """gdal_contour analog on planted ramps (x-gradient for even keys,
+    y-gradient for odd — both marching-squares orientations): the
+    level-40 contour of a 16/step ramp is a straight line at 2.5 with
+    exact 0.5 interpolation, so per-frame segment count and coordinate
+    sums are closed-form; orientation-free aggregates keep the oracle
+    independent of the (unspecified) segment direction. Per-case
+    geometry is property-tested in tests/test_round5.py."""
+    from gfp_gdal_spark.operators.raster import stack_bands
+    from gfp_gdal_spark.operators.vectorize import contour_segments
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+    w, h = 12, 8
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(w * h - 1)),
+        lambda i: F.when(k % 2 == 0, (i % w) * 16.0).otherwise(
+            (i / w).cast("int") * 16.0
+        ),
+    )
+    base = c.select(
+        k.cast("string").alias("image_id"),
+        F.lit(w).alias("w"),
+        F.lit(h).alias("h"),
+        band.alias("band0"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    seg = contour_segments(tiles, [40.0])
+    return seg.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_seg"),
+        F.round(F.sum(F.col("x0") + F.col("x1")), 6).alias("sx"),
+        F.round(F.sum(F.col("y0") + F.col("y1")), 6).alias("sy"),
+    )
+
+
+def _q_sieve(spark, sf):
+    """gdal_sieve analog: planted 12x8 frames — background, a 4-pixel
+    blob (under min_pixels=5, repainted to its only neighbor = the
+    background) and a kept 12-pixel blob; certified through
+    raster_stats on the repainted bytes (closed-form min/max/mean).
+    The merge rule itself is brute-force-tested in tests/test_round5.py."""
+    from gfp_gdal_spark.operators.raster import raster_stats, stack_bands
+    from gfp_gdal_spark.operators.vectorize import sieve_filter
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+    w, h = 12, 8
+    bg = (k % 50 + 100).cast("double")
+    bv = (k % 40 + 10).cast("double")
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(w * h - 1)),
+        lambda i: F.when(
+            ((i / w).cast("int").between(1, 2)) & ((i % w).between(1, 2)),
+            F.lit(200.0),
+        )
+        .when(
+            ((i / w).cast("int").between(4, 6)) & ((i % w).between(2, 5)),
+            bv,
+        )
+        .otherwise(bg),
+    )
+    base = c.select(
+        k.cast("string").alias("image_id"),
+        F.lit(w).alias("w"),
+        F.lit(h).alias("h"),
+        band.alias("band0"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    st = raster_stats(sieve_filter(tiles, min_pixels=5))
+    return st.select(
+        "image_id", "px_min", "px_max", F.round("px_mean", 6).alias("px_mean")
+    )
+
+
 def _q_vocab_topk(spark, sf):
     """Per-language top-10 vocabulary (through the shards=4 hot-slice
     path — bit-identical to the plain window by the prefix-union
@@ -2000,43 +2147,50 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 95 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 99 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
     # interval_union), sampling.py (sharded paths, weighted, pack_chunks),
     # audio.py (group-key fix), raster.py (batched stack_bands,
-    # downsample_tiles, mosaic_composite), dedup.py (hamming_pairs +
-    # simhash refactor + decontaminate), profiling.py (approx cert), and
-    # the NEW round-5 modules map_algebra.py / tracks.py / clustering.py /
-    # retrieval.py / lm.py. Within joins.py the pip_join function itself is
-    # byte-unchanged, so three of the six pip variants (hex/s2/polygons —
-    # whose distinguishing cover/refine code lives in UNCHANGED
-    # functions/spatial.py and functions/arrow_geom.py) sit in the tail
-    # while rect/shuffle/salted stay in-window. The 45 tail entries are
-    # r04-certified (or r03-certified with modules diff-unchanged since).
+    # downsample_tiles, mosaic_composite, rasterize_zones, reproject),
+    # dedup.py (hamming_pairs + simhash refactor + decontaminate),
+    # profiling.py (approx cert), and the NEW round-5 modules
+    # map_algebra.py / tracks.py / clustering.py / retrieval.py / lm.py /
+    # vectorize.py. Function-granularity exception (the pip hex/s2/
+    # polygons precedent): tile_assign, radius_join, range_join and
+    # hash_split sit in the tail because their FUNCTION bodies are
+    # byte-unchanged since their r04 certification (round-5 edits to
+    # their modules are additions elsewhere in the file), and each has
+    # an in-window sibling exercising this round's changed code in the
+    # same module (tile_rollup/bbox_join for joins.py; density_clusters
+    # composes radius_join in-window; interval_join/interval_union for
+    # temporal.py; stratified_split/sample_per_group* for sampling.py).
+    # The 49 tail entries are r04-certified (or r03-certified with
+    # modules diff-unchanged since).
     return {
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
-        "tile_assign": _q_tile_assign,
         "tile_rollup": _q_tile_rollup,
         "pip_join_rect": _q_pip_join_rect,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "pip_join_salted": _q_pip_join_salted,
         "knn_join_ring": _q_knn_ring,
-        "radius_join": _q_radius_join,
         "bbox_join": _q_bbox_join,
         "overlap_clusters": _q_overlap_clusters,
         "density_clusters": _q_density_clusters,
+        # --- new: vectorize.py (polygonize/proximity/contour/sieve) ---
+        "label_regions": _q_label_regions,
+        "proximity": _q_proximity,
+        "contour": _q_contour,
+        "sieve": _q_sieve,
         # --- changed: temporal.py ---
         "asof_join_fwd": _q_asof_join_fwd,
-        "range_join": _q_range_join,
         "interval_join": _q_interval_join,
         "interval_union": _q_interval_union,
         # --- new: tracks.py (trajectories, incl. hot-track bucketing) ---
         "track_stats": _q_track_stats,
         "track_stats_bucketed": _q_track_stats_bucketed,
         # --- changed: sampling.py (incl. new hot-group paths) ---
-        "hash_split": _q_hash_split,
         "stratified_split": _q_stratified_split,
         "sample_per_group": _q_sample_per_group,
         "sample_per_group_sharded": _q_sample_per_group_sharded,
@@ -2079,6 +2233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convex_hull": _q_convex_hull,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
+        "tile_assign": _q_tile_assign,
+        "radius_join": _q_radius_join,
+        "range_join": _q_range_join,
+        "hash_split": _q_hash_split,
         "raster_stats": _q_raster_stats,
         "raster_points": _q_raster_points,
         "corpus_quantiles": _q_corpus_quantiles,
@@ -2978,6 +3136,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c_custkey % 89 + 1 AS DOUBLE) AS px_max,
                    CAST(c_custkey % 89 + 1 AS DOUBLE) AS px_mean
             FROM customer WHERE c_custkey < 600
+        """,
+        "label_regions": """
+            -- 4x4 block checkerboard: each 3x2 block is one region
+            SELECT CAST(c_custkey AS VARCHAR) AS image_id,
+                   CAST(bi.range * 2 * 12 + bj.range * 3 AS BIGINT) AS region,
+                   CAST(40 * ((bi.range + bj.range) % 2)
+                        + (c_custkey % 7) * 10 + 10 AS BIGINT) AS val,
+                   CAST(6 AS BIGINT) AS n_pixels,
+                   CAST(bi.range * 2 AS INTEGER) AS r0,
+                   CAST(bj.range * 3 AS INTEGER) AS c0,
+                   CAST(bi.range * 2 + 1 AS INTEGER) AS r1,
+                   CAST(bj.range * 3 + 2 AS INTEGER) AS c1
+            FROM customer, range(4) bi, range(4) bj
+            WHERE c_custkey < 400
+        """,
+        "proximity": """
+            WITH px AS (
+              SELECT c_custkey AS k, r.range AS r, c.range AS c
+              FROM customer, range(8) r, range(8) c
+              WHERE c_custkey < 120
+            ), s AS (
+              SELECT c_custkey AS k, c_custkey % 8 AS sr,
+                     (c_custkey * 3 + 1) % 8 AS sc
+              FROM customer WHERE c_custkey < 120
+              UNION ALL
+              SELECT c_custkey, (c_custkey * 5 + 2) % 8,
+                     (c_custkey * 7 + 3) % 8
+              FROM customer WHERE c_custkey < 120
+            ), d AS (
+              SELECT px.k, px.r, px.c,
+                     (px.r - s.sr) * (px.r - s.sr)
+                     + (px.c - s.sc) * (px.c - s.sc) AS d2,
+                     s.sr, s.sc
+              FROM px JOIN s ON s.k = px.k
+            ), rk AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY k, r, c ORDER BY d2, sr, sc
+                     ) AS rn
+              FROM d
+            )
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+                   CAST(d2 AS BIGINT) AS dist2,
+                   CAST(sr AS INTEGER) AS near_r,
+                   CAST(sc AS INTEGER) AS near_c
+            FROM rk WHERE rn = 1
+        """,
+        "contour": """
+            -- 16/step ramps: the level-40 contour is a straight line
+            -- at coordinate 2.5; h-1 (x-ramp) or w-1 (y-ramp) unit
+            -- segments with closed-form orientation-free sums
+            SELECT CAST(c_custkey AS VARCHAR) AS image_id,
+                   CAST(CASE WHEN c_custkey % 2 = 0 THEN 7 ELSE 11 END
+                        AS BIGINT) AS n_seg,
+                   CASE WHEN c_custkey % 2 = 0 THEN 35.0 ELSE 121.0 END AS sx,
+                   CASE WHEN c_custkey % 2 = 0 THEN 49.0 ELSE 55.0 END AS sy
+            FROM customer WHERE c_custkey < 400
+        """,
+        "sieve": """
+            -- 4-px blob repainted to background; 12-px blob kept
+            SELECT CAST(c_custkey AS VARCHAR) AS image_id,
+                   CAST(c_custkey % 40 + 10 AS DOUBLE) AS px_min,
+                   CAST(c_custkey % 50 + 100 AS DOUBLE) AS px_max,
+                   ROUND(((c_custkey % 50 + 100) * 84.0
+                          + (c_custkey % 40 + 10) * 12.0) / 96.0, 6) AS px_mean
+            FROM customer WHERE c_custkey < 400
         """,
         "rasterize": f"""
             WITH f AS (

@@ -167,6 +167,10 @@ def main() -> None:
         "mosaic",
         "rasterize",
         "reproject",
+        "label_regions",
+        "proximity",
+        "contour",
+        "sieve",
         "decontaminate",
         "track_stats",
         "track_stats_bucketed",

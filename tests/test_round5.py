@@ -1416,3 +1416,238 @@ def test_reproject_webmercator_properties(spark):
     )
     with pytest.raises(Exception, match="WebMercator validity"):
         reproject_webmercator(bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# raster->vector utilities (gdal_polygonize / proximity / contour / sieve)
+
+
+def _img_df(spark, arrs, fmt="pgm"):
+    from gfp_gdal_spark.kernels.codec import encode_image
+
+    rows = [
+        (str(i), bytearray(encode_image(a.astype(np.uint8), fmt)), fmt,
+         int(a.shape[1]), int(a.shape[0]))
+        for i, a in enumerate(arrs)
+    ]
+    return spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w int, h int"
+    )
+
+
+def _ref_label(a, conn):
+    h, w = a.shape
+    nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if conn == 8:
+        nbrs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    seen = np.zeros((h, w), bool)
+    out = {}
+    for r in range(h):
+        for c in range(w):
+            if seen[r, c]:
+                continue
+            stack, cells = [(r, c)], []
+            seen[r, c] = True
+            while stack:
+                y, x = stack.pop()
+                cells.append((y, x))
+                for dy, dx in nbrs:
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w and not seen[yy, xx] and a[yy, xx] == a[r, c]:
+                        seen[yy, xx] = True
+                        stack.append((yy, xx))
+            mid = min(y * w + x for y, x in cells)
+            rs = [y for y, _ in cells]
+            cs = [x for _, x in cells]
+            out[mid] = (int(a[r, c]), len(cells), min(rs), min(cs), max(rs), max(cs))
+    return out
+
+
+@pytest.mark.parametrize("conn", [4, 8])
+def test_label_regions_bruteforce(spark, conn):
+    from gfp_gdal_spark.operators.vectorize import label_regions
+
+    rng = np.random.RandomState(7 + conn)
+    arrs = [rng.randint(0, 3, size=(rng.randint(2, 9), rng.randint(2, 9))) * 40
+            for _ in range(12)]
+    # mixed shapes + a serpentine worst case for the propagation
+    snake = np.zeros((8, 8), int)
+    snake[::2, :] = 1
+    snake[1::4, -1] = 1
+    snake[3::4, 0] = 1
+    arrs.append(snake * 50)
+    df = _img_df(spark, arrs)
+    got = {}
+    for row in label_regions(df, connectivity=conn).collect():
+        got.setdefault(row["image_id"], {})[row["region"]] = (
+            row["val"], row["n_pixels"], row["r0"], row["c0"], row["r1"], row["c1"],
+        )
+    for i, a in enumerate(arrs):
+        assert got[str(i)] == _ref_label(a, conn), f"frame {i}\n{a}"
+
+
+def test_label_regions_nodata(spark):
+    from gfp_gdal_spark.operators.vectorize import label_regions
+
+    a = np.array([[0, 0, 7], [7, 0, 7]])
+    out = label_regions(_img_df(spark, [a]), nodata=0).collect()
+    assert sorted((r["region"], r["val"], r["n_pixels"]) for r in out) == [
+        (2, 7, 2), (3, 7, 1),
+    ]
+
+
+def test_proximity_bruteforce(spark):
+    from gfp_gdal_spark.operators.vectorize import proximity_raster
+
+    rng = np.random.RandomState(11)
+    arrs = []
+    for _ in range(10):
+        h, w = rng.randint(2, 9), rng.randint(2, 9)
+        a = np.zeros((h, w), int)
+        k = rng.randint(1, 4)
+        for _s in range(k):
+            a[rng.randint(h), rng.randint(w)] = 255
+        arrs.append(a)
+    arrs.append(np.zeros((3, 4), int))  # seedless -> sentinel
+    df = _img_df(spark, arrs)
+    got = {
+        (r["image_id"], r["r"], r["c"]): (r["dist2"], r["near_r"], r["near_c"])
+        for r in proximity_raster(df, 255).collect()
+    }
+    for i, a in enumerate(arrs):
+        h, w = a.shape
+        seeds = [(r, c) for r in range(h) for c in range(w) if a[r, c] == 255]
+        for r in range(h):
+            for c in range(w):
+                if seeds:
+                    want = min(((r - rs) ** 2 + (c - cs) ** 2, rs, cs) for rs, cs in seeds)
+                else:
+                    want = (-1, -1, -1)
+                assert got[(str(i), r, c)] == want, (i, r, c, a)
+    assert len(got) == sum(a.size for a in arrs)
+
+
+def test_contour_properties(spark):
+    from gfp_gdal_spark.operators.vectorize import contour_segments
+
+    rng = np.random.RandomState(3)
+    arrs = [rng.randint(0, 5, size=(rng.randint(2, 8), rng.randint(2, 8))) * 10
+            for _ in range(10)]
+    level = 15.0
+    df = _img_df(spark, arrs)
+    segs = contour_segments(df, [level]).collect()
+    by_img = {}
+    for s in segs:
+        by_img.setdefault(s["image_id"], []).append(s)
+    for i, a in enumerate(arrs):
+        h, w = a.shape
+        # expected crossed-edge multiset: interior edges belong to 2
+        # cells, border edges to 1
+        want = {}
+        for r in range(h):
+            for c in range(w - 1):  # horizontal edges
+                if (a[r, c] >= level) != (a[r, c + 1] >= level):
+                    mult = 2 if 0 < r < h - 1 else 1
+                    want[("h", r, c)] = mult
+        for r in range(h - 1):
+            for c in range(w):  # vertical edges
+                if (a[r, c] >= level) != (a[r + 1, c] >= level):
+                    mult = 2 if 0 < c < w - 1 else 1
+                    want[("v", r, c)] = mult
+        cnt = {}
+        for s in by_img.get(str(i), []):
+            for x, y in ((s["x0"], s["y0"]), (s["x1"], s["y1"])):
+                if y == int(y):  # on a horizontal edge
+                    e = ("h", int(y), int(np.floor(x)))
+                    p0, p1 = a[int(y), e[2]], a[int(y), e[2] + 1]
+                else:
+                    e = ("v", int(np.floor(y)), int(x))
+                    p0, p1 = a[e[1], int(x)], a[e[1] + 1, int(x)]
+                t = (x - np.floor(x)) if y == int(y) else (y - np.floor(y))
+                assert abs(p0 + t * (p1 - p0) - level) < 1e-9, (i, s)
+                cnt[e] = cnt.get(e, 0) + 1
+        assert cnt == want, f"frame {i}\n{a}"
+
+
+def test_contour_ramp_and_saddle(spark):
+    from gfp_gdal_spark.operators.vectorize import contour_segments
+
+    h, w = 6, 8
+    ramp = np.tile(np.arange(w) * 16, (h, 1))
+    out = contour_segments(_img_df(spark, [ramp]), [40.0]).collect()
+    assert len(out) == h - 1
+    for s in out:
+        assert s["x0"] == 2.5 and s["x1"] == 2.5
+        assert abs(s["y0"] - s["y1"]) == 1.0
+    lo = np.array([[5, 0], [0, 5]])
+    hi = np.array([[9, 0], [0, 9]])
+    s_lo = contour_segments(_img_df(spark, [lo]), [3.0]).collect()
+    s_hi = contour_segments(_img_df(spark, [hi]), [3.0]).collect()
+    assert len(s_lo) == 2 and len(s_hi) == 2
+    ends = lambda rows: sorted((r["x0"], r["y0"], r["x1"], r["y1"]) for r in rows)
+    assert ends(s_lo) != ends(s_hi)  # the saddle rule flips the pairing
+
+
+def _ref_sieve(a, min_pixels, conn=4):
+    h, w = a.shape
+    regs = _ref_label(a, conn)
+    lab = np.zeros((h, w), int)
+    for r in range(h):
+        for c in range(w):
+            pass
+    # rebuild per-pixel region ids by flood fill (reuse _ref_label logic)
+    nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if conn == 8:
+        nbrs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    lab = -np.ones((h, w), int)
+    for r in range(h):
+        for c in range(w):
+            if lab[r, c] >= 0:
+                continue
+            stack, cells = [(r, c)], []
+            lab[r, c] = 0
+            while stack:
+                y, x = stack.pop()
+                cells.append((y, x))
+                for dy, dx in nbrs:
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w and lab[yy, xx] < 0 and a[yy, xx] == a[r, c]:
+                        lab[yy, xx] = 0
+                        stack.append((yy, xx))
+            mid = min(y * w + x for y, x in cells)
+            for y, x in cells:
+                lab[y, x] = mid
+    sizes = {mid: v[1] for mid, v in regs.items()}
+    adj = {}
+    for r in range(h):
+        for c in range(w):
+            for dy, dx in ((0, 1), (1, 0)):
+                yy, xx = r + dy, c + dx
+                if yy < h and xx < w and lab[yy, xx] != lab[r, c]:
+                    adj.setdefault(lab[r, c], set()).add(lab[yy, xx])
+                    adj.setdefault(lab[yy, xx], set()).add(lab[r, c])
+    out = a.copy()
+    for mid, sz in sizes.items():
+        if sz < min_pixels and mid in adj:
+            tgt = min(adj[mid], key=lambda t: (-sizes[t], t))
+            out[lab == mid] = a[tgt // w, tgt % w]
+    return out
+
+
+def test_sieve_bruteforce(spark):
+    from gfp_gdal_spark.kernels.codec import decode_image
+    from gfp_gdal_spark.operators.vectorize import sieve_filter
+
+    rng = np.random.RandomState(23)
+    arrs = [rng.randint(0, 2, size=(rng.randint(3, 9), rng.randint(3, 9))) * 100
+            for _ in range(12)]
+    arrs.append(np.full((4, 4), 7))  # single region, no neighbor -> kept
+    df = _img_df(spark, arrs)
+    got = {r["image_id"]: r for r in sieve_filter(df, min_pixels=3).collect()}
+    for i, a in enumerate(arrs):
+        r = got[str(i)]
+        np.testing.assert_array_equal(
+            decode_image(bytes(r["bytes"]), r["fmt"]),
+            _ref_sieve(a, 3).astype(np.uint8),
+            err_msg=f"frame {i}\n{a}",
+        )
