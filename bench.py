@@ -171,6 +171,7 @@ def main() -> None:
         "proximity",
         "contour",
         "sieve",
+        "fill_nodata",
         "decontaminate",
         "track_stats",
         "track_stats_bucketed",

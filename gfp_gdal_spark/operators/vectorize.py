@@ -37,6 +37,7 @@ __all__ = [
     "proximity_raster",
     "contour_segments",
     "sieve_filter",
+    "fill_nodata",
 ]
 
 _BIG = np.int64(1) << np.int64(62)
@@ -525,6 +526,78 @@ def sieve_filter(
                     remap[src_s[first[small]]] = nbr_s[first[small]]
                 vals = pix.reshape(-1)[remap[glab.reshape(-1)]]
                 painted = np.clip(vals, 0, 255).astype(np.uint8).reshape(m, h, w)
+                enc = _codec.encode_group(painted, "pgm" if f == "ppm" else f)
+                for t, i in enumerate(idxs):
+                    out_b[i] = enc[t]
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "image_id": ids,
+                        "w": ws.astype(np.int32),
+                        "h": hs.astype(np.int32),
+                        "bytes": out_b,
+                        "fmt": [("pgm" if x == "ppm" else x) for x in fmts],
+                    }
+                ),
+                preserve_index=False,
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images.select(*cols).mapInArrow(op, schema)
+
+
+def fill_nodata(
+    images: DataFrame,
+    nodata: int = 0,
+) -> DataFrame:
+    """Nodata infill (the `gdal_fillnodata` analog, nearest-value
+    variant): every ``nodata`` pixel takes the value of its NEAREST
+    valid pixel — exact Euclidean metric, ties lexicographic on
+    (dist2, r, c) like ``proximity_raster`` (whose EDT kernel this
+    reuses with the valid pixels as seeds). Frames that are entirely
+    nodata pass through unchanged (no seed to fill from — documented,
+    not an error: empty tiles are normal in a sparse mosaic).
+
+    Scale: per-frame independent mapInArrow, whole-group vectorized;
+    the gather of fill values is one fancy-index per group.
+    """
+    schema = "image_id string, w int, h int, bytes binary, fmt string"
+
+    def op(batches):
+        import collections
+
+        import pandas as pd
+
+        tune_worker()
+        for b in batches:
+            names = b.schema.names
+            blobs = b.column(names.index("bytes"))
+            fmts = b.column(names.index("fmt")).to_pylist()
+            ids = b.column(names.index("image_id")).to_pylist()
+            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
+            if b.num_rows == 0:
+                continue
+            n = b.num_rows
+            groups = collections.defaultdict(list)
+            for i in range(n):
+                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            out_b: list = [None] * n
+            for (f, w, h), idxs in groups.items():
+                pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
+                mask = pix != nodata
+                _, nr, nc = _proximity_group(pix, mask)
+                m = pix.shape[0]
+                fgrid = np.broadcast_to(
+                    np.arange(m).reshape(m, 1, 1), (m, h, w)
+                )
+                valid = nr >= 0
+                filled = np.where(
+                    valid,
+                    pix[fgrid, np.where(valid, nr, 0), np.where(valid, nc, 0)],
+                    pix,
+                )
+                painted = np.clip(filled, 0, 255).astype(np.uint8)
                 enc = _codec.encode_group(painted, "pgm" if f == "ppm" else f)
                 for t, i in enumerate(idxs):
                     out_b[i] = enc[t]

@@ -1651,3 +1651,37 @@ def test_sieve_bruteforce(spark):
             _ref_sieve(a, 3).astype(np.uint8),
             err_msg=f"frame {i}\n{a}",
         )
+
+
+def test_fill_nodata_bruteforce(spark):
+    from gfp_gdal_spark.kernels.codec import decode_image
+    from gfp_gdal_spark.operators.vectorize import fill_nodata
+
+    rng = np.random.RandomState(31)
+    arrs = []
+    for _ in range(10):
+        h, w = rng.randint(2, 9), rng.randint(2, 9)
+        a = np.zeros((h, w), int)
+        for _s in range(rng.randint(1, 5)):
+            a[rng.randint(h), rng.randint(w)] = rng.randint(1, 256)
+        arrs.append(a)
+    arrs.append(np.zeros((3, 4), int))  # all-nodata -> unchanged
+    df = _img_df(spark, arrs)
+    got = {r["image_id"]: r for r in fill_nodata(df, nodata=0).collect()}
+    for i, a in enumerate(arrs):
+        h, w = a.shape
+        seeds = [(r, c) for r in range(h) for c in range(w) if a[r, c] != 0]
+        want = a.copy()
+        for r in range(h):
+            for c in range(w):
+                if seeds:
+                    _, rs, cs = min(
+                        ((r - rs) ** 2 + (c - cs) ** 2, rs, cs) for rs, cs in seeds
+                    )
+                    want[r, c] = a[rs, cs]
+        out = got[str(i)]
+        np.testing.assert_array_equal(
+            decode_image(bytes(out["bytes"]), out["fmt"]),
+            want.astype(np.uint8),
+            err_msg=f"frame {i}\n{a}",
+        )
