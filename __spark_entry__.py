@@ -1669,6 +1669,39 @@ def _q_sieve(spark, sf):
     )
 
 
+def _q_augment(spark, sf):
+    """Deterministic augmentation certified PIXEL-EXACTLY: the planted
+    ramp 16*c + r gives every pixel a distinct value, so label_regions
+    on the augmented frame emits one row per pixel carrying its value
+    — the oracle replays the dihedral index remap (op = k % 4 over
+    none/hflip/vflip/rot180) in closed form for all 96 positions."""
+    from gfp_gdal_spark.operators.multimodal import augment_images
+    from gfp_gdal_spark.operators.raster import stack_bands
+    from gfp_gdal_spark.operators.vectorize import label_regions
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 200)
+    k = F.col("c_custkey")
+    w, h = 12, 8
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(w * h - 1)),
+        lambda i: ((i % w) * 16 + (i / w).cast("int")).cast("double"),
+    )
+    base = c.select(
+        k.cast("string").alias("image_id"),
+        F.lit(w).alias("w"),
+        F.lit(h).alias("h"),
+        band.alias("band0"),
+        F.element_at(
+            F.array(F.lit("none"), F.lit("hflip"), F.lit("vflip"), F.lit("rot180")),
+            (k % 4 + 1).cast("int"),
+        ).alias("aug_op"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    aug = augment_images(tiles)
+    return label_regions(aug).select("image_id", "region", "val")
+
+
 def _q_fill_nodata(spark, sf):
     """gdal_fillnodata analog: two planted seeds with distinct values
     (rows 0-3 vs 4-7, so positions never collide) on 8x8 nodata
@@ -2182,7 +2215,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 100 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 101 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2203,13 +2236,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # same module (tile_rollup/bbox_join for joins.py; density_clusters
     # composes radius_join in-window; interval_join/interval_union for
     # temporal.py; stratified_split/sample_per_group* for sampling.py).
-    # The 50 tail entries are r04-certified (or r03-certified with
+    # pip_join_shuffle joins hex/s2/polygons in the tail under the same
+    # precedent (its distinguishing broadcast=False path lives inside the
+    # byte-unchanged pip_join; rect + salted stay in-window).
+    # The 51 tail entries are r04-certified (or r03-certified with
     # modules diff-unchanged since).
     return {
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_rollup": _q_tile_rollup,
         "pip_join_rect": _q_pip_join_rect,
-        "pip_join_shuffle": _q_pip_join_shuffle,
         "pip_join_salted": _q_pip_join_salted,
         "knn_join_ring": _q_knn_ring,
         "bbox_join": _q_bbox_join,
@@ -2221,6 +2256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour": _q_contour,
         "sieve": _q_sieve,
         "fill_nodata": _q_fill_nodata,
+        # --- changed: multimodal.py (augment_images; pixel-exact cert) ---
+        "augment": _q_augment,
         # --- changed: temporal.py ---
         "interval_join": _q_interval_join,
         "interval_union": _q_interval_union,
@@ -2271,6 +2308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round ---
         "tile_assign": _q_tile_assign,
+        "pip_join_shuffle": _q_pip_join_shuffle,
         "asof_join_fwd": _q_asof_join_fwd,
         "radius_join": _q_radius_join,
         "range_join": _q_range_join,
@@ -3231,6 +3269,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_custkey % 2 = 0 THEN 35.0 ELSE 121.0 END AS sx,
                    CASE WHEN c_custkey % 2 = 0 THEN 49.0 ELSE 55.0 END AS sy
             FROM customer WHERE c_custkey < 400
+        """,
+        "augment": """
+            -- dihedral remap of the distinct-value ramp 16*c + r
+            SELECT CAST(c_custkey AS VARCHAR) AS image_id,
+                   CAST(r.range * 12 + c.range AS BIGINT) AS region,
+                   CAST(CASE c_custkey % 4
+                        WHEN 0 THEN 16 * c.range + r.range
+                        WHEN 1 THEN 16 * (11 - c.range) + r.range
+                        WHEN 2 THEN 16 * c.range + (7 - r.range)
+                        ELSE 16 * (11 - c.range) + (7 - r.range)
+                        END AS BIGINT) AS val
+            FROM customer, range(8) r, range(12) c
+            WHERE c_custkey < 200
         """,
         "fill_nodata": """
             -- Voronoi fill from two planted seeds (rows 0-3 vs 4-7):

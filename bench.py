@@ -172,6 +172,7 @@ def main() -> None:
         "contour",
         "sieve",
         "fill_nodata",
+        "augment",
         "decontaminate",
         "track_stats",
         "track_stats_bucketed",

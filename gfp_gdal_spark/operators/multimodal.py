@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from gfp_gdal_spark.kernels import codec as _codec
 
 __all__ = [
+    "augment_images",
     "image_stats",
     "reencode_images",
     "resize_images",
@@ -303,3 +304,73 @@ def decode_frame_sample(
             )
 
     return videos.mapInPandas(op, schema)
+
+
+_AUG_OPS = ("none", "hflip", "vflip", "rot180", "rot90", "rot270", "transpose")
+
+
+def augment_images(images: DataFrame, op_col: str = "aug_op") -> DataFrame:
+    """Deterministic image augmentation (the training-data pipeline
+    primitive): per row, apply the dihedral op named in ``op_col`` —
+    none / hflip / vflip / rot180 / rot90 / rot270 / transpose
+    (rot90 = 90 deg counter-clockwise, numpy ``rot90`` semantics;
+    rot90/rot270/transpose swap the output w/h). The op is a DATA
+    column so the assignment policy stays composable with the
+    certified deterministic samplers (``hash_split`` and friends) —
+    no hidden RNG, resume- and partition-invariant by construction.
+    Unknown op names fail loud.
+
+    Scale: per-frame independent mapInPandas; within each uniform
+    (fmt, w, h) group every op is ONE whole-subgroup numpy view flip
+    plus one ``encode_group`` — no per-image Python.
+    """
+
+    def op(batches):
+        for pdf in batches:
+            n = len(pdf)
+            blobs: list = [None] * n
+            out_w = pdf["w"].to_numpy().astype(np.int32).copy()
+            out_h = pdf["h"].to_numpy().astype(np.int32).copy()
+            ops = pdf[op_col].to_numpy()
+            bad = set(np.unique(ops)) - set(_AUG_OPS)
+            if bad:
+                raise ValueError(f"unknown augment op(s): {sorted(bad)!r}")
+            for fmt, w, h, idx, pix in _grouped(pdf):
+                gops = ops[idx]
+                for name in _AUG_OPS:
+                    sub = np.flatnonzero(gops == name)
+                    if sub.size == 0:
+                        continue
+                    rows = idx[sub]
+                    t = pix[sub]
+                    if name == "hflip":
+                        t = t[:, :, ::-1]
+                    elif name == "vflip":
+                        t = t[:, ::-1, :]
+                    elif name == "rot180":
+                        t = t[:, ::-1, ::-1]
+                    elif name == "rot90":
+                        t = np.rot90(t, 1, axes=(1, 2))
+                    elif name == "rot270":
+                        t = np.rot90(t, 3, axes=(1, 2))
+                    elif name == "transpose":
+                        t = np.swapaxes(t, 1, 2)
+                    if name in ("rot90", "rot270", "transpose"):
+                        out_w[rows] = h
+                        out_h[rows] = w
+                    enc = _codec.encode_group(np.ascontiguousarray(t), fmt)
+                    for j, i in enumerate(rows):
+                        blobs[i] = enc[j]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].astype(str),
+                    "w": out_w,
+                    "h": out_h,
+                    "bytes": blobs,
+                    "fmt": pdf["fmt"],
+                }
+            )
+
+    schema = "image_id string, w int, h int, bytes binary, fmt string"
+    cols = ["image_id", "bytes", "fmt", "w", "h", op_col]
+    return images.select(*cols).mapInPandas(op, schema)

@@ -1685,3 +1685,52 @@ def test_fill_nodata_bruteforce(spark):
             want.astype(np.uint8),
             err_msg=f"frame {i}\n{a}",
         )
+
+
+@pytest.mark.parametrize("fmt", ["pgm", "ppm"])
+def test_augment_images_parity(spark, fmt):
+    from gfp_gdal_spark.kernels.codec import decode_image, encode_image
+    from gfp_gdal_spark.operators.multimodal import augment_images
+
+    rng = np.random.RandomState(5)
+    ops = ["none", "hflip", "vflip", "rot180", "rot90", "rot270", "transpose"]
+    arrs, rows = [], []
+    for i in range(21):
+        shape = (6, 4, 3) if fmt == "ppm" else (6, 4)
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        arrs.append(a)
+        rows.append((str(i), bytearray(encode_image(a, fmt)), fmt, 4, 6, ops[i % 7]))
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, fmt string, w int, h int, aug_op string",
+    )
+    got = {r["image_id"]: r for r in augment_images(df).collect()}
+    fns = {
+        "none": lambda a: a,
+        "hflip": lambda a: a[:, ::-1],
+        "vflip": lambda a: a[::-1],
+        "rot180": lambda a: a[::-1, ::-1],
+        "rot90": lambda a: np.rot90(a),
+        "rot270": lambda a: np.rot90(a, 3),
+        "transpose": lambda a: np.swapaxes(a, 0, 1),
+    }
+    for i, a in enumerate(arrs):
+        want = fns[ops[i % 7]](a)
+        r = got[str(i)]
+        assert (r["w"], r["h"]) == (want.shape[1], want.shape[0])
+        np.testing.assert_array_equal(
+            decode_image(bytes(r["bytes"]), r["fmt"]), want, err_msg=ops[i % 7]
+        )
+
+
+def test_augment_images_bad_op(spark):
+    from gfp_gdal_spark.kernels.codec import encode_image
+    from gfp_gdal_spark.operators.multimodal import augment_images
+
+    df = spark.createDataFrame(
+        [("0", bytearray(encode_image(np.zeros((2, 2), np.uint8), "pgm")),
+          "pgm", 2, 2, "zoom")],
+        "image_id string, bytes binary, fmt string, w int, h int, aug_op string",
+    )
+    with pytest.raises(Exception, match="unknown augment op"):
+        augment_images(df).collect()
