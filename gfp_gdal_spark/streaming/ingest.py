@@ -14,6 +14,7 @@ from gfp_gdal_spark.operators.joins import tile_assign
 from gfp_gdal_spark.sources.datagen import IMAGES_SCHEMA
 
 __all__ = [
+    "streaming_label_regions",
     "read_image_stream",
     "streaming_tile_counts",
     "streaming_tile_rollup",
@@ -206,3 +207,20 @@ def streaming_band_index(images_stream: DataFrame) -> DataFrame:
     from gfp_gdal_spark.operators.map_algebra import band_index_stats
 
     return band_index_stats(images_stream)
+
+
+def streaming_label_regions(
+    images_stream: DataFrame, connectivity: int = 4, nodata: int | None = None
+) -> DataFrame:
+    """operators.vectorize.label_regions over the image stream
+    verbatim — per-frame labeling is stateless (rows depend only on
+    their own frame's bytes), so micro-batch, restart, and batch runs
+    emit identical region rows (append mode, no state). The
+    continuous-ingest form of raster->vector extraction: polygonize
+    each arriving tile before it enters the corpus; cross-tile region
+    stitching stays a periodic batch connected_components job over the
+    accumulated region table (streams can't see a not-yet-arrived
+    neighbor tile, by construction)."""
+    from gfp_gdal_spark.operators.vectorize import label_regions
+
+    return label_regions(images_stream, connectivity=connectivity, nodata=nodata)

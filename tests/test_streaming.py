@@ -256,3 +256,31 @@ def test_streaming_band_index_matches_batch(spark, tmp_path):
         assert got.exceptAll(static).isEmpty()
     finally:
         q.stop()
+
+
+def test_streaming_label_regions_matches_batch(spark, tmp_path):
+    """Stateless raster->vector extraction over a TWO-micro-batch
+    stream must equal batch label_regions over the full table."""
+    from gfp_gdal_spark.operators.vectorize import label_regions
+
+    d = str(tmp_path / "imgs_lab")
+    imgs = datagen.images_table(spark, 100, with_bytes=True)
+    imgs.where("image_id < 'img00000050'").coalesce(1).write.mode("append").parquet(d)
+    stream = SI.read_image_stream(spark, d)
+    q = (
+        SI.streaming_label_regions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lab_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        imgs.where("image_id >= 'img00000050'").coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        static = label_regions(spark.read.parquet(d))
+        got = spark.sql("SELECT * FROM lab_stream")
+        assert static.exceptAll(got).isEmpty()
+        assert got.exceptAll(static).isEmpty()
+    finally:
+        q.stop()
