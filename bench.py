@@ -173,6 +173,8 @@ def main() -> None:
         "sieve",
         "fill_nodata",
         "augment",
+        "image_histogram",
+        "equalize",
         "decontaminate",
         "track_stats",
         "track_stats_bucketed",

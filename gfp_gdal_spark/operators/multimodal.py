@@ -19,6 +19,8 @@ from gfp_gdal_spark.kernels import codec as _codec
 
 __all__ = [
     "augment_images",
+    "image_histogram",
+    "equalize_images",
     "image_stats",
     "reencode_images",
     "resize_images",
@@ -374,3 +376,121 @@ def augment_images(images: DataFrame, op_col: str = "aug_op") -> DataFrame:
     schema = "image_id string, w int, h int, bytes binary, fmt string"
     cols = ["image_id", "bytes", "fmt", "w", "h", op_col]
     return images.select(*cols).mapInPandas(op, schema)
+
+
+def image_histogram(images: DataFrame) -> DataFrame:
+    """Corpus-level gray-value histogram (the `gdalinfo -hist` analog
+    and the exposure-profile step of image-corpus curation): counts of
+    each 0-255 value over EVERY pixel of every frame (color via the
+    ahash kernel's BT.601 luma).
+
+    Scale shape: each Arrow batch emits <= 256 PARTIAL rows (one
+    whole-group bincount — never per-pixel rows), and ONE groupBy sums
+    the partials; the shuffle moves O(256 x batches) rows regardless
+    of corpus size — the map-side-combine histogram plan you'd want at
+    10^12 pixels."""
+    import pyarrow as pa
+
+    from gfp_gdal_spark.operators.vectorize import _gray_group
+
+    def op(batches):
+        import collections
+
+        for b in batches:
+            names = b.schema.names
+            blobs = b.column(names.index("bytes"))
+            fmts = b.column(names.index("fmt")).to_pylist()
+            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
+            if b.num_rows == 0:
+                continue
+            groups = collections.defaultdict(list)
+            for i in range(b.num_rows):
+                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            hist = np.zeros(256, np.int64)
+            for (f, w, h), idxs in groups.items():
+                pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
+                hist += np.bincount(pix.reshape(-1), minlength=256)[:256]
+            nz = np.flatnonzero(hist)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(nz.astype(np.int32)), pa.array(hist[nz])],
+                ["val", "n_pixels"],
+            )
+
+    partial = images.select("bytes", "fmt", "w", "h").mapInArrow(
+        op, "val int, n_pixels long"
+    )
+    return partial.groupBy("val").agg(F.sum("n_pixels").alias("n_pixels"))
+
+
+def equalize_images(images: DataFrame) -> DataFrame:
+    """Per-frame histogram equalization (contrast normalization for
+    training-data pipelines), the standard CDF remap in EXACT integer
+    arithmetic: out(v) = floor(255*(cdf(v)-cdf_min)/(n-cdf_min) + 1/2)
+    computed as (510*(cdf-cdf_min) + den) // (2*den), where cdf_min is
+    the CDF at the lowest present value. Constant frames (den = 0)
+    pass through unchanged. Grayscale output (BT.601 luma for color
+    inputs), ``fmt`` preserved modulo the ppm->pgm band collapse.
+
+    Scale: per-frame independent mapInArrow; per group ONE offset
+    bincount -> (m, 256) cumsum -> one fancy-gather remap."""
+    import pyarrow as pa
+
+    from gfp_gdal_spark.operators.vectorize import _gray_group
+
+    schema = "image_id string, w int, h int, bytes binary, fmt string"
+
+    def op(batches):
+        import collections
+
+        import pandas as pd
+
+        for b in batches:
+            names = b.schema.names
+            blobs = b.column(names.index("bytes"))
+            fmts = b.column(names.index("fmt")).to_pylist()
+            ids = b.column(names.index("image_id")).to_pylist()
+            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
+            if b.num_rows == 0:
+                continue
+            n = b.num_rows
+            groups = collections.defaultdict(list)
+            for i in range(n):
+                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            out_b: list = [None] * n
+            for (f, w, h), idxs in groups.items():
+                pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
+                m = pix.shape[0]
+                off = (np.arange(m, dtype=np.int64) * 256).reshape(m, 1, 1)
+                hist = np.bincount(
+                    (pix + off).reshape(-1), minlength=m * 256
+                ).reshape(m, 256)
+                cdf = hist.cumsum(axis=1)
+                cdfmin = np.where(cdf > 0, cdf, 1 << 62).min(axis=1)
+                den = h * w - cdfmin
+                num = 510 * (cdf - cdfmin[:, None]) + den[:, None]
+                safe = np.maximum(den, 1)
+                lut = num // (2 * safe[:, None])
+                fgrid = np.broadcast_to(np.arange(m).reshape(m, 1, 1), pix.shape)
+                eq = lut[fgrid, pix]
+                out = np.where((den > 0).reshape(m, 1, 1), eq, pix)
+                painted = np.clip(out, 0, 255).astype(np.uint8)
+                enc = _codec.encode_group(painted, "pgm" if f == "ppm" else f)
+                for t, i in enumerate(idxs):
+                    out_b[i] = enc[t]
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "image_id": ids,
+                        "w": ws.astype(np.int32),
+                        "h": hs.astype(np.int32),
+                        "bytes": out_b,
+                        "fmt": [("pgm" if x == "ppm" else x) for x in fmts],
+                    }
+                ),
+                preserve_index=False,
+            )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images.select(*cols).mapInArrow(op, schema)

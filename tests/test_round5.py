@@ -1734,3 +1734,40 @@ def test_augment_images_bad_op(spark):
     )
     with pytest.raises(Exception, match="unknown augment op"):
         augment_images(df).collect()
+
+
+def test_image_histogram_bruteforce(spark):
+    from gfp_gdal_spark.operators.multimodal import image_histogram
+
+    rng = np.random.RandomState(41)
+    arrs = [rng.randint(0, 256, size=(rng.randint(2, 7), rng.randint(2, 7)))
+            for _ in range(15)]
+    got = {r["val"]: r["n_pixels"] for r in image_histogram(_img_df(spark, arrs)).collect()}
+    want = np.bincount(np.concatenate([a.reshape(-1) for a in arrs]), minlength=256)
+    assert got == {int(v): int(want[v]) for v in np.flatnonzero(want)}
+
+
+def test_equalize_images_bruteforce(spark):
+    from gfp_gdal_spark.kernels.codec import decode_image
+    from gfp_gdal_spark.operators.multimodal import equalize_images
+
+    rng = np.random.RandomState(43)
+    arrs = [rng.randint(0, 256, size=(rng.randint(2, 7), rng.randint(2, 7)))
+            for _ in range(12)]
+    arrs.append(np.full((4, 5), 77))  # constant frame -> unchanged
+    got = {r["image_id"]: r for r in equalize_images(_img_df(spark, arrs)).collect()}
+    for i, a in enumerate(arrs):
+        hist = np.bincount(a.reshape(-1), minlength=256)
+        cdf = hist.cumsum()
+        cdfmin = int(cdf[np.flatnonzero(hist)[0]])
+        den = a.size - cdfmin
+        if den == 0:
+            want = a
+        else:
+            want = (510 * (cdf[a] - cdfmin) + den) // (2 * den)
+        r = got[str(i)]
+        np.testing.assert_array_equal(
+            decode_image(bytes(r["bytes"]), r["fmt"]),
+            want.astype(np.uint8),
+            err_msg=f"frame {i}\n{a}",
+        )
