@@ -1669,6 +1669,28 @@ def _q_sieve(spark, sf):
     )
 
 
+def _q_kmeans(spark, sf):
+    """Lloyd k-means on planted well-separated clusters (one-hot axis
+    10.0 + <=0.04 jitter, cluster = key % 4; deterministic init = the
+    4 smallest keys, one per planted cluster): Lloyd provably settles
+    on the planted partition, so the assignment is closed-form.
+    Convergence to per-cluster means (dist2) is tested in
+    tests/test_round5.py."""
+    from gfp_gdal_spark.operators.clustering import kmeans_lloyd
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 240)
+    k = F.col("c_custkey")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(5)),
+        lambda d: F.when(d == (k % 4).cast("int"), 10.0).otherwise(0.0)
+        + ((k * 7 + d) % 5).cast("double") * 0.01,
+    )
+    df = c.select(k.alias("doc_id"), vec.alias("embedding"))
+    out = kmeans_lloyd(df, k=4, max_iters=6)
+    return out.select("doc_id", "cluster")
+
+
 def _q_image_histogram(spark, sf):
     """Corpus gray-value histogram over a mixed planted corpus —
     distinct-value ramps (even keys) and constant frames (odd keys) —
@@ -2274,7 +2296,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 103 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 104 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2303,16 +2325,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the changed dedup.py functions — hamming_pairs, minhash_dedup,
     # _word_grams — are covered in-window by simhash/phash_pairs,
     # minhash_clusters, ngram_jaccard and decontaminate).
-    # The 53 tail entries are r04-certified (or r03-certified with
+    # pip_join_salted rotates out likewise (plans/salting.py and
+    # pip_join both byte-unchanged; rect stays in-window).
+    # The 54 tail entries are r04-certified (or r03-certified with
     # modules diff-unchanged since).
     return {
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_rollup": _q_tile_rollup,
         "pip_join_rect": _q_pip_join_rect,
-        "pip_join_salted": _q_pip_join_salted,
         "bbox_join": _q_bbox_join,
         "overlap_clusters": _q_overlap_clusters,
         "density_clusters": _q_density_clusters,
+        "kmeans": _q_kmeans,
         # --- new: vectorize.py (polygonize/proximity/contour/sieve/fill) ---
         "label_regions": _q_label_regions,
         "proximity": _q_proximity,
@@ -2373,6 +2397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diff-unchanged since), untouched this round ---
         "tile_assign": _q_tile_assign,
         "knn_join_ring": _q_knn_ring,
+        "pip_join_salted": _q_pip_join_salted,
         "minhash_recall": _q_minhash_recall,
         "pip_join_shuffle": _q_pip_join_shuffle,
         "asof_join_fwd": _q_asof_join_fwd,
@@ -3335,6 +3360,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_custkey % 2 = 0 THEN 35.0 ELSE 121.0 END AS sx,
                    CASE WHEN c_custkey % 2 = 0 THEN 49.0 ELSE 55.0 END AS sy
             FROM customer WHERE c_custkey < 400
+        """,
+        "kmeans": """
+            -- planted partition: cluster = key % 4
+            SELECT c_custkey AS doc_id,
+                   CAST(c_custkey % 4 AS INTEGER) AS cluster
+            FROM customer WHERE c_custkey < 240
         """,
         "image_histogram": """
             -- ramp frames contribute 1 per (r,c) value, constant

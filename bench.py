@@ -175,6 +175,7 @@ def main() -> None:
         "augment",
         "image_histogram",
         "equalize",
+        "kmeans",
         "decontaminate",
         "track_stats",
         "track_stats_bucketed",

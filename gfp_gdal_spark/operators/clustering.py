@@ -19,10 +19,14 @@ Semantics (textbook DBSCAN, deterministic border rule):
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["density_clusters"]
+__all__ = ["density_clusters", "kmeans_lloyd"]
 
 
 def density_clusters(
@@ -113,3 +117,97 @@ def density_clusters(
         .drop("_ida", "_cid", "_corek")
     )
     return out
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_iters: int = 10,
+) -> DataFrame:
+    """K-means (Lloyd 1982) over an embedding column — the corpus-
+    partitioning / coreset / IVF-list-building primitive. DETERMINISTIC
+    init: centers 0..k-1 are the vectors of the k smallest ids (no
+    RNG — resume-invariant and cross-run stable like every sampler
+    here). Returns (id_col, cluster, dist2).
+
+    Scale shape per iteration (driver holds only the k x dim centers):
+    - ASSIGN: broadcast centers into an Arrow-batched pandas UDF —
+      one (batch x k) matmul per batch, no per-row Python;
+    - UPDATE: posexplode to (cluster, dim, val) + ONE groupBy —
+      map-side combine reduces shuffle volume to partitions x k x dim
+      rows regardless of corpus size; empty clusters keep their
+      previous center (documented, the standard fix).
+    Ties in assign break to the LOWEST cluster index. Centroid means
+    are float sums (order depends on partitioning); assignments are
+    reproducible whenever the cluster margin exceeds float-sum noise —
+    the planted-fixture certification regime; bitwise cross-partition
+    determinism of the means themselves is NOT promised (use the
+    integer-exact operators when that is the contract).
+    """
+    from pyspark.sql import types as T
+
+    if k < 1 or max_iters < 1:
+        raise ValueError("k and max_iters must be >= 1")
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    first = base.orderBy("_id").limit(k).orderBy("_id").collect()
+    if len(first) < k:
+        raise ValueError(f"k={k} exceeds the number of rows ({len(first)})")
+    centers = np.asarray([list(map(float, r["_v"])) for r in first], dtype=np.float64)
+    dim = centers.shape[1]
+    spark = df.sparkSession
+    base = base.persist()
+    try:
+        assigned = None
+        for _ in range(max_iters):
+            C = spark.sparkContext.broadcast(centers)
+
+            @F.pandas_udf(T.StructType([
+                T.StructField("cluster", T.IntegerType()),
+                T.StructField("dist2", T.DoubleType()),
+            ]))
+            def _assign(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+                cc = C.value
+                for vecs in it:
+                    X = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in vecs]
+                    )
+                    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ties -> low idx
+                    d2 = (
+                        (X * X).sum(axis=1)[:, None]
+                        - 2.0 * X @ cc.T
+                        + (cc * cc).sum(axis=1)[None, :]
+                    )
+                    a = d2.argmin(axis=1)
+                    yield pd.DataFrame(
+                        {"cluster": a.astype(np.int32),
+                         "dist2": np.maximum(d2[np.arange(len(a)), a], 0.0)}
+                    )
+
+            assigned = base.withColumn("_a", _assign(F.col("_v")))
+            sums = (
+                assigned.select(
+                    F.col("_a.cluster").alias("cluster"),
+                    F.posexplode(F.col("_v")).alias("dim", "val"),
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.sum(F.col("val").cast("double")).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+            )
+            rows = sums.collect()
+            new = centers.copy()
+            cnt = np.zeros(k, np.int64)
+            for r in rows:
+                new[r["cluster"], r["dim"]] = r["s"] / r["n"]
+                cnt[r["cluster"]] = r["n"]
+            if np.array_equal(new, centers):
+                break
+            centers = new
+        return assigned.select(
+            F.col("_id").alias(id_col),
+            F.col("_a.cluster").alias("cluster"),
+            F.round(F.col("_a.dist2"), 9).alias("dist2"),
+        )
+    finally:
+        base.unpersist()

@@ -1771,3 +1771,39 @@ def test_equalize_images_bruteforce(spark):
             want.astype(np.uint8),
             err_msg=f"frame {i}\n{a}",
         )
+
+
+def test_kmeans_lloyd_planted(spark):
+    """Planted well-separated clusters: init = k smallest ids (one per
+    planted cluster), so Lloyd converges to the planted partition and
+    every assignment equals id % k; dist2 matches the hand-computed
+    distance to the converged per-cluster mean."""
+    from gfp_gdal_spark.operators.clustering import kmeans_lloyd
+
+    n, k, dim = 120, 4, 6
+    rows = []
+    for i in range(n):
+        c = i % k
+        v = [0.01 * ((i * 7 + d) % 5) + (10.0 if d == c else 0.0) for d in range(dim)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    out = {r["doc_id"]: r for r in kmeans_lloyd(df, k=k, max_iters=8).collect()}
+    assert len(out) == n
+    import numpy as np
+
+    vecs = {i: np.array(r[1]) for i, r in zip(range(n), rows)}
+    for c in range(k):
+        members = [i for i in range(n) if i % k == c]
+        mean = np.mean([vecs[i] for i in members], axis=0)
+        for i in members:
+            assert out[i]["cluster"] == c, i
+            want = float(((vecs[i] - mean) ** 2).sum())
+            assert abs(out[i]["dist2"] - want) < 1e-6, i
+
+
+def test_kmeans_lloyd_validates(spark):
+    from gfp_gdal_spark.operators.clustering import kmeans_lloyd
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], "doc_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_lloyd(df, k=5)
