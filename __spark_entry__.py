@@ -1669,6 +1669,26 @@ def _q_sieve(spark, sf):
     )
 
 
+def _q_clip(spark, sf):
+    """ogr2ogr -clipsrc analog on the standard rect layer: clipping an
+    axis-aligned rect to a bbox is the rectangle intersection, so the
+    clipped area (and which rows survive) is closed-form; the kernel's
+    exact-bound contract makes the areas bit-reproducible. General
+    convex shapes are parity-tested in tests/test_round5.py."""
+    from gfp_gdal_spark.operators.transforms import clip_polygons
+
+    _prep(spark)
+    rects = _rects_from_customer(
+        _t(spark, sf, "customer").where(F.col("c_custkey") < 3000)
+    )
+    out = clip_polygons(rects, (-60.0, -30.0, 60.0, 45.0))
+    return out.select(
+        "c_custkey",
+        F.round("clip_area", 9).alias("clip_area"),
+        F.size("ring").alias("n_vertices"),
+    )
+
+
 def _q_kmeans(spark, sf):
     """Lloyd k-means on planted well-separated clusters (one-hot axis
     10.0 + <=0.04 jitter, cluster = key % 4; deterministic init = the
@@ -2390,11 +2410,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25,
         "bm25_sharded": _q_bm25_sharded,
         "bigram_lm": _q_bigram_lm,
-        # --- changed: functions/geometry.py + transforms.py (centroid, hull) ---
+        # --- changed: functions/geometry.py + transforms.py + kernels/
+        # geom.py (centroid, hull, NEW Sutherland-Hodgman clip) ---
         "centroid": _q_centroid,
-        "convex_hull": _q_convex_hull,
+        "clip": _q_clip,
         # --- tail (entries 51+): r04-green (or r03-green + modules
-        # diff-unchanged since), untouched this round ---
+        # diff-unchanged since), untouched this round. convex_hull
+        # rotates to the tail head under the function-granularity
+        # exception: points_hull/convex_hull_per_key bodies are
+        # byte-unchanged by the round-5 clip additions, and centroid +
+        # clip exercise geometry.py/transforms.py/geom.py in-window ---
+        "convex_hull": _q_convex_hull,
         "tile_assign": _q_tile_assign,
         "knn_join_ring": _q_knn_ring,
         "pip_join_salted": _q_pip_join_salted,
@@ -3360,6 +3386,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_custkey % 2 = 0 THEN 35.0 ELSE 121.0 END AS sx,
                    CASE WHEN c_custkey % 2 = 0 THEN 49.0 ELSE 55.0 END AS sy
             FROM customer WHERE c_custkey < 400
+        """,
+        "clip": f"""
+            -- rect ∩ window: closed-form rectangle intersection
+            WITH r AS ({_SQL_RECT})
+            SELECT c_custkey,
+                   ROUND((LEAST(clon + dlon, 60.0) - GREATEST(clon - dlon, -60.0))
+                         * (LEAST(clat + dlat, 45.0) - GREATEST(clat - dlat, -30.0)),
+                         9) AS clip_area,
+                   4 AS n_vertices
+            FROM r
+            WHERE c_custkey < 3000
+              AND LEAST(clon + dlon, 60.0) > GREATEST(clon - dlon, -60.0)
+              AND LEAST(clat + dlat, 45.0) > GREATEST(clat - dlat, -30.0)
         """,
         "kmeans": """
             -- planted partition: cluster = key % 4

@@ -184,6 +184,7 @@ def main() -> None:
         "bigram_lm",
         "centroid",
         "convex_hull",
+        "clip",
         "vocab_topk",
         "distinct_profile",
         "tile_rollup",

@@ -371,3 +371,25 @@ def points_hull(points: Column) -> Column:
         )
 
     return _f(points)
+
+
+def clip_ring_bbox(
+    ring: Column, xmin: float, ymin: float, xmax: float, ymax: float
+) -> Column:
+    """Sutherland-Hodgman rect clip -> struct(ring, area). Fully
+    outside rings come back empty with area 0.0 (the operator layer
+    decides whether to drop them)."""
+    out_t = T.StructType(
+        [T.StructField("ring", RING_T), T.StructField("area", T.DoubleType())]
+    )
+
+    @F.pandas_udf(out_t)
+    def _f(s: pd.Series) -> pd.DataFrame:
+        flat, off = _ragged(s)
+        nf, no = _g.clip_rings_bbox(flat, off, xmin, ymin, xmax, ymax)
+        return pd.DataFrame(
+            {"ring": _g.ragged_to_lists(nf, no),
+             "area": np.abs(_g.signed_area(nf, no))}
+        )
+
+    return _f(ring)

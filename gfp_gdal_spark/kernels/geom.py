@@ -36,6 +36,7 @@ __all__ = [
     "simplify_rings",
     "buffer_bbox_rings",
     "buffer_convex_rings",
+    "clip_rings_bbox",
     "rings_to_wkt",
     "haversine",
 ]
@@ -675,3 +676,63 @@ def haversine(lon1, lat1, lon2, lat2) -> np.ndarray:
     dlat = lat2 - lat1
     h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
     return 2.0 * _EARTH_R_M * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# rectangle clipping (Sutherland-Hodgman 1974 against a convex clip
+# window — here the axis-aligned bbox, i.e. the `ogr2ogr -clipsrc`
+# rectangle form)
+# ---------------------------------------------------------------------------
+
+def clip_rings_bbox(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Clip every ring against the rect — one vectorized
+    Sutherland-Hodgman pass per rect edge over the whole ragged batch
+    (per-edge emit counts -> prefix-sum offsets -> two scatters; no
+    per-ring Python). The clip-axis coordinate of every emitted
+    intersection is set EXACTLY to the bound (no lerp residue), so
+    clipped areas of axis-aligned inputs stay closed-form. Fully
+    outside rings come back empty (0 vertices); like all S-H output,
+    rings may contain collinear/duplicate boundary vertices. Extra
+    columns beyond x,y (z etc.) are linearly interpolated.
+    """
+    f = np.asarray(flat, dtype=np.float64)
+    off = np.asarray(offsets, dtype=np.int64)
+    if f.ndim == 1:
+        f = f.reshape(0, 2)
+    for axis, sgn, bound in (
+        (0, 1.0, xmin), (0, -1.0, xmax), (1, 1.0, ymin), (1, -1.0, ymax)
+    ):
+        total = int(off[-1])
+        n = len(off) - 1
+        if total == 0:
+            break
+        idx, nxt = _segment_index(off)
+        d_cur = sgn * (f[idx, axis] - bound)
+        d_nxt = sgn * (f[nxt, axis] - bound)
+        emit_i = (d_cur >= 0) != (d_nxt >= 0)
+        emit_n = d_nxt >= 0
+        cnt = emit_i.astype(np.int64) + emit_n.astype(np.int64)
+        nonempty = off[1:] > off[:-1]
+        new_counts = np.zeros(n, np.int64)
+        if nonempty.any():
+            new_counts[nonempty] = np.add.reduceat(cnt, off[:-1][nonempty])
+        new_off = np.concatenate(([0], np.cumsum(new_counts)))
+        pos = np.cumsum(cnt) - cnt
+        out = np.empty((int(new_off[-1]), f.shape[1]), dtype=np.float64)
+        ei = np.flatnonzero(emit_i)
+        if ei.size:
+            t = d_cur[ei] / (d_cur[ei] - d_nxt[ei])
+            out[pos[ei]] = f[idx[ei]] + t[:, None] * (f[nxt[ei]] - f[idx[ei]])
+            out[pos[ei], axis] = bound
+        en = np.flatnonzero(emit_n)
+        if en.size:
+            out[pos[en] + emit_i[en]] = f[nxt[en]]
+        f, off = out, new_off
+    return f, off

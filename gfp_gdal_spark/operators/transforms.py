@@ -27,6 +27,7 @@ from gfp_gdal_spark.functions.geometry import (
 )
 
 __all__ = [
+    "clip_polygons",
     "simplify_polygons",
     "buffer_polygons",
     "orient_polygons",
@@ -181,3 +182,36 @@ def convex_hull_per_key(
         F.col("_h.n_hull").alias("n_hull"),
         F.col("_h.hull_area").alias("hull_area"),
     )
+
+
+def clip_polygons(
+    df: DataFrame,
+    bbox: tuple[float, float, float, float],
+    ring: str = "ring",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Clip each polygon's exterior ring to the axis-aligned bbox —
+    the `ogr2ogr -clipsrc xmin ymin xmax ymax` analog (the reference
+    pipes OGR layers through exactly such extent cuts before loading).
+    Adds ``clip_area`` (absolute area of the clipped ring; exact for
+    axis-aligned inputs by the kernel's exact-bound contract).
+    ``drop_empty=True`` drops features that fall entirely outside
+    (ogr2ogr semantics); ``False`` keeps them with an empty ring.
+
+    Scale: one vectorized Sutherland-Hodgman pandas UDF — narrow,
+    shuffle-free, batch-sized state.
+    """
+    from gfp_gdal_spark.functions.geometry import clip_ring_bbox
+
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    if not (xmin < xmax and ymin < ymax):
+        raise ValueError(f"degenerate clip bbox: {bbox!r}")
+    out = df.withColumn("_c", clip_ring_bbox(F.col(ring), xmin, ymin, xmax, ymax))
+    out = (
+        out.withColumn(ring, F.col("_c.ring"))
+        .withColumn("clip_area", F.col("_c.area"))
+        .drop("_c")
+    )
+    if drop_empty:
+        out = out.where(F.size(F.col(ring)) >= 3)
+    return out

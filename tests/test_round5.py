@@ -1807,3 +1807,81 @@ def test_kmeans_lloyd_validates(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0])], "doc_id long, embedding array<double>")
     with pytest.raises(ValueError, match="exceeds"):
         kmeans_lloyd(df, k=5)
+
+
+def _sh_clip_ref(pts, xmin, ymin, xmax, ymax):
+    """Scalar reference Sutherland-Hodgman (independent per-ring code
+    path) for parity with the vectorized ragged kernel."""
+    out = [list(p) for p in pts]
+    for axis, sgn, bound in ((0, 1, xmin), (0, -1, xmax), (1, 1, ymin), (1, -1, ymax)):
+        cur = out
+        out = []
+        for i in range(len(cur)):
+            a, b = cur[i], cur[(i + 1) % len(cur)]
+            da = sgn * (a[axis] - bound)
+            db = sgn * (b[axis] - bound)
+            if (da >= 0) != (db >= 0):
+                t = da / (da - db)
+                p = [a[j] + t * (b[j] - a[j]) for j in range(len(a))]
+                p[axis] = bound
+                out.append(p)
+            if db >= 0:
+                out.append(list(b))
+        if not out:
+            break
+    return out
+
+
+def test_clip_rings_kernel_parity():
+    from gfp_gdal_spark.kernels.geom import (
+        clip_rings_bbox, ragged_from_lists, ragged_to_lists, signed_area,
+    )
+
+    rng = np.random.RandomState(17)
+    rings = []
+    for _ in range(60):
+        n = rng.randint(3, 9)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        r = rng.uniform(0.5, 3.0)
+        cx, cy = rng.uniform(-2, 2, 2)
+        rings.append(
+            [[cx + r * np.cos(a), cy + r * np.sin(a)] for a in ang]
+        )
+    flat, off = ragged_from_lists(rings)
+    nf, no = clip_rings_bbox(flat, off, -1.0, -0.5, 1.5, 1.25)
+    got = ragged_to_lists(nf, no)
+    for i, ring in enumerate(rings):
+        want = _sh_clip_ref(ring, -1.0, -0.5, 1.5, 1.25)
+        np.testing.assert_allclose(
+            np.array(got[i]).reshape(-1, 2),
+            np.array(want).reshape(-1, 2),
+            atol=1e-12, err_msg=str(i),
+        )
+    # idempotence: clipping the clipped batch changes nothing
+    nf2, no2 = clip_rings_bbox(nf, no, -1.0, -0.5, 1.5, 1.25)
+    np.testing.assert_allclose(np.abs(signed_area(nf2, no2)),
+                               np.abs(signed_area(nf, no)), atol=1e-12)
+
+
+def test_clip_polygons_rect_exact(spark):
+    """Axis-aligned rect inputs: clipped area equals the closed-form
+    rectangle intersection; fully-outside rows dropped."""
+    from gfp_gdal_spark.operators.transforms import clip_polygons
+
+    rng = np.random.RandomState(19)
+    rows, want = [], {}
+    B = (0.0, 0.0, 10.0, 8.0)
+    for i in range(50):
+        x0, y0 = rng.uniform(-12, 12), rng.uniform(-10, 10)
+        wdt, hgt = rng.uniform(0.5, 6), rng.uniform(0.5, 6)
+        ring = [[x0, y0], [x0 + wdt, y0], [x0 + wdt, y0 + hgt], [x0, y0 + hgt]]
+        rows.append((i, ring))
+        ix = max(0.0, min(x0 + wdt, B[2]) - max(x0, B[0]))
+        iy = max(0.0, min(y0 + hgt, B[3]) - max(y0, B[1]))
+        if ix > 0 and iy > 0:
+            want[i] = ix * iy
+    df = spark.createDataFrame(rows, "pid long, ring array<array<double>>")
+    got = {r["pid"]: r["clip_area"] for r in clip_polygons(df, B).collect()}
+    assert set(got) == set(want)
+    for i, a in want.items():
+        assert abs(got[i] - a) < 1e-9, i
