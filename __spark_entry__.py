@@ -2107,6 +2107,64 @@ def _q_decontaminate(spark, sf):
     return out.select("train_id", "n_hit_grams", "n_eval_docs")
 
 
+def _q_repetition(spark, sf):
+    """Gopher-style repetition profile on the documents table. The
+    synthetic docs are single-line, so the fixture plants newlines
+    deterministically (replace ' a ' -> '\\n' — left-to-right
+    non-overlapping in Spark, DuckDB and Python alike); every output
+    is an exact-integer ratio, so the doubles are bit-identical across
+    engines with no rounding."""
+    from gfp_gdal_spark.operators.curation import repetition_stats
+
+    _prep(spark)
+    d = (
+        _t(spark, sf, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id", F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text")
+        )
+    )
+    out = repetition_stats(d, ngram_ns=(2, 3))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "n_lines",
+        "dup_line_frac",
+        "top2gram_frac",
+        "top3gram_frac",
+    )
+
+
+def _q_redact(spark, sf):
+    """PII scrub on planted customer-key-derived emails/IPs/phones;
+    the oracle replays the identical Java∩RE2 regex cascade in DuckDB
+    (counts on the progressively-redacted text, like the operator)."""
+    from gfp_gdal_spark.operators.curation import redact_pii
+
+    _prep(spark)
+    k = F.col("c_custkey")
+    txt = F.concat_ws(
+        "",
+        F.lit("ping user"), k.cast("string"),
+        F.lit("@mail"), (k % 7).cast("string"),
+        F.lit(".org or 10."), (k % 200).cast("string"),
+        F.lit(".7."), (k % 250).cast("string"),
+        F.lit(" call +1 "), (100 + k % 900).cast("string"),
+        F.lit("-"), (100 + (k * 7) % 900).cast("string"),
+        F.lit("-"), (1000 + k % 9000).cast("string"),
+        F.lit(" end"),
+    )
+    d = _t(spark, sf, "customer").select(k.alias("c_custkey"), txt.alias("text"))
+    out = redact_pii(d)
+    return out.select(
+        "c_custkey",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.col("text").alias("redacted"),
+    )
+
+
 def _q_tile_pyramid(spark, sf):
     """One image-pyramid level with REAL pixel content: uniform-value
     8x8 pgm child tiles (v = (x*7 + y*13) % 97, one tile per customer
@@ -2316,7 +2374,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 104 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 107 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2326,7 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup.py (hamming_pairs + simhash refactor + decontaminate),
     # profiling.py (approx cert), and the NEW round-5 modules
     # map_algebra.py / tracks.py / clustering.py / retrieval.py / lm.py /
-    # vectorize.py. Function-granularity exception (the pip hex/s2/
+    # vectorize.py / curation.py. Function-granularity exception (the pip hex/s2/
     # polygons precedent): tile_assign, radius_join, range_join and
     # hash_split (and asof_join_fwd, whose
     # module round-5 edits are confined to interval_* and __all__) sit
@@ -2375,12 +2433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_stats_bucketed": _q_track_stats_bucketed,
         # --- changed: sampling.py (incl. new hot-group paths) ---
         "stratified_split": _q_stratified_split,
-        "sample_per_group": _q_sample_per_group,
         "sample_per_group_sharded": _q_sample_per_group_sharded,
         "weighted_sample_pg": _q_weighted_sample_pg,
         "pack_chunks": _q_pack_chunks,
-        "sessionize": _q_sessionize,
         "sessionize_sharded": _q_sessionize_sharded,
+        # --- new: curation.py (repetition filter + PII scrub) ---
+        "repetition": _q_repetition,
+        "redact_pii": _q_redact,
         # --- changed: audio.py (group-key fix; new certified rows) ---
         "audio_stats": _q_audio_stats,
         "resample_audio": _q_resample_audio,
@@ -2421,6 +2480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-unchanged by the round-5 clip additions, and centroid +
         # clip exercise geometry.py/transforms.py/geom.py in-window ---
         "convex_hull": _q_convex_hull,
+        # sample_per_group / sessionize (plain paths) rotate out under
+        # the shared-oracle rule: their _sharded twins stay in-window
+        # certified vs the IDENTICAL SQL, and plain-vs-sharded
+        # bit-equality is pytest-asserted on planted hot keys.
+        "sample_per_group": _q_sample_per_group,
+        "sessionize": _q_sessionize,
         "tile_assign": _q_tile_assign,
         "knn_join_ring": _q_knn_ring,
         "pip_join_salted": _q_pip_join_salted,
@@ -3399,6 +3464,108 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey < 3000
               AND LEAST(clon + dlon, 60.0) > GREATEST(clon - dlon, -60.0)
               AND LEAST(clat + dlat, 45.0) > GREATEST(clat - dlat, -30.0)
+        """,
+        "repetition": r"""
+            -- full replay of the integer-count algebra: lines on
+            -- chr(10), counted (non-distinct) word n-grams; every
+            -- ratio divides two exact integers -> bit-identical
+            WITH d AS (
+              SELECT doc_id, replace(text, ' a ', chr(10)) AS t
+              FROM documents WHERE doc_id < 300
+            ),
+            ln AS (
+              SELECT doc_id, line FROM (
+                SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d
+              ) WHERE length(line) > 0
+            ),
+            pl AS (SELECT doc_id, line, count(*) AS c FROM ln GROUP BY 1, 2),
+            ls AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_lines,
+                     CAST(sum(c * length(line)) AS BIGINT) AS tot,
+                     CAST(sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS BIGINT) AS dup
+              FROM pl GROUP BY 1
+            ),
+            tk AS (
+              SELECT doc_id, length(t) AS n_chars,
+                     string_split(lower(t), ' ') AS toks
+              FROM d
+            ),
+            gall AS (
+              SELECT doc_id, n_chars, 2 AS n,
+                     array_to_string(toks[i + 1 : i + 2], ' ') AS g
+              FROM (SELECT doc_id, n_chars, toks,
+                           unnest(generate_series(0, len(toks) - 2)) AS i FROM tk)
+              UNION ALL
+              SELECT doc_id, n_chars, 3 AS n,
+                     array_to_string(toks[i + 1 : i + 3], ' ') AS g
+              FROM (SELECT doc_id, n_chars, toks,
+                           unnest(generate_series(0, len(toks) - 3)) AS i FROM tk)
+            ),
+            pg AS (SELECT doc_id, n, g, count(*) AS c,
+                          any_value(n_chars) AS nc
+                   FROM gall GROUP BY 1, 2, 3),
+            pn AS (SELECT doc_id, n, max(c * length(g)) AS top,
+                          any_value(nc) AS nc
+                   FROM pg GROUP BY 1, 2),
+            gs AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / nc END) AS t2,
+                     max(CASE WHEN n = 3 THEN CAST(top AS DOUBLE) / nc END) AS t3
+              FROM pn GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(length(d.t) AS BIGINT) AS n_chars,
+                   COALESCE(ls.n_lines, 0) AS n_lines,
+                   CASE WHEN COALESCE(ls.tot, 0) > 0
+                        THEN CAST(ls.dup AS DOUBLE) / ls.tot
+                        ELSE 0.0 END AS dup_line_frac,
+                   COALESCE(gs.t2, 0.0) AS top2gram_frac,
+                   COALESCE(gs.t3, 0.0) AS top3gram_frac
+            FROM d LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+        """,
+        "redact_pii": r"""
+            -- identical Java∩RE2 regex cascade, counts on the
+            -- progressively-redacted text exactly like the operator
+            WITH c AS (
+              SELECT c_custkey,
+                     'ping user' || c_custkey || '@mail' || (c_custkey % 7)
+                     || '.org or 10.' || (c_custkey % 200) || '.7.'
+                     || (c_custkey % 250) || ' call +1 '
+                     || (100 + c_custkey % 900) || '-'
+                     || (100 + (c_custkey * 7) % 900) || '-'
+                     || (1000 + c_custkey % 9000) || ' end' AS t
+              FROM customer
+            ),
+            s0 AS (
+              SELECT c_custkey,
+                     CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM c
+            ),
+            s1 AS (
+              SELECT c_custkey, n_email,
+                     CAST(len(regexp_extract_all(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                       AS n_ip,
+                     regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+              FROM s0
+            ),
+            s2 AS (
+              SELECT c_custkey, n_email, n_ip,
+                     CAST(len(regexp_extract_all(t2,
+                       '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}')) AS BIGINT)
+                       AS n_phone,
+                     regexp_replace(t2,
+                       '\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS t3
+              FROM s1
+            )
+            SELECT c_custkey, n_email, n_ip, n_phone, t3 AS redacted FROM s2
         """,
         "kmeans": """
             -- planted partition: cluster = key % 4

@@ -185,6 +185,8 @@ def main() -> None:
         "centroid",
         "convex_hull",
         "clip",
+        "repetition",
+        "redact_pii",
         "vocab_topk",
         "distinct_profile",
         "tile_rollup",

@@ -1885,3 +1885,94 @@ def test_clip_polygons_rect_exact(spark):
     assert set(got) == set(want)
     for i, a in want.items():
         assert abs(got[i] - a) < 1e-9, i
+
+
+def _rep_ref(text, ns=(2, 3, 4)):
+    """Independent Python reference for repetition_stats."""
+    out = {"n_chars": len(text)}
+    lines = [l for l in text.split("\n") if l]
+    out["n_lines"] = len(lines)
+    from collections import Counter
+
+    lc = Counter(lines)
+    tot = sum(len(l) for l in lines)
+    dup = sum(len(l) for l in lines if lc[l] > 1)
+    out["dup_line_frac"] = dup / tot if tot else 0.0
+    toks = text.lower().split(" ")
+    for n in ns:
+        grams = Counter(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ) if len(toks) >= n else Counter()
+        out[f"top{n}gram_frac"] = (
+            max((c * len(g) for g, c in grams.items()), default=0) / len(text)
+            if text
+            else 0.0
+        )
+    return out
+
+
+def test_repetition_stats_bruteforce(spark):
+    from gfp_gdal_spark.operators.curation import repetition_stats
+
+    rng = np.random.RandomState(23)
+    words = ["aa", "b", "ccc", "dd", "e"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 30)
+        toks = [words[j] for j in rng.randint(0, len(words), n)]
+        txt = " ".join(toks)
+        # sprinkle newlines to make lines
+        if n > 4:
+            txt = txt.replace(" b ", "\nb\n", 1)
+        rows.append((i, txt))
+    rows += [(100, ""), (101, "solo"), (102, "x\nx\nx\ny")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert set(got) == {r[0] for r in rows}
+    for i, txt in rows:
+        want = _rep_ref(txt)
+        for kcol, v in want.items():
+            assert abs(got[i][kcol] - v) < 1e-12, (i, kcol, got[i], want)
+
+
+def test_repetition_stats_validates(spark):
+    from gfp_gdal_spark.operators.curation import repetition_stats
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="positive"):
+        repetition_stats(df, ngram_ns=(0,))
+
+
+def test_redact_pii_bruteforce(spark):
+    import re
+
+    from gfp_gdal_spark.operators.curation import (
+        DEFAULT_PII_PATTERNS, redact_pii,
+    )
+
+    texts = [
+        "mail a.b@c-d.org and z@q.io now",
+        "hosts 10.2.3.4 192.168.250.1 up",
+        "call +1 555-123-4567 or +44 207-946-0958",
+        "mixed bob@x.co at 8.8.8.8 tel +1 800-555-1212",
+        "none at all",
+        "",
+        "edge 999.999.999.999 and 1.2.3.4.5",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    for i, t in enumerate(texts):
+        cur = t
+        for name, pat, repl in DEFAULT_PII_PATTERNS:
+            matches = re.findall(pat, cur)
+            assert got[i][f"n_{name}"] == len(matches), (i, name, cur)
+            cur = re.sub(pat, repl, cur)
+        assert got[i]["text"] == cur, i
+
+
+def test_redact_pii_validates(spark):
+    from gfp_gdal_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        redact_pii(df, patterns=())
