@@ -1682,10 +1682,57 @@ def _q_clip(spark, sf):
         _t(spark, sf, "customer").where(F.col("c_custkey") < 3000)
     )
     out = clip_polygons(rects, (-60.0, -30.0, 60.0, 45.0))
+    # closed-form rect∩window area from the SAME float ops DuckDB
+    # runs (bit-identical), plus a bracket boolean pinning the
+    # operator's shoelace area to it — shoelace vs product differ by
+    # ~1e-13 ulps, so ROUND(9) of the shoelace would be tie-unsafe.
+    k = F.col("c_custkey")
+    clon, clat = _lon(k), _lat(k)
+    dlon = 0.5 + (k % 7).cast("double") * 0.3
+    dlat = 0.4 + (k % 5).cast("double") * 0.25
+    ix = F.least(clon + dlon, F.lit(60.0)) - F.greatest(clon - dlon, F.lit(-60.0))
+    iy = F.least(clat + dlat, F.lit(45.0)) - F.greatest(clat - dlat, F.lit(-30.0))
     return out.select(
         "c_custkey",
-        F.round("clip_area", 9).alias("clip_area"),
-        F.size("ring").alias("n_vertices"),
+        (ix * iy).alias("clip_area"),
+        (F.abs(F.col("clip_area") - ix * iy) < 1e-9).alias("area_ok"),
+        F.size("ring").cast("long").alias("n_vertices"),
+    )
+
+
+def _q_segmentize(spark, sf):
+    """`-segmentize 0.7` on the rect layer: per-edge piece count is
+    ceil(edge/0.7) with edge = (clon+dlon)-(clon-dlon) — the oracle
+    replays the SAME float ops in the same order, so the ceil (and
+    hence n_vertices) is bit-identical; perimeter is length-invariant
+    (round 9 absorbs the k-term resum ulps)."""
+    from gfp_gdal_spark.operators.transforms import segmentize_polygons
+
+    _prep(spark)
+    rects = _rects_from_customer(
+        _t(spark, sf, "customer").where(F.col("c_custkey") < 3000)
+    )
+    out = segmentize_polygons(rects, 0.7)
+    closed = F.concat(F.col("ring"), F.slice(F.col("ring"), 1, 1))
+    from gfp_gdal_spark.functions.geometry import line_length_col
+
+    # perimeter invariance certified as a bracket boolean (the
+    # corpus_quantiles_approx pattern): the k-term resum differs from
+    # the closed form by ~k ulps, so a ROUND would be tie-unsafe.
+    # Edge widths replay the kernel's exact float ops from the key
+    # ((clon+dlon)-(clon-dlon)), NOT the segmentized ring (whose
+    # vertex 1 is an interpolated point).
+    k = F.col("c_custkey")
+    clon, clat = _lon(k), _lat(k)
+    dlon = 0.5 + (k % 7).cast("double") * 0.3
+    dlat = 0.4 + (k % 5).cast("double") * 0.25
+    w = (clon + dlon) - (clon - dlon)
+    h_edge = (clat + dlat) - (clat - dlat)
+    exact = F.lit(2.0) * w + F.lit(2.0) * h_edge
+    return out.select(
+        "c_custkey",
+        F.size("ring").cast("long").alias("n_vertices"),
+        (F.abs(line_length_col(closed) - exact) < 1e-9).alias("perim_ok"),
     )
 
 
@@ -2374,7 +2421,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 107 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 108 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2410,7 +2457,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_rollup": _q_tile_rollup,
-        "pip_join_rect": _q_pip_join_rect,
         "bbox_join": _q_bbox_join,
         "overlap_clusters": _q_overlap_clusters,
         "density_clusters": _q_density_clusters,
@@ -2473,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geom.py (centroid, hull, NEW Sutherland-Hodgman clip) ---
         "centroid": _q_centroid,
         "clip": _q_clip,
+        "segmentize": _q_segmentize,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round. convex_hull
         # rotates to the tail head under the function-granularity
@@ -2486,6 +2533,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-equality is pytest-asserted on planted hot keys.
         "sample_per_group": _q_sample_per_group,
         "sessionize": _q_sessionize,
+        # pip_join_rect joins its hex/s2/shuffle/salted siblings in the
+        # tail under the same function-granularity precedent: pip_join's
+        # body is byte-unchanged this round and bbox_join /
+        # overlap_clusters / zonal_stats exercise joins.py's round-5
+        # changes in-window.
+        "pip_join_rect": _q_pip_join_rect,
         "tile_assign": _q_tile_assign,
         "knn_join_ring": _q_knn_ring,
         "pip_join_salted": _q_pip_join_salted,
@@ -3453,17 +3506,31 @@ def oracle_sql() -> dict[str, str]:
             FROM customer WHERE c_custkey < 400
         """,
         "clip": f"""
-            -- rect ∩ window: closed-form rectangle intersection
+            -- rect ∩ window: closed-form rectangle intersection,
+            -- bit-identical product form (no ROUND); the operator's
+            -- shoelace area is pinned to it by the area_ok bracket
             WITH r AS ({_SQL_RECT})
             SELECT c_custkey,
-                   ROUND((LEAST(clon + dlon, 60.0) - GREATEST(clon - dlon, -60.0))
-                         * (LEAST(clat + dlat, 45.0) - GREATEST(clat - dlat, -30.0)),
-                         9) AS clip_area,
-                   4 AS n_vertices
+                   (LEAST(clon + dlon, 60.0) - GREATEST(clon - dlon, -60.0))
+                   * (LEAST(clat + dlat, 45.0) - GREATEST(clat - dlat, -30.0))
+                     AS clip_area,
+                   TRUE AS area_ok,
+                   CAST(4 AS BIGINT) AS n_vertices
             FROM r
             WHERE c_custkey < 3000
               AND LEAST(clon + dlon, 60.0) > GREATEST(clon - dlon, -60.0)
               AND LEAST(clat + dlat, 45.0) > GREATEST(clat - dlat, -30.0)
+        """,
+        "segmentize": f"""
+            -- piece counts replay the kernel's float ops in the same
+            -- order: edge = (clon+dlon)-(clon-dlon), k = ceil(edge/0.7)
+            WITH r AS ({_SQL_RECT})
+            SELECT c_custkey,
+                   CAST(2 * ceil(((clon + dlon) - (clon - dlon)) / 0.7)
+                        + 2 * ceil(((clat + dlat) - (clat - dlat)) / 0.7)
+                        AS BIGINT) AS n_vertices,
+                   TRUE AS perim_ok
+            FROM r WHERE c_custkey < 3000
         """,
         "repetition": r"""
             -- full replay of the integer-count algebra: lines on

@@ -185,6 +185,7 @@ def main() -> None:
         "centroid",
         "convex_hull",
         "clip",
+        "segmentize",
         "repetition",
         "redact_pii",
         "vocab_topk",

@@ -373,6 +373,19 @@ def points_hull(points: Column) -> Column:
     return _f(points)
 
 
+def segmentize_ring(ring: Column, max_len: float, closed: bool = True) -> Column:
+    """Densify so no segment exceeds ``max_len`` (the `ogr2ogr
+    -segmentize` rule); original vertices preserved exactly."""
+
+    @F.pandas_udf(RING_T)
+    def _f(s: pd.Series) -> pd.Series:
+        flat, off = _ragged(s)
+        nf, no = _g.segmentize_rings(flat, off, max_len, closed=closed)
+        return pd.Series(_g.ragged_to_lists(nf, no))
+
+    return _f(ring)
+
+
 def clip_ring_bbox(
     ring: Column, xmin: float, ymin: float, xmax: float, ymax: float
 ) -> Column:

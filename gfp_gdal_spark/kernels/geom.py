@@ -37,6 +37,7 @@ __all__ = [
     "buffer_bbox_rings",
     "buffer_convex_rings",
     "clip_rings_bbox",
+    "segmentize_rings",
     "rings_to_wkt",
     "haversine",
 ]
@@ -736,3 +737,74 @@ def clip_rings_bbox(
             out[pos[en] + emit_i[en]] = f[nxt[en]]
         f, off = out, new_off
     return f, off
+
+
+# ---------------------------------------------------------------------------
+# segmentize (the `ogr2ogr -segmentize <max_len>` densify: no output
+# segment longer than max_len; original vertices preserved exactly)
+# ---------------------------------------------------------------------------
+
+def segmentize_rings(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    max_len: float,
+    closed: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Densify every ring/line so no segment exceeds ``max_len``: each
+    edge of 2-D length L splits into k = max(ceil(L / max_len), 1)
+    equal parameter steps (t = j/k), emitting the edge start plus k-1
+    interior points — one vectorized repeat/arange pass, no per-ring
+    Python. Original vertices are emitted EXACTLY (t = 0 is an
+    identity, t never reaches 1), so segmentize(simplify(ring)) etc.
+    round-trip bit-stable; extra columns beyond x,y interpolate
+    linearly. ``closed`` includes the wrap edge (ring canon: unclosed
+    vertex list); ``closed=False`` treats rows as open polylines and
+    appends each line's final vertex.
+    """
+    if not (float(max_len) > 0.0):
+        raise ValueError(f"max_len must be > 0: {max_len!r}")
+    f = np.asarray(flat, dtype=np.float64)
+    off = np.asarray(offsets, dtype=np.int64)
+    if f.ndim == 1:
+        f = f.reshape(0, 2)
+    n = len(off) - 1
+    total = int(off[-1])
+    if total == 0:
+        return f, off
+    if closed:
+        idx, nxt = _segment_index(off)
+    else:
+        nonlast = np.ones(total, dtype=bool)
+        ends = off[1:][off[1:] > off[:-1]]
+        nonlast[ends - 1] = False
+        idx = np.flatnonzero(nonlast)
+        nxt = idx + 1
+    d = f[nxt] - f[idx]
+    seg_len = np.hypot(d[:, 0], d[:, 1])
+    k = np.maximum(np.ceil(seg_len / float(max_len)), 1.0).astype(np.int64)
+
+    seg_ring = np.searchsorted(off[1:], idx, side="right")
+    counts = np.zeros(n, dtype=np.int64)
+    np.add.at(counts, seg_ring, k)
+    if not closed:
+        counts[off[1:] > off[:-1]] += 1  # the appended final vertex
+
+    new_off = np.concatenate(([0], np.cumsum(counts)))
+    rep = np.repeat(np.arange(len(idx), dtype=np.int64), k)
+    base = np.repeat(np.cumsum(k) - k, k)
+    step = np.arange(int(k.sum()), dtype=np.int64) - base
+    t = step.astype(np.float64) / k[rep].astype(np.float64)
+    pts = f[idx[rep]] + t[:, None] * (f[nxt[rep]] - f[idx[rep]])
+    pts[step == 0] = f[idx[rep[step == 0]]]  # t=0: exact originals
+
+    if closed:
+        return pts, new_off
+    # open: splice each line's final vertex back in after its segments
+    out = np.empty((int(new_off[-1]), f.shape[1]), dtype=np.float64)
+    seg_pos = np.cumsum(np.where(off[1:] > off[:-1], 1, 0))
+    shift = np.repeat(seg_pos[seg_ring] - 1, k)  # finals inserted before me
+    pos = np.arange(len(rep), dtype=np.int64) + shift
+    out[pos] = pts
+    last_rows = new_off[1:][off[1:] > off[:-1]] - 1
+    out[last_rows] = f[ends - 1]
+    return out, new_off

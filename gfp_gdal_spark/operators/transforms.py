@@ -28,6 +28,7 @@ from gfp_gdal_spark.functions.geometry import (
 
 __all__ = [
     "clip_polygons",
+    "segmentize_polygons",
     "simplify_polygons",
     "buffer_polygons",
     "orient_polygons",
@@ -181,6 +182,31 @@ def convex_hull_per_key(
         F.col("_h.ring").alias("hull_ring"),
         F.col("_h.n_hull").alias("n_hull"),
         F.col("_h.hull_area").alias("hull_area"),
+    )
+
+
+def segmentize_polygons(
+    df: DataFrame,
+    max_len: float,
+    ring: str = "ring",
+    closed: bool = True,
+) -> DataFrame:
+    """Densify each feature's ring so no segment exceeds ``max_len``
+    — the `ogr2ogr -segmentize <max_len>` analog (the reference's OGR
+    ingest applies it before CRS warps so long edges stay faithful to
+    the source geometry under nonlinear reprojection; pair with
+    `crs_transform` here the same way). Original vertices are
+    preserved bit-exactly; `simplify_polygons` is the inverse
+    direction. ``closed=False`` treats rows as open polylines.
+
+    Scale: one vectorized repeat/arange pandas UDF — shuffle-free,
+    batch-sized state; output size is input_len/max_len-bounded, the
+    same fan-out the caller asked for.
+    """
+    from gfp_gdal_spark.functions.geometry import segmentize_ring
+
+    return df.withColumn(
+        ring, segmentize_ring(F.col(ring), float(max_len), closed=closed)
     )
 
 

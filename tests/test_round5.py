@@ -1976,3 +1976,74 @@ def test_redact_pii_validates(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         redact_pii(df, patterns=())
+
+
+def _segmentize_ref(pts, max_len, closed=True):
+    """Scalar reference densify for parity with the ragged kernel."""
+    import math
+
+    out = []
+    edges = list(range(len(pts))) if closed else list(range(len(pts) - 1))
+    for i in edges:
+        a = pts[i]
+        b = pts[(i + 1) % len(pts)]
+        L = math.hypot(b[0] - a[0], b[1] - a[1])
+        k = max(math.ceil(L / max_len), 1)
+        out.append(list(a))
+        for j in range(1, k):
+            t = j / k
+            out.append([a[c] + t * (b[c] - a[c]) for c in range(len(a))])
+    if not closed:
+        out.append(list(pts[-1]))
+    return out
+
+
+@pytest.mark.parametrize("closed", [True, False])
+def test_segmentize_kernel_parity(closed):
+    from gfp_gdal_spark.kernels.geom import (
+        ragged_from_lists, ragged_to_lists, segmentize_rings,
+    )
+
+    rng = np.random.RandomState(31)
+    rings = []
+    for _ in range(50):
+        n = rng.randint(2, 9)
+        rings.append(rng.uniform(-5, 5, (n, 2)).tolist())
+    flat, off = ragged_from_lists(rings)
+    nf, no = segmentize_rings(flat, off, 0.9, closed=closed)
+    got = ragged_to_lists(nf, no)
+    for i, ring in enumerate(rings):
+        want = _segmentize_ref(ring, 0.9, closed=closed)
+        np.testing.assert_allclose(
+            np.array(got[i]), np.array(want), atol=1e-12, err_msg=str(i)
+        )
+        # original vertices preserved EXACTLY (bit-equal)
+        want_orig = np.array(ring)
+        got_a = np.array(got[i])
+        for v in want_orig:
+            assert (got_a == v).all(axis=1).any()
+
+
+def test_segmentize_passthrough_and_validate():
+    from gfp_gdal_spark.kernels.geom import (
+        ragged_from_lists, segmentize_rings,
+    )
+
+    rings = [[[0.0, 0.0], [2.0, 0.0], [2.0, 2.0]]]
+    flat, off = ragged_from_lists(rings)
+    nf, no = segmentize_rings(flat, off, 1e9)
+    assert (nf == flat).all() and (no == off).all()
+    with pytest.raises(ValueError, match="max_len"):
+        segmentize_rings(flat, off, 0.0)
+
+
+def test_segmentize_polygons_spark(spark):
+    from gfp_gdal_spark.operators.transforms import segmentize_polygons
+
+    ring = [[0.0, 0.0], [3.0, 0.0], [3.0, 2.0], [0.0, 2.0]]
+    df = spark.createDataFrame([(1, ring)], "pid long, ring array<array<double>>")
+    out = segmentize_polygons(df, 1.0).collect()[0]["ring"]
+    assert len(out) == 10
+    np.testing.assert_allclose(
+        np.array(out), np.array(_segmentize_ref(ring, 1.0)), atol=0
+    )
