@@ -1736,6 +1736,26 @@ def _q_segmentize(spark, sf):
     )
 
 
+def _q_idw(spark, sf):
+    """gdal_grid IDW analog on orders-derived points over the global
+    1-degree grid: every weight is the exact integer L//d2, so both
+    engines sum identical int64s and the one final division is
+    bit-identical."""
+    from gfp_gdal_spark.operators.map_algebra import idw_grid
+
+    _prep(spark)
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") < 4000)
+    pts = _points_from(o, "o_orderkey", "o_orderkey").select(
+        (F.col("o_orderkey") % 1000).cast("int").alias("val"),
+        "lon_c",
+        "lat_c",
+    )
+    return idw_grid(
+        pts, (-180.0, -85.0, 180.0, 85.0), 360, 170, "val",
+        x_col="lon_c", y_col="lat_c", radius_px=2,
+    )
+
+
 def _q_kmeans(spark, sf):
     """Lloyd k-means on planted well-separated clusters (one-hot axis
     10.0 + <=0.04 jitter, cluster = key % 4; deterministic init = the
@@ -2421,7 +2441,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 108 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 109 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2475,7 +2495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "interval_union": _q_interval_union,
         # --- new: tracks.py (trajectories, incl. hot-track bucketing) ---
-        "track_stats": _q_track_stats,
         "track_stats_bucketed": _q_track_stats_bucketed,
         # --- changed: sampling.py (incl. new hot-group paths) ---
         "stratified_split": _q_stratified_split,
@@ -2500,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": _q_hillshade,
         "zonal_stats": _q_zonal_stats,
         "band_index": _q_band_index,
+        "idw": _q_idw,
         # --- changed: profiling.py (vocab/cardinality + sketch certs) ---
         "corpus_quantiles_approx": _q_corpus_quantiles_approx,
         "vocab_topk": _q_vocab_topk,
@@ -2539,6 +2559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlap_clusters / zonal_stats exercise joins.py's round-5
         # changes in-window.
         "pip_join_rect": _q_pip_join_rect,
+        # track_stats (plain) rotates out under the shared-oracle rule:
+        # track_stats_bucketed stays in-window vs the IDENTICAL SQL and
+        # plain-vs-bucketed bit-equality is pytest-asserted.
+        "track_stats": _q_track_stats,
         "tile_assign": _q_tile_assign,
         "knn_join_ring": _q_knn_ring,
         "pip_join_salted": _q_pip_join_salted,
@@ -3520,6 +3544,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey < 3000
               AND LEAST(clon + dlon, 60.0) > GREATEST(clon - dlon, -60.0)
               AND LEAST(clat + dlat, 45.0) > GREATEST(clat - dlat, -30.0)
+        """,
+        "idw": f"""
+            -- exact replay of the integer-weight IDW algebra: snap,
+            -- circular scatter (R=2, L=lcm(1,2,4)=4), int64 sums,
+            -- one long/long division per node
+            WITH p AS ({_SQL_OPOINTS}),
+            q AS (
+              SELECT CAST(o_orderkey % 1000 AS BIGINT) AS v,
+                     CAST(floor((85.0 - lat_c) / 1.0) AS BIGINT) AS pr,
+                     CAST(floor((lon_c - -180.0) / 1.0) AS BIGINT) AS pc
+              FROM p WHERE o_orderkey < 4000
+            ),
+            q2 AS (SELECT * FROM q
+                   WHERE pr >= 0 AND pr < 170 AND pc >= 0 AND pc < 360),
+            o AS (
+              SELECT dr, dc, dr*dr + dc*dc AS d2,
+                     CASE WHEN dr*dr + dc*dc > 0
+                          THEN 4 // (dr*dr + dc*dc) ELSE 0 END AS wq
+              FROM (SELECT unnest(generate_series(-2, 2)) AS dr) a,
+                   (SELECT unnest(generate_series(-2, 2)) AS dc) b
+              WHERE dr*dr + dc*dc <= 4
+            ),
+            sc AS (
+              SELECT pr + dr AS px_r, pc + dc AS px_c, d2, wq, v
+              FROM q2, o
+              WHERE pr + dr >= 0 AND pr + dr < 170
+                AND pc + dc >= 0 AND pc + dc < 360
+            ),
+            a AS (
+              SELECT px_r, px_c,
+                     count(CASE WHEN d2 = 0 THEN 1 END) AS n0,
+                     CAST(sum(CASE WHEN d2 = 0 THEN v END) AS BIGINT) AS s0,
+                     CAST(sum(CASE WHEN d2 > 0 THEN wq * v END) AS BIGINT) AS sv,
+                     CAST(sum(CASE WHEN d2 > 0 THEN wq END) AS BIGINT) AS sw,
+                     CAST(count(*) AS BIGINT) AS n_pts
+              FROM sc GROUP BY 1, 2
+            )
+            SELECT px_r, px_c,
+                   CASE WHEN n0 > 0 THEN CAST(s0 AS DOUBLE) / n0
+                        ELSE CAST(sv AS DOUBLE) / sw END AS idw,
+                   n_pts
+            FROM a
         """,
         "segmentize": f"""
             -- piece counts replay the kernel's float ops in the same

@@ -163,6 +163,7 @@ def main() -> None:
         "hillshade",
         "zonal_stats",
         "band_index",
+        "idw",
         "tile_pyramid",
         "mosaic",
         "rasterize",

@@ -34,6 +34,7 @@ __all__ = [
     "slope_hillshade",
     "zonal_stats",
     "band_index_stats",
+    "idw_grid",
 ]
 
 
@@ -299,3 +300,117 @@ def band_index_stats(
 
     cols = [id_col, bytes_col, fmt_col, "w", "h"]
     return images.select(*cols).mapInArrow(op, schema)
+
+
+def idw_grid(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    w: int,
+    h: int,
+    value_col: str,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    radius_px: int = 2,
+    frame_col: str | None = None,
+) -> DataFrame:
+    """Inverse-distance-weighted gridding (the `gdal_grid
+    -a invdist:power=2:radius=R` analog): scatter every point to the
+    grid nodes within ``radius_px`` pixels of its cell and aggregate
+    ``sum(v/d2)/sum(1/d2)`` per node; a point landing ON a node
+    (d2 = 0) short-circuits to the exact-hit mean, GDAL's rule.
+    Points snap to their pixel center first, so d2 is the INTEGER
+    dr^2+dc^2 — the documented scale variant of GDAL's exact-offset
+    IDW (at 10^12 points the sub-pixel offset is noise; snapping is
+    what makes the result deterministic, see below).
+
+    Determinism contract: weights are the exact integers
+    L // d2 (L = lcm of the achievable d2 values), so every aggregate
+    is an int64 sum — order-independent across partial aggregations
+    and bit-identical in any engine; the only division is one
+    long/long -> double per emitted node. ``value_col`` must be
+    integral (micro-quantize floats upstream, the band_index rule).
+
+    Output: one row per grid node with >= 1 contributor —
+    (``frame_col``?, px_r, px_c, idw, n_pts); px_r counts from the
+    TOP row (GDAL geotransform convention).
+
+    Scale: ONE explode (fan-out = the circular-mask offsets,
+    |{d2 <= R^2}| ~ pi R^2) + ONE map-side-combined hash aggregate —
+    the focal_stats / tile_rollup shape; no self-join, no window, no
+    Python. Hot cells spread over (frame, r, c) keys.
+    """
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    if not (xmin < xmax and ymin < ymax) or w <= 0 or h <= 0:
+        raise ValueError(f"degenerate grid: bbox={bbox!r} w={w} h={h}")
+    R = int(radius_px)
+    if R < 0:
+        raise ValueError(f"radius_px must be >= 0: {radius_px!r}")
+    dx = (xmax - xmin) / w
+    dy = (ymax - ymin) / h
+
+    offs = [
+        (dr, dc, dr * dr + dc * dc)
+        for dr in range(-R, R + 1)
+        for dc in range(-R, R + 1)
+        if dr * dr + dc * dc <= R * R
+    ]
+    d2s = sorted({d2 for _, _, d2 in offs if d2 > 0})
+    L = math.lcm(*d2s) if d2s else 1
+
+    vt = dict(points.dtypes).get(value_col)
+    if vt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{value_col} must be integral for the exact-weight contract, got {vt}"
+        )
+
+    keys = ([frame_col] if frame_col else [])
+    pc = F.floor((F.col(x_col) - F.lit(xmin)) / F.lit(dx)).cast("long")
+    pr = F.floor((F.lit(ymax) - F.col(y_col)) / F.lit(dy)).cast("long")
+    base = points.select(
+        *keys,
+        pr.alias("_pr"),
+        pc.alias("_pc"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).where(
+        (F.col("_pr") >= 0) & (F.col("_pr") < h)
+        & (F.col("_pc") >= 0) & (F.col("_pc") < w)
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(dr).alias("dr"),
+                F.lit(dc).alias("dc"),
+                F.lit(d2).alias("d2"),
+                F.lit(L // d2 if d2 > 0 else 0).alias("wq"),
+            )
+            for dr, dc, d2 in offs
+        ]
+    )
+    sc = base.withColumn("_o", F.explode(arr)).select(
+        *keys,
+        (F.col("_pr") + F.col("_o.dr")).alias("px_r"),
+        (F.col("_pc") + F.col("_o.dc")).alias("px_c"),
+        F.col("_o.d2").alias("_d2"),
+        F.col("_o.wq").alias("_wq"),
+        F.col("_v"),
+    ).where(
+        (F.col("px_r") >= 0) & (F.col("px_r") < h)
+        & (F.col("px_c") >= 0) & (F.col("px_c") < w)
+    )
+    hit = F.col("_d2") == 0
+    agg = sc.groupBy(*keys, "px_r", "px_c").agg(
+        F.count(F.when(hit, 1)).alias("_n0"),
+        F.sum(F.when(hit, F.col("_v"))).alias("_s0"),
+        F.sum(F.when(~hit, F.col("_wq") * F.col("_v"))).alias("_sv"),
+        F.sum(F.when(~hit, F.col("_wq"))).alias("_sw"),
+        F.count(F.lit(1)).alias("n_pts"),
+    )
+    return agg.select(
+        *keys,
+        "px_r",
+        "px_c",
+        F.when(F.col("_n0") > 0, F.col("_s0") / F.col("_n0"))
+        .otherwise(F.col("_sv") / F.col("_sw"))
+        .alias("idw"),
+        "n_pts",
+    )

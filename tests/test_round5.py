@@ -2047,3 +2047,78 @@ def test_segmentize_polygons_spark(spark):
     np.testing.assert_allclose(
         np.array(out), np.array(_segmentize_ref(ring, 1.0)), atol=0
     )
+
+
+def _idw_ref(pts, bbox, w, h, R):
+    """Scalar reference IDW (snap -> circular scatter -> exact rule)."""
+    import math as _m
+    from collections import defaultdict
+
+    xmin, ymin, xmax, ymax = bbox
+    dx, dy = (xmax - xmin) / w, (ymax - ymin) / h
+    cells = defaultdict(list)
+    for x, y, v in pts:
+        pr = _m.floor((ymax - y) / dy)
+        pc = _m.floor((x - xmin) / dx)
+        if 0 <= pr < h and 0 <= pc < w:
+            cells[(pr, pc)].append(v)
+    acc = defaultdict(lambda: [0, 0, 0.0, 0.0, 0])  # n0, s0, sv, sw, n
+    for (pr, pc), vals in cells.items():
+        for v in vals:
+            for dr in range(-R, R + 1):
+                for dc in range(-R, R + 1):
+                    d2 = dr * dr + dc * dc
+                    if d2 > R * R:
+                        continue
+                    r, c = pr + dr, pc + dc
+                    if not (0 <= r < h and 0 <= c < w):
+                        continue
+                    a = acc[(r, c)]
+                    a[4] += 1
+                    if d2 == 0:
+                        a[0] += 1
+                        a[1] += v
+                    else:
+                        a[2] += v / d2
+                        a[3] += 1.0 / d2
+    out = {}
+    for k, (n0, s0, sv, sw, n) in acc.items():
+        out[k] = (s0 / n0 if n0 else sv / sw, n)
+    return out
+
+
+def test_idw_grid_bruteforce(spark):
+    from gfp_gdal_spark.operators.map_algebra import idw_grid
+
+    rng = np.random.RandomState(41)
+    pts = [
+        (float(x), float(y), int(v))
+        for x, y, v in zip(
+            rng.uniform(-6, 6, 120), rng.uniform(-5, 5, 120),
+            rng.randint(0, 500, 120),
+        )
+    ]
+    bbox, w, h, R = (-5.0, -4.0, 5.0, 4.0), 10, 8, 2
+    df = spark.createDataFrame(pts, "lon double, lat double, val int")
+    got = {
+        (r["px_r"], r["px_c"]): (r["idw"], r["n_pts"])
+        for r in idw_grid(df, bbox, w, h, "val", radius_px=R).collect()
+    }
+    want = _idw_ref(pts, bbox, w, h, R)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], k
+        assert abs(got[k][0] - want[k][0]) < 1e-9, (k, got[k], want[k])
+
+
+def test_idw_grid_validates(spark):
+    from gfp_gdal_spark.operators.map_algebra import idw_grid
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 1.5)], "lon double, lat double, val double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        idw_grid(df, (0, 0, 1, 1), 2, 2, "val")
+    df2 = spark.createDataFrame([(0.0, 0.0, 1)], "lon double, lat double, val int")
+    with pytest.raises(ValueError, match="degenerate"):
+        idw_grid(df2, (1, 0, 0, 1), 2, 2, "val")
