@@ -164,6 +164,7 @@ def main() -> None:
         "zonal_stats",
         "band_index",
         "idw",
+        "sample_raster",
         "tile_pyramid",
         "mosaic",
         "rasterize",

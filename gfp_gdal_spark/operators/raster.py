@@ -37,6 +37,7 @@ __all__ = [
     "mosaic_composite",
     "rasterize_zones",
     "reproject_webmercator",
+    "sample_raster",
 ]
 
 
@@ -788,3 +789,94 @@ def reproject_webmercator(
 
     cols = ["image_id", "bytes", "fmt", "w", "h", "lon_c", "lat_c", "dlon", "dlat"]
     return images.select(*cols).mapInArrow(op, schema)
+
+
+def sample_raster(
+    requests: DataFrame,
+    images: DataFrame,
+    band: int = 0,
+    pid_col: str = "pid",
+) -> DataFrame:
+    """Point queries against the raster table (the `gdallocationinfo`
+    analog, the point-probe complement of raster_to_points' full
+    fan-out): ``requests`` rows (``pid_col``, image_id, px_r, px_c)
+    name the pixels to read; each image is decoded ONCE no matter how
+    many probes land on it and only the requested pixels materialize.
+    Locate stage (lon/lat -> image_id, px_r, px_c) is the certified
+    footprint-join machinery (`pip_join`/`bbox_join` + the inverse
+    geotransform) — this operator is the decode+gather leg.
+
+    Out-of-bounds probes fail loud (input gating, the K9 rule), they
+    do not clamp.
+
+    Scale: ONE shuffle (requests groupBy image_id, map-side-combined
+    collect_list) + an image_id equi-join that AQE broadcasts when
+    the probed-image set is small; decode is whole-batch per uniform
+    (fmt, w, h) group (codec.decode_group), gather is one fancy-index
+    — no per-probe Python. Probe lists are bounded per image by
+    construction (a probe set ~ the image's pixel count should use
+    raster_to_points instead).
+    """
+    reqs = requests.groupBy("image_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col(pid_col).cast("long").alias("pid"),
+                F.col("px_r").cast("int").alias("r"),
+                F.col("px_c").cast("int").alias("c"),
+            )
+        ).alias("_reqs")
+    )
+    joined = images.select("image_id", "bytes", "fmt", "w", "h").join(
+        reqs, "image_id"
+    )
+    schema = f"{pid_col} long, image_id string, px_r int, px_c int, val double"
+
+    def op(batches):
+        import pandas as pd
+
+        tune_worker()
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs = []
+            for (fmt, w, h), idx in pdf.groupby(
+                ["fmt", "w", "h"], sort=False
+            ).indices.items():
+                w, h = int(w), int(h)
+                sub = pdf.iloc[idx]
+                pix = _codec.decode_group(
+                    [bytes(b) for b in sub["bytes"]], str(fmt), w, h
+                )
+                ch = pix[..., band] if pix.ndim == 4 else pix
+                counts = np.array([len(r) for r in sub["_reqs"]], dtype=np.int64)
+                if counts.sum() == 0:
+                    continue
+                flat = np.concatenate([np.asarray(
+                    [(q["pid"], q["r"], q["c"]) for q in r], dtype=np.int64
+                ).reshape(-1, 3) for r in sub["_reqs"] if len(r)])
+                img_ix = np.repeat(
+                    np.arange(len(sub), dtype=np.int64), counts
+                )
+                rr, cc = flat[:, 1], flat[:, 2]
+                if (rr < 0).any() or (rr >= h).any() or (cc < 0).any() or (cc >= w).any():
+                    bad = flat[(rr < 0) | (rr >= h) | (cc < 0) | (cc >= w)][0]
+                    raise ValueError(
+                        f"probe out of bounds: pid={bad[0]} (r={bad[1]}, "
+                        f"c={bad[2]}) vs {h}x{w}"
+                    )
+                vals = ch[img_ix, rr, cc].astype(np.float64)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            pid_col: flat[:, 0],
+                            "image_id": np.asarray(sub["image_id"])[img_ix],
+                            "px_r": rr.astype(np.int32),
+                            "px_c": cc.astype(np.int32),
+                            "val": vals,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return joined.mapInPandas(op, schema)

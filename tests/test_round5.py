@@ -2122,3 +2122,42 @@ def test_idw_grid_validates(spark):
     df2 = spark.createDataFrame([(0.0, 0.0, 1)], "lon double, lat double, val int")
     with pytest.raises(ValueError, match="degenerate"):
         idw_grid(df2, (1, 0, 0, 1), 2, 2, "val")
+
+
+def test_sample_raster_bruteforce(spark):
+    from gfp_gdal_spark.kernels import codec as _codec
+    from gfp_gdal_spark.operators.raster import sample_raster
+    from gfp_gdal_spark.sources import datagen
+
+    imgs = datagen.images_table(spark, 40, with_bytes=True)
+    # probes: 3 per image at deterministic in-bounds coords
+    reqs = []
+    ref = {}
+    pdf = datagen.images_pandas(40, with_bytes=True)
+    for _, row in pdf.iterrows():
+        i = int(row["image_id"][3:])
+        for j in range(3):
+            r = (i * 3 + j * 7) % row["h"]
+            c = (i * 5 + j * 11) % row["w"]
+            pid = i * 10 + j
+            reqs.append((pid, row["image_id"], int(r), int(c)))
+            pix = _codec.decode_image(bytes(row["bytes"]), row["fmt"])
+            ch = pix[..., 0] if pix.ndim == 3 else pix
+            ref[pid] = float(ch[r, c])
+    rdf = spark.createDataFrame(
+        reqs, "pid long, image_id string, px_r int, px_c int"
+    )
+    got = {r["pid"]: r["val"] for r in sample_raster(rdf, imgs).collect()}
+    assert got == ref
+
+
+def test_sample_raster_oob_fails(spark):
+    from gfp_gdal_spark.operators.raster import sample_raster
+    from gfp_gdal_spark.sources import datagen
+
+    imgs = datagen.images_table(spark, 3, with_bytes=True)
+    rdf = spark.createDataFrame(
+        [(1, "img00000000", 999, 0)], "pid long, image_id string, px_r int, px_c int"
+    )
+    with pytest.raises(Exception, match="out of bounds"):
+        sample_raster(rdf, imgs).collect()
