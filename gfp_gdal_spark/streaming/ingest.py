@@ -21,6 +21,8 @@ __all__ = [
     "streaming_hash_split",
     "windowed_event_counts",
     "streaming_exact_dedup",
+    "streaming_redact_pii",
+    "streaming_clip",
 ]
 
 
@@ -224,3 +226,29 @@ def streaming_label_regions(
     from gfp_gdal_spark.operators.vectorize import label_regions
 
     return label_regions(images_stream, connectivity=connectivity, nodata=nodata)
+
+
+def streaming_redact_pii(docs_stream: DataFrame, text_col: str = "text") -> DataFrame:
+    """operators.curation.redact_pii over a document stream verbatim —
+    pure stateless column regexps, so micro-batch, restart, and batch
+    runs emit identical rows (append mode, no state). The
+    continuous-ingest form of the PII scrub: redact before anything
+    lands in the corpus, counts feed the audit stream."""
+    from gfp_gdal_spark.operators.curation import redact_pii
+
+    return redact_pii(docs_stream, text_col=text_col)
+
+
+def streaming_clip(
+    features_stream: DataFrame,
+    bbox: tuple[float, float, float, float],
+    ring: str = "ring",
+) -> DataFrame:
+    """operators.transforms.clip_polygons over a vector-feature stream
+    verbatim — per-feature Sutherland-Hodgman is stateless, so stream
+    and batch emit identical clipped rows (append mode, no state).
+    The continuous-ingest form of the `-clipsrc` extent cut: clip each
+    arriving feature to the AOI before it enters the layer."""
+    from gfp_gdal_spark.operators.transforms import clip_polygons
+
+    return clip_polygons(features_stream, bbox, ring=ring)

@@ -284,3 +284,71 @@ def test_streaming_label_regions_matches_batch(spark, tmp_path):
         assert got.exceptAll(static).isEmpty()
     finally:
         q.stop()
+
+
+def test_streaming_redact_pii_matches_batch(spark, tmp_path):
+    """Stateless PII scrub over a TWO-micro-batch stream must equal
+    the batch redact_pii over the full static table."""
+    from gfp_gdal_spark.operators.curation import redact_pii
+
+    d = str(tmp_path / "docs_pii")
+    rows = [
+        (i, f"user{i}@ex{i % 3}.org at 10.{i % 200}.0.{i % 250} t +1 {100 + i % 900}-555-{1000 + i}")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.where("doc_id < 40").coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    q = (
+        SI.streaming_redact_pii(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pii_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df.where("doc_id >= 40").coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        static = redact_pii(spark.read.parquet(d))
+        got = spark.sql("SELECT * FROM pii_stream")
+        assert got.count() == 80
+        assert static.exceptAll(got).isEmpty()
+        assert got.exceptAll(static).isEmpty()
+    finally:
+        q.stop()
+
+
+def test_streaming_clip_matches_batch(spark, tmp_path):
+    """Stateless extent clip over a TWO-micro-batch stream must equal
+    the batch clip_polygons over the full static table."""
+    from gfp_gdal_spark.operators.transforms import clip_polygons
+
+    d = str(tmp_path / "feat_clip")
+    rows = []
+    for i in range(60):
+        x0, y0 = (i % 10) - 5.0, (i % 7) - 3.0
+        rows.append((i, [[x0, y0], [x0 + 2, y0], [x0 + 2, y0 + 2], [x0, y0 + 2]]))
+    df = spark.createDataFrame(rows, "fid long, ring array<array<double>>")
+    df.where("fid < 30").coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(
+        "fid long, ring array<array<double>>"
+    ).parquet(d)
+    bbox = (-4.0, -2.0, 4.0, 3.0)
+    q = (
+        SI.streaming_clip(stream, bbox)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("clip_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df.where("fid >= 30").coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        static = clip_polygons(spark.read.parquet(d), bbox)
+        got = spark.sql("SELECT * FROM clip_stream")
+        assert static.exceptAll(got).isEmpty()
+        assert got.exceptAll(static).isEmpty()
+    finally:
+        q.stop()
