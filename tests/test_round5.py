@@ -2161,3 +2161,16 @@ def test_sample_raster_oob_fails(spark):
     )
     with pytest.raises(Exception, match="out of bounds"):
         sample_raster(rdf, imgs).collect()
+
+
+def test_idw_grid_single_shuffle(spark):
+    """The scatter-agg must be ONE Exchange with no Python stage."""
+    from gfp_gdal_spark.operators.map_algebra import idw_grid
+
+    df = spark.createDataFrame(
+        [(0.5, 0.5, 7)], "lon double, lat double, val int"
+    )
+    q = idw_grid(df, (0.0, 0.0, 4.0, 4.0), 4, 4, "val")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan, plan
