@@ -166,6 +166,7 @@ def main() -> None:
         "idw",
         "sample_raster",
         "crop",
+        "coverage",
         "tile_pyramid",
         "mosaic",
         "rasterize",

@@ -2206,3 +2206,71 @@ def test_crop_images_validates(spark):
         crop_images(imgs, -1, 0, 4, 4)
     with pytest.raises(Exception, match="exceeds"):
         crop_images(imgs, 0, 0, 999, 4).collect()
+
+
+def _union_area_ref(rects):
+    """Independent scanline reference for rectangle-union area."""
+    xs = sorted({x for r in rects for x in (r[0], r[2])})
+    total = 0.0
+    for a, b in zip(xs[:-1], xs[1:]):
+        ivs = sorted(
+            (r[1], r[3]) for r in rects if r[0] <= a and r[2] >= b
+        )
+        cur = None
+        length = 0.0
+        for lo, hi in ivs:
+            if cur is None or lo > cur[1]:
+                if cur:
+                    length += cur[1] - cur[0]
+                cur = [lo, hi]
+            else:
+                cur[1] = max(cur[1], hi)
+        if cur:
+            length += cur[1] - cur[0]
+        total += (b - a) * length
+    return total
+
+
+def test_coverage_area_bruteforce(spark):
+    from gfp_gdal_spark.operators.coverage import coverage_area
+
+    rng = np.random.RandomState(47)
+    rows = []
+    ref = {}
+    for k in range(25):
+        m = rng.randint(1, 9)
+        rects = []
+        for _ in range(m):
+            x0, y0 = rng.uniform(-5, 5, 2)
+            w, h = rng.uniform(0.2, 4, 2)
+            rects.append((float(x0), float(y0), float(x0 + w), float(y0 + h)))
+            rows.append((k, *rects[-1]))
+        ref[k] = (m, _union_area_ref(rects))
+    df = spark.createDataFrame(
+        rows, "k long, xmin double, ymin double, xmax double, ymax double"
+    )
+    got = {
+        r["k"]: (r["n_rects"], r["union_area"])
+        for r in coverage_area(df, "k").collect()
+    }
+    assert set(got) == set(ref)
+    for k, (m, a) in ref.items():
+        assert got[k][0] == m
+        assert abs(got[k][1] - a) < 1e-9, (k, got[k], a)
+
+
+def test_coverage_area_validates(spark):
+    from gfp_gdal_spark.operators.coverage import coverage_area
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 0.0, 0.5, 1.0)],
+        "k long, xmin double, ymin double, xmax double, ymax double",
+    )
+    with pytest.raises(Exception, match="degenerate"):
+        coverage_area(df, "k").collect()
+    df2 = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1.0, 1.0), (0, 0.5, 0.0, 1.5, 1.0)],
+        "k long, xmin double, ymin double, xmax double, ymax double",
+    )
+    with pytest.raises(Exception, match="max_rects"):
+        coverage_area(df2, "k", max_rects=1).collect()
