@@ -192,6 +192,7 @@ def main() -> None:
         "segmentize",
         "repetition",
         "redact_pii",
+        "paragraph_dedup",
         "vocab_topk",
         "distinct_profile",
         "tile_rollup",

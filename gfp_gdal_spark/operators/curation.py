@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["repetition_stats", "redact_pii"]
+__all__ = ["repetition_stats", "redact_pii", "paragraph_dedup"]
 
 # (name, java/RE2-compatible pattern, replacement) — applied in order,
 # each pattern counted on the text AFTER the previous replacements so
@@ -191,4 +191,80 @@ def redact_pii(
         cur = F.regexp_replace(cur, pat, repl)
     return df.select(
         *[c for c in df.columns if c != out_col], *counts, cur.alias(out_col)
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet/C4-style corpus-global paragraph deduplication: split each
+    document on ``sep``, drop every paragraph whose exact text already
+    occurred earlier in the corpus — "earlier" = the smallest
+    (``id_col``, position) pair, so the winner is deterministic under
+    any partitioning — and reassemble the survivors in original order.
+    Paragraphs shorter than ``min_chars`` are exempt (kept verbatim;
+    with the default 1 that's empty paragraphs, which would otherwise
+    all collapse into one).
+
+    Output: (id, text, n_paras, n_dropped); documents whose every
+    paragraph was dropped come back with empty text (filter on
+    n_paras > n_dropped downstream).
+
+    Scale: explode -> ONE paragraph-keyed hash agg (map-side combined;
+    the key space is the distinct-paragraph vocabulary, hot boilerplate
+    paragraphs are exactly one row each after the combine) -> winner
+    equi-join keyed by the same paragraph hash partitioning -> ONE
+    id-keyed reassembly agg. No window over the whole corpus, no
+    driver collect.
+    """
+    kid = F.col(id_col)
+    paras = df.select(
+        kid.alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    dedupable = F.length("_para") >= int(min_chars)
+    winners = (
+        paras.where(dedupable)
+        .groupBy("_para")
+        .agg(
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first")
+        )
+    )
+    kept = (
+        paras.join(winners, "_para", "left")
+        .where(
+            ~dedupable
+            | (
+                (F.col("_first._id") == F.col("_id"))
+                & (F.col("_first._pos") == F.col("_pos"))
+            )
+        )
+        .select("_id", "_pos", "_para")
+    )
+    n_paras = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    out = (
+        kept.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_para")))
+                    ),
+                    lambda s: s["_para"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+        .join(n_paras, "_id", "right")
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.coalesce(text_col, F.lit("")).alias(text_col),
+        F.col("n_paras"),
+        (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0))).alias("n_dropped"),
     )

@@ -199,6 +199,7 @@ def hamming_pairs(
     id_col: str = "id",
     max_hamming: int = 3,
     n_blocks: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """EXACT near-dup pairs on a precomputed 64-bit signature column
     (SimHash, image perceptual hash, audio fingerprint) within
@@ -239,6 +240,18 @@ def hamming_pairs(
         return c
 
     s = df.select(F.col(id_col).alias("_id"), F.col(sig).alias("_sh"))
+    if materialize:
+        # Persist the (id, sig) projection so later ACTIONS reuse it
+        # (16 bytes a row: MEMORY_AND_DISK holds 10^12 sigs
+        # cluster-wide). NB within the FIRST action both join sides
+        # race the empty cache, so the signature pipeline still runs
+        # up to twice; for strict compute-once (e.g. an expensive
+        # image decode), persist + count() upstream before calling —
+        # the phash_pairs driver query shows the pattern. Caller owns
+        # the cache lifetime (knn_join's persisted-side contract).
+        from pyspark import StorageLevel
+
+        s = s.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = s.select(
         "_id",
         "_sh",

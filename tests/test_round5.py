@@ -2274,3 +2274,41 @@ def test_coverage_area_validates(spark):
     )
     with pytest.raises(Exception, match="max_rects"):
         coverage_area(df2, "k", max_rects=1).collect()
+
+
+def _paragraph_dedup_ref(docs, sep="\n", min_chars=1):
+    """Independent reference: global first-occurrence paragraph dedup."""
+    seen = {}
+    order = sorted(docs)
+    for d in order:
+        for p_i, para in enumerate(docs[d].split(sep)):
+            if len(para) >= min_chars and para not in seen:
+                seen[para] = (d, p_i)
+    out = {}
+    for d in order:
+        paras = docs[d].split(sep)
+        kept = [
+            p
+            for i, p in enumerate(paras)
+            if len(p) < min_chars or seen[p] == (d, i)
+        ]
+        out[d] = (sep.join(kept), len(paras), len(paras) - len(kept))
+    return out
+
+
+def test_paragraph_dedup_bruteforce(spark):
+    from gfp_gdal_spark.operators.curation import paragraph_dedup
+
+    rng = np.random.RandomState(53)
+    vocab = ["aa bb", "cc dd ee", "ff", "gg hh", "", "aa bb"]
+    docs = {}
+    for d in range(30):
+        n = rng.randint(1, 6)
+        docs[d] = "\n".join(vocab[j] for j in rng.randint(0, len(vocab), n))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_dropped"])
+        for r in paragraph_dedup(df).collect()
+    }
+    want = _paragraph_dedup_ref(docs)
+    assert got == want
