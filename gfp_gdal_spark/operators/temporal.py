@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "interval_union_length", "range_join"]
+__all__ = ["asof_join", "interval_join", "interval_union_length", "range_join", "resample_series"]
 
 
 def asof_join(
@@ -287,3 +287,62 @@ def interval_join(
         F.greatest(F.col(l_lo), F.col(r_lo)) / bin_width
     ).cast("long")
     return joined.where(overlap & canonical).drop("_bin")
+
+
+def resample_series(
+    df: DataFrame,
+    by: str,
+    on: str = "ts",
+    width_s: float = 300.0,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    cents: int = 100,
+) -> DataFrame:
+    """Per-key time-bucket downsampling (the OHLC / sensor-decimation
+    resample): one row per (``by``, bucket) with n, first/last value
+    (by (ts, ``id_col``) lexicographic order — deterministic even at
+    duplicate timestamps), min/max, and mean.
+
+    Determinism contract: the mean is summed in integer micro-units
+    (``round(value * cents)``, the band_index rule) so the aggregate is
+    partial-order-independent and bit-identical cross-engine; the one
+    division happens per output row. first/last are struct-min/max —
+    no window, no sort.
+
+    Scale: ONE map-side-combined hash aggregate on (by, bucket) — the
+    hot-key-proof shape (a hot key spreads over its buckets). No
+    window function, no shuffle beyond the single agg exchange.
+    """
+    wus = int(round(float(width_s) * 1e6))
+    if wus <= 0:
+        raise ValueError(f"width_s must be > 0: {width_s!r}")
+    # integer microseconds (NTZ columns cast via timestamp under the
+    # UTC session contract) — epoch_us is exact where a double epoch
+    # would round, and it matches DuckDB's epoch_us() bit-for-bit
+    us = F.unix_micros(F.col(on).cast("timestamp"))
+    b = F.floor(us / F.lit(float(wus))).cast("long")
+    v = F.col(value_col)
+    vi = F.round(v * cents, 0).cast("long")
+    return (
+        df.select(
+            F.col(by),
+            b.alias("bucket"),
+            F.col(on).alias("_on"),
+            F.col(id_col).alias("_id"),
+            v.alias("_v"),
+            vi.alias("_vi"),
+        )
+        .groupBy(by, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("_on", "_id", "_v"))["_v"].alias("first_val"),
+            F.max(F.struct("_on", "_id", "_v"))["_v"].alias("last_val"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+            F.sum("_vi").alias("_sum_u"),
+        )
+        .select(
+            by, "bucket", "n", "first_val", "last_val", "vmin", "vmax",
+            (F.col("_sum_u") / (F.lit(float(cents)) * F.col("n"))).alias("vmean"),
+        )
+    )

@@ -2312,3 +2312,43 @@ def test_paragraph_dedup_bruteforce(spark):
     }
     want = _paragraph_dedup_ref(docs)
     assert got == want
+
+
+def test_resample_series_bruteforce(spark):
+    import datetime as dt
+
+    from gfp_gdal_spark.operators.temporal import resample_series
+
+    rng = np.random.RandomState(59)
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for eid in range(300):
+        k = int(rng.randint(0, 5))
+        ts = base + dt.timedelta(seconds=float(rng.uniform(0, 3600)))
+        rows.append((eid, ts, k, float(round(rng.uniform(0, 50), 2))))
+    # planted duplicate-timestamp tie: same key, same ts, two ids
+    rows.append((1000, base, 9, 1.0))
+    rows.append((1001, base, 9, 2.0))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {
+        (r["user_id"], r["bucket"]): r.asDict()
+        for r in resample_series(df, "user_id", width_s=600.0).collect()
+    }
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for eid, ts, k, v in rows:
+        buckets[(k, int(ts.timestamp() // 600))].append((ts, eid, v))
+    assert set(got) == set(buckets)
+    for key, evs in buckets.items():
+        evs.sort()
+        g = got[key]
+        assert g["n"] == len(evs)
+        assert g["first_val"] == evs[0][2] and g["last_val"] == evs[-1][2]
+        assert g["vmin"] == min(v for _, _, v in evs)
+        assert g["vmax"] == max(v for _, _, v in evs)
+        cents = sum(round(v * 100) for _, _, v in evs)
+        assert abs(g["vmean"] - cents / (100.0 * len(evs))) < 1e-12
+    # the tie bucket: first by (ts, id) = id 1000 -> 1.0
+    assert got[(9, int(base.timestamp() // 600))]["first_val"] == 1.0
+    assert got[(9, int(base.timestamp() // 600))]["last_val"] == 2.0
