@@ -918,6 +918,31 @@ def _q_raster_stats(spark, sf):
     )
 
 
+def _q_simplify_lines(spark, sf):
+    """Open-polyline DP on planted 3-vertex lines: the midpoint bump is
+    0.0001 (dropped) for even keys, 0.05 (kept) for odd at tol=0.01 —
+    vertex counts and the kept midpoint y are closed-form."""
+    _prep(spark)
+    from gfp_gdal_spark.operators.lines import simplify_polylines
+
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 3000)
+    k = F.col("c_custkey")
+    clon, clat = _lon(k), _lat(k)
+    bump = F.when(k % 2 == 0, F.lit(0.0001)).otherwise(F.lit(0.05))
+    line = F.array(
+        F.array(clon - 1, clat),
+        F.array(clon, clat + bump),
+        F.array(clon + 1, clat),
+    )
+    d = c.select(k.alias("c_custkey"), line.alias("line"))
+    out = simplify_polylines(d, 0.01)
+    return out.select(
+        "c_custkey",
+        F.size("line").cast("long").alias("n_vertices"),
+        F.when(F.size("line") == 3, F.get(F.col("line"), 1)[1]).alias("mid_y"),
+    )
+
+
 def _q_resample(spark, sf):
     """OHLC/sensor resample on the events table: 10-minute buckets per
     user; first/last are (ts, event_id) struct-extrema (tie-safe) and
@@ -2568,7 +2593,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 114 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 115 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2691,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 certifications; it is check_oracles-green locally and
         # rotates into the window next round.
         "resample": _q_resample,
+        "simplify_lines": _q_simplify_lines,
         # track_stats (plain) rotates out under the shared-oracle rule:
         # track_stats_bucketed stays in-window vs the IDENTICAL SQL and
         # plain-vs-bucketed bit-equality is pytest-asserted.
@@ -4437,6 +4463,14 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN u > 0 THEN 1.0 ELSE 0.0 END), 6)
                      AS frac_pos
             FROM u GROUP BY image_id
+        """,
+        "simplify_lines": f"""
+            WITH r AS ({_SQL_RECT})
+            SELECT c_custkey,
+                   CAST(CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 3 END
+                        AS BIGINT) AS n_vertices,
+                   CASE WHEN c_custkey % 2 = 1 THEN clat + 0.05 END AS mid_y
+            FROM r WHERE c_custkey < 3000
         """,
         "resample": """
             -- identical algebra: struct-extrema first/last, cent sums

@@ -208,6 +208,7 @@ def main() -> None:
         "sessionize_sharded",
         "interval_union",
         "resample",
+        "simplify_lines",
         "connected_components",
         "salted_cell_count",
         "agg_pricing",

@@ -386,6 +386,19 @@ def segmentize_ring(ring: Column, max_len: float, closed: bool = True) -> Column
     return _f(ring)
 
 
+def simplify_line(points: Column, tol: float) -> Column:
+    """DP-simplify an OPEN polyline (endpoints anchored, no ring
+    gates) — the line-layer side of `ogr2ogr -simplify`."""
+
+    @F.pandas_udf(RING_T)
+    def _f(s: pd.Series) -> pd.Series:
+        flat, off = _ragged(s)
+        nf, no = _g.simplify_lines(flat, off, tol)
+        return pd.Series(_g.ragged_to_lists(nf, no))
+
+    return _f(points)
+
+
 def clip_ring_bbox(
     ring: Column, xmin: float, ymin: float, xmax: float, ymax: float
 ) -> Column:

@@ -38,6 +38,7 @@ __all__ = [
     "buffer_convex_rings",
     "clip_rings_bbox",
     "segmentize_rings",
+    "simplify_lines",
     "rings_to_wkt",
     "haversine",
 ]
@@ -808,3 +809,30 @@ def segmentize_rings(
     last_rows = new_off[1:][off[1:] > off[:-1]] - 1
     out[last_rows] = f[ends - 1]
     return out, new_off
+
+
+def simplify_lines(
+    flat: np.ndarray, offsets: np.ndarray, tol: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """DP-simplify each OPEN polyline (the `ogr2ogr -simplify` rule on
+    line layers): endpoints anchored, interior vertices farther than
+    ``tol`` from the chord kept. Lines with < 3 vertices pass through.
+    No orientation/validity gates — those are ring semantics
+    (`simplify_rings`); a polyline cannot "collapse invalid", it just
+    loses interior vertices.
+    """
+    n = len(offsets) - 1
+    out: list[np.ndarray] = []
+    for i in range(n):
+        pts = flat[offsets[i]: offsets[i + 1]]
+        if pts.shape[0] < 3:
+            out.append(pts)
+            continue
+        out.append(pts[_dp_mask(pts, tol)])
+    counts = np.array([r.shape[0] for r in out], dtype=np.int64)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=new_off[1:])
+    new_flat = (
+        np.concatenate(out, axis=0) if new_off[-1] else np.empty((0, 2), np.float64)
+    )
+    return new_flat, new_off

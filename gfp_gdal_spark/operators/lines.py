@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from gfp_gdal_spark.plans.graph import connected_components
 from gfp_gdal_spark.plans.lineage import flat_checkpoint
 
-__all__ = ["merge_lines"]
+__all__ = ["merge_lines", "simplify_polylines"]
 
 
 def _endpoint_key(x: str, y: str, quant: float):
@@ -284,3 +284,17 @@ def _merge_big_paths(
         F.concat(F.array(first_pt), heads).alias("points"),
         F.col("_csize").cast("int").alias("n_segments"),
     )
+
+
+def simplify_polylines(df, tol: float, line: str = "line"):
+    """DP-simplify an open-polyline column (the line-layer side of
+    `ogr2ogr -simplify`; `simplify_polygons` is the ring side with the
+    GEOS validity gates): endpoints anchored, interior vertices within
+    ``tol`` of the chord dropped, originals preserved bit-exactly.
+
+    Scale: one vectorized pandas UDF — narrow, shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from gfp_gdal_spark.functions.geometry import simplify_line
+
+    return df.withColumn(line, simplify_line(F.col(line), float(tol)))

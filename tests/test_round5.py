@@ -2352,3 +2352,61 @@ def test_resample_series_bruteforce(spark):
     # the tie bucket: first by (ts, id) = id 1000 -> 1.0
     assert got[(9, int(base.timestamp() // 600))]["first_val"] == 1.0
     assert got[(9, int(base.timestamp() // 600))]["last_val"] == 2.0
+
+
+def _dp_line_ref(pts, tol):
+    """Scalar recursive DP reference for open polylines."""
+    import math
+
+    if len(pts) < 3:
+        return [list(p) for p in pts]
+    ax, ay = pts[0][:2]
+    bx, by = pts[-1][:2]
+    L = math.hypot(bx - ax, by - ay)
+    best, bi = -1.0, -1
+    for i in range(1, len(pts) - 1):
+        px, py = pts[i][:2]
+        if L == 0:
+            d = math.hypot(px - ax, py - ay)
+        else:
+            d = abs((bx - ax) * (ay - py) - (ax - px) * (by - ay)) / L
+        if d > best:
+            best, bi = d, i
+    if best <= tol:
+        return [list(pts[0]), list(pts[-1])]
+    return _dp_line_ref(pts[: bi + 1], tol)[:-1] + _dp_line_ref(pts[bi:], tol)
+
+
+def test_simplify_lines_kernel_parity():
+    from gfp_gdal_spark.kernels.geom import (
+        ragged_from_lists, ragged_to_lists, simplify_lines,
+    )
+
+    rng = np.random.RandomState(61)
+    lines = []
+    for _ in range(60):
+        n = rng.randint(2, 12)
+        lines.append(rng.uniform(-5, 5, (n, 2)).tolist())
+    flat, off = ragged_from_lists(lines)
+    nf, no = simplify_lines(flat, off, 0.5)
+    got = ragged_to_lists(nf, no)
+    for i, ln in enumerate(lines):
+        np.testing.assert_allclose(
+            np.array(got[i]), np.array(_dp_line_ref(ln, 0.5)), atol=0,
+            err_msg=str(i),
+        )
+
+
+def test_simplify_polylines_spark(spark):
+    from gfp_gdal_spark.operators.lines import simplify_polylines
+
+    rows = [
+        (0, [[0.0, 0.0], [1.0, 0.001], [2.0, 0.0]]),
+        (1, [[0.0, 0.0], [1.0, 1.0], [2.0, 0.0]]),
+        (2, [[0.0, 0.0], [5.0, 5.0]]),
+    ]
+    df = spark.createDataFrame(rows, "lid long, line array<array<double>>")
+    got = {r["lid"]: r["line"] for r in simplify_polylines(df, 0.01).collect()}
+    assert got[0] == [[0.0, 0.0], [2.0, 0.0]]
+    assert got[1] == rows[1][1]
+    assert got[2] == rows[2][1]
