@@ -22,6 +22,7 @@ __all__ = [
     "windowed_event_counts",
     "streaming_exact_dedup",
     "streaming_redact_pii",
+    "streaming_resample",
     "streaming_clip",
 ]
 
@@ -252,3 +253,30 @@ def streaming_clip(
     from gfp_gdal_spark.operators.transforms import clip_polygons
 
     return clip_polygons(features_stream, bbox, ring=ring)
+
+
+def streaming_resample(
+    events_stream: DataFrame,
+    by: str = "user_id",
+    on: str = "ts",
+    width_s: float = 600.0,
+    watermark: str = "30 minutes",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """operators.temporal.resample_series over the event stream — the
+    continuous OHLC/decimation feed. The batch operator composes
+    verbatim (struct-extrema first/last + integer-cent sums are all
+    mergeable aggregates, so partial state per (key, bucket) is O(1));
+    the stream adds a watermark on the event time so closed buckets
+    emit and their state is dropped. Update/append output mode; state
+    is bounded by keys x open-buckets-inside-the-watermark, never by
+    stream length."""
+    from gfp_gdal_spark.operators.temporal import resample_series
+
+    s = events_stream.withColumn(on, F.col(on).cast("timestamp")).withWatermark(
+        on, watermark
+    )
+    return resample_series(
+        s, by, on=on, width_s=width_s, value_col=value_col, id_col=id_col
+    )

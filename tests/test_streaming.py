@@ -352,3 +352,53 @@ def test_streaming_clip_matches_batch(spark, tmp_path):
         assert got.exceptAll(static).isEmpty()
     finally:
         q.stop()
+
+
+def test_streaming_resample_matches_batch(spark, tmp_path):
+    """Watermarked OHLC resample over a TWO-micro-batch stream must
+    equal the batch resample_series over the full static table (every
+    aggregate is mergeable, so late-arriving rows of an open bucket
+    merge into the same state)."""
+    import datetime as dt
+
+    from gfp_gdal_spark.operators.temporal import resample_series
+
+    d = str(tmp_path / "ev_resample")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=37 * i % 3600),
+            i % 5,
+            float(round((i * 7 % 50) + 0.25, 2)),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    df.where("event_id < 200").coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(d)
+    q = (
+        SI.streaming_resample(stream, width_s=600.0)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("resample_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df.where("event_id >= 200").coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        static = resample_series(
+            spark.read.parquet(d).withColumn("ts", F.col("ts").cast("timestamp")),
+            "user_id",
+            width_s=600.0,
+        )
+        got = spark.sql("SELECT * FROM resample_stream")
+        assert static.exceptAll(got).isEmpty()
+        assert got.exceptAll(static).isEmpty()
+    finally:
+        q.stop()
