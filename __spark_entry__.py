@@ -918,6 +918,28 @@ def _q_raster_stats(spark, sf):
     )
 
 
+def _q_pagerank(spark, sf):
+    """PageRank on planted disjoint 50-cycles over the customer keys:
+    the uniform distribution is EXACTLY stationary from the uniform
+    init (each vertex has in-weight exactly 1), so after any number of
+    rounds every rank sits within accumulated-ulp of 1/N — bracket-
+    certified per vertex. Arbitrary-graph correctness (incl. dangling
+    mass) is numpy-parity-tested in tests/test_round5.py."""
+    _prep(spark)
+    from gfp_gdal_spark.plans.graph import pagerank
+
+    c = _t(spark, sf, "customer").select("c_custkey")
+    k = F.col("c_custkey")  # keys are 0-based (0..N-1)
+    nxt = (k - (k % 50)) + (k + 1) % 50
+    edges = c.select(k.alias("src"), nxt.alias("dst"))
+    n = c.count()
+    out = pagerank(edges, n_iter=8)
+    return out.select(
+        F.col("v").alias("c_custkey"),
+        (F.abs(F.col("rank") - F.lit(1.0) / n) < 1e-9).alias("rank_ok"),
+    )
+
+
 def _q_simplify_lines(spark, sf):
     """Open-polyline DP on planted 3-vertex lines: the midpoint bump is
     0.0001 (dropped) for even keys, 0.05 (kept) for odd at tol=0.01 —
@@ -2593,7 +2615,7 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 115 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 116 registered entries. Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2717,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates into the window next round.
         "resample": _q_resample,
         "simplify_lines": _q_simplify_lines,
+        "pagerank": _q_pagerank,
         # track_stats (plain) rotates out under the shared-oracle rule:
         # track_stats_bucketed stays in-window vs the IDENTICAL SQL and
         # plain-vs-bucketed bit-equality is pytest-asserted.
@@ -4463,6 +4486,10 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN u > 0 THEN 1.0 ELSE 0.0 END), 6)
                      AS frac_pos
             FROM u GROUP BY image_id
+        """,
+        "pagerank": """
+            -- planted 50-cycles: uniform is the exact fixed point
+            SELECT c_custkey, TRUE AS rank_ok FROM customer
         """,
         "simplify_lines": f"""
             WITH r AS ({_SQL_RECT})

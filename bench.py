@@ -210,6 +210,7 @@ def main() -> None:
         "resample",
         "simplify_lines",
         "connected_components",
+        "pagerank",
         "salted_cell_count",
         "agg_pricing",
         "group_segments",

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from gfp_gdal_spark.plans.lineage import flat_checkpoint
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def connected_components(
@@ -126,3 +126,78 @@ def connected_components(
             f"raise max_iter (rounds needed ~ log2(n) for any id layout)"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 20,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) over a directed edge list ->
+    (vertex, rank), Σ rank = 1. The link-authority quality signal
+    web-corpus curation pipelines score crawl domains with — the
+    importance axis beside the text-quality heuristics.
+
+    Power iteration, FIXED ``n_iter`` rounds (deterministic output and
+    zero per-round driver actions, unlike a tolerance loop; 20 rounds
+    puts the residual below d^20 ~ 0.04 of the initial gap and any
+    caller can raise it). Dangling-vertex mass (no out-edges) is
+    redistributed uniformly — the standard stochastic-matrix patch —
+    via a 1-row cross join, not a driver collect.
+
+    Per round: contribs = ranks ⋈ out-degree-normalized edges ->
+    ONE groupBy(dst) sum + the dangling-mass scalar; the new ranks
+    right-join the vertex table so zero-in-degree vertices keep the
+    teleport term. flat_checkpoint per round kills both the recursive
+    lineage and the join-size-estimate squaring (see plans.lineage).
+
+    Scale: each round is one equi-join + one hash agg on vertex keys —
+    the CC shape; a hot (high-in-degree) vertex is a groupBy key whose
+    partial sums map-side combine. Edge weights are uniform 1/outdeg
+    (the classic formulation); pass pre-weighted edges through a
+    custom loop if you need weighted links.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1): {damping!r}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter!r}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    verts = flat_checkpoint(
+        e.select(F.col("_s").alias("v"))
+        .unionByName(e.select(F.col("_d").alias("v")))
+        .distinct()
+    )
+    n_v = verts.count()
+    outd = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outd"))
+    # normalized adjacency, invariant across rounds
+    adj = flat_checkpoint(
+        e.join(outd, "_s").select("_s", "_d", (1.0 / F.col("_outd")).alias("_w"))
+    )
+    teleport = (1.0 - damping) / n_v
+    ranks = verts.select("v", F.lit(1.0 / n_v).alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("v", "_s"), "_s")
+            .groupBy(F.col("_d").alias("v"))
+            .agg(F.sum(F.col("rank") * F.col("_w")).alias("_in"))
+        )
+        # dangling mass: rank sitting on vertices with no out-edges
+        dangling = (
+            ranks.join(outd.withColumnRenamed("_s", "v"), "v", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = flat_checkpoint(
+            verts.join(contribs, "v", "left")
+            .crossJoin(dangling)
+            .select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n_v)
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -2410,3 +2410,63 @@ def test_simplify_polylines_spark(spark):
     assert got[0] == [[0.0, 0.0], [2.0, 0.0]]
     assert got[1] == rows[1][1]
     assert got[2] == rows[2][1]
+
+
+def _pagerank_ref(edges, d=0.85, it=20):
+    """Dense-numpy PageRank reference with uniform dangling patch."""
+    verts = sorted({v for e in edges for v in e})
+    ix = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    from collections import defaultdict
+
+    outd = defaultdict(int)
+    for s, _ in edges:
+        outd[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(it):
+        nr = np.full(n, (1 - d) / n)
+        dm = sum(r[ix[v]] for v in verts if outd[v] == 0)
+        nr += d * dm / n
+        for s, t in edges:
+            nr[ix[t]] += d * r[ix[s]] / outd[s]
+        r = nr
+    return {v: r[ix[v]] for v in verts}
+
+
+def test_pagerank_bruteforce(spark):
+    from gfp_gdal_spark.plans.graph import pagerank
+
+    rng = np.random.RandomState(67)
+    edges = list({(int(a), int(b)) for a, b in rng.randint(0, 30, (120, 2)) if a != b})
+    # add a dangling vertex (in-edges only)
+    edges.append((3, 999))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["v"]: r["rank"] for r in pagerank(df, n_iter=15).collect()}
+    want = _pagerank_ref(edges, it=15)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_cycle_uniform(spark):
+    from gfp_gdal_spark.plans.graph import pagerank
+
+    n = 50
+    df = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    got = [r["rank"] for r in pagerank(df, n_iter=5).collect()]
+    assert len(got) == n
+    for r in got:
+        assert abs(r - 1.0 / n) < 1e-12
+
+
+def test_pagerank_validates(spark):
+    from gfp_gdal_spark.plans.graph import pagerank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.5)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(df, n_iter=0)
