@@ -933,7 +933,7 @@ def _q_pagerank(spark, sf):
     nxt = (k - (k % 50)) + (k + 1) % 50
     edges = c.select(k.alias("src"), nxt.alias("dst"))
     n = c.count()
-    out = pagerank(edges, n_iter=8)
+    out = pagerank(edges, n_iter=8, checkpoint_every=4)
     return out.select(
         F.col("v").alias("c_custkey"),
         (F.abs(F.col("rank") - F.lit(1.0) / n) < 1e-9).alias("rank_ok"),

@@ -134,6 +134,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 20,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998) over a directed edge list ->
     (vertex, rank), Σ rank = 1. The link-authority quality signal
@@ -176,28 +177,43 @@ def pagerank(
         e.join(outd, "_s").select("_s", "_d", (1.0 / F.col("_outd")).alias("_w"))
     )
     teleport = (1.0 - damping) / n_v
+    # dangling vertices are a STRUCTURAL property — detect once, and
+    # when there are none (most link graphs after a sink-filter pass)
+    # drop the per-round anti-join + scalar-broadcast entirely; this
+    # halves the per-round stage count
+    dangle_v = flat_checkpoint(
+        verts.join(outd.withColumnRenamed("_s", "v"), "v", "left_anti")
+    )
+    has_dangling = dangle_v.limit(1).count() > 0
+    # Checkpoint cadence: ranks joins the CHECKPOINTED adj each round
+    # (never itself), so the sizeInBytes estimate grows by one multiply
+    # per round — linear bit growth, NOT the self-join squaring trap —
+    # and the only cost of deferring is plan depth. Cutting every
+    # ``checkpoint_every`` rounds amortizes flat_checkpoint's two
+    # materializations without letting the analyzer walk an O(n_iter)
+    # recursive plan.
     ranks = verts.select("v", F.lit(1.0 / n_v).alias("rank"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contribs = (
             adj.join(ranks.withColumnRenamed("v", "_s"), "_s")
             .groupBy(F.col("_d").alias("v"))
             .agg(F.sum(F.col("rank") * F.col("_w")).alias("_in"))
         )
-        # dangling mass: rank sitting on vertices with no out-edges
-        dangling = (
-            ranks.join(outd.withColumnRenamed("_s", "v"), "v", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        new_rank = F.lit(teleport) + F.lit(damping) * F.coalesce(
+            F.col("_in"), F.lit(0.0)
         )
-        ranks = flat_checkpoint(
-            verts.join(contribs, "v", "left")
-            .crossJoin(dangling)
-            .select(
-                "v",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n_v)
-                ).alias("rank"),
+        nxt = verts.join(contribs, "v", "left")
+        if has_dangling:
+            # dangling mass: rank sitting on vertices with no out-edges
+            dangling = (
+                ranks.join(dangle_v, "v")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
-        )
+            nxt = nxt.crossJoin(dangling)
+            new_rank = F.lit(teleport) + F.lit(damping) * (
+                F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n_v
+            )
+        ranks = nxt.select("v", new_rank.alias("rank"))
+        if (it + 1) % max(int(checkpoint_every), 1) == 0 or it == n_iter - 1:
+            ranks = flat_checkpoint(ranks)
     return ranks
