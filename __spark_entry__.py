@@ -2214,7 +2214,11 @@ def _q_density_clusters(spark, sf):
     from gfp_gdal_spark.operators.clustering import density_clusters
 
     _prep(spark)
-    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 1200)
+    cust = _t(spark, sf, "customer")
+    # cap to COMPLETE groups of 4: a partial tail chain (< 3 fixes)
+    # has no core and the closed form would not apply to it
+    cap = min(1200, cust.count() // 4 * 4)
+    c = cust.where(F.col("c_custkey") < cap)
     k = F.col("c_custkey")
     g = F.floor(k / 4)
     m = k % 4
@@ -4119,7 +4123,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_custkey % 4 = 3 THEN NULL
                         ELSE (c_custkey // 4) * 4 + 1
                    END AS cluster_id
-            FROM customer WHERE c_custkey < 1200
+            FROM customer
+            WHERE c_custkey < LEAST(1200,
+                (SELECT (count(*) // 4) * 4 FROM customer))
         """,
         "bm25_search": """
             WITH d AS (
