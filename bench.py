@@ -193,6 +193,7 @@ def main() -> None:
         "repetition",
         "redact_pii",
         "paragraph_dedup",
+        "lr_quality",
         "vocab_topk",
         "distinct_profile",
         "tile_rollup",

@@ -28,6 +28,7 @@ __all__ = [
     "minhash_signature",
     "simhash64",
     "doc_fingerprint",
+    "token_hash64",
 ]
 
 # tiny per-language stopword lists (public common words); argmax hit-rate
@@ -224,3 +225,44 @@ def doc_fingerprint(text: Column, shingle: int = 8) -> Column:
         return pd.Series(out.view(np.int64))
 
     return _fp(text)
+
+
+def token_hash64(token: Column) -> Column:
+    """Portable 64-bit polynomial token hash: h = Σ byte_i * 31^i
+    (mod 2^64), i = 0-based byte position. Chosen over xxhash64 for
+    the same reason as hash_split's Knuth mix: the engine contract is
+    that feature routing must be REPLAYABLE in any engine (a DuckDB
+    oracle computes the identical value with HUGEINT arithmetic and a
+    31^i lookup CTE), so a hashed-feature model scores identically
+    everywhere. Vectorized across the Arrow batch: all token bytes
+    concatenate once, the per-position 31-powers come from one uint64
+    cumprod (numpy uint64 multiply wraps mod 2^64 natively), and one
+    reduceat folds each token.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _h(s: pd.Series) -> pd.Series:
+        bs = [(t or "").encode("utf-8") for t in s]
+        counts = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+        total = int(counts.sum())
+        if total == 0:
+            return pd.Series(np.zeros(len(bs), dtype=np.int64))
+        flat = np.frombuffer(b"".join(bs), dtype=np.uint8).astype(np.uint64)
+        offs = np.zeros(len(bs), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+        # 31^pos mod 2^64 via cumprod over per-token position resets
+        p = np.ones(total, dtype=np.uint64)
+        maxlen = int(counts.max())
+        pw = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            np.cumprod(np.full(maxlen - 1, 31, dtype=np.uint64), out=pw[1:])
+        p = pw[pos]
+        terms = flat * p
+        out = np.zeros(len(bs), dtype=np.uint64)
+        nonempty = counts > 0
+        if nonempty.any():
+            out[nonempty] = np.add.reduceat(terms, offs[nonempty])
+        return pd.Series(out.view(np.int64))
+
+    return _h(token)

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["repetition_stats", "redact_pii", "paragraph_dedup"]
+__all__ = ["repetition_stats", "redact_pii", "paragraph_dedup", "lr_quality_score"]
 
 # (name, java/RE2-compatible pattern, replacement) — applied in order,
 # each pattern counted on the text AFTER the previous replacements so
@@ -267,4 +267,74 @@ def paragraph_dedup(
         F.coalesce(text_col, F.lit("")).alias(text_col),
         F.col("n_paras"),
         (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0))).alias("n_dropped"),
+    )
+
+
+def lr_quality_score(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    dim: int = 1 << 20,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Linear quality-classifier inference over hashed bag-of-words
+    features — the GPT-3/CCNet curation staple (a logistic model
+    scoring "reference-corpus-like" documents; fastText's hashing
+    trick). ``weights`` is a (token: string, weight: double) model
+    table; features route through ``functions.text.token_hash64 % dim``
+    on BOTH sides, so hash collisions behave exactly like the trained
+    model's.
+
+    Output per document: n_tokens, n_matched, ``logit`` = bias +
+    (Σ matched weights)/n_tokens, and ``score`` = sigmoid(logit).
+
+    Determinism contract: weights are quantized to ``quantum`` units
+    (round(w*quantum) as int64) so the per-document sum is an
+    order-independent integer; ``logit`` divides two exact numbers and
+    is bit-identical cross-engine. ``score`` applies exp(), whose last
+    ulp is libm-specific — certify on ``logit``, not ``score``.
+
+    Scale: explode -> hash (Arrow-batched) -> equi-join the
+    vocabulary-sized model table (AQE broadcasts it) -> ONE doc-keyed
+    hash agg. The model never shuffles the corpus.
+    """
+    from gfp_gdal_spark.functions.text import token_hash64
+
+    if dim <= 0:
+        raise ValueError(f"dim must be > 0: {dim}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("_tok"),
+    ).where(F.length("_tok") > 0)
+    # pmod, not %: the hash is a uint64 bit-pattern in an int64 —
+    # for power-of-2 dim, pmod(h, dim) == the unsigned low bits even
+    # when the long is negative (2^k divides 2^64); plain % would go
+    # negative and silently never match the model side
+    toks = toks.select(
+        "_id", F.pmod(token_hash64(F.col("_tok")), F.lit(dim)).alias("_fid")
+    )
+    w = weights.select(
+        F.pmod(token_hash64(F.lower(F.col("token"))), F.lit(dim)).alias("_fid"),
+        F.round(F.col("weight") * quantum, 0).cast("long").alias("_wu"),
+    )
+    per_doc = (
+        toks.join(w, "_fid", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("_wu").alias("n_matched"),
+            F.coalesce(F.sum("_wu"), F.lit(0)).alias("_su"),
+        )
+    )
+    logit = F.lit(float(bias)) + F.col("_su") / (
+        F.lit(float(quantum)) * F.col("n_tokens")
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "n_matched",
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
     )

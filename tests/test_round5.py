@@ -2470,3 +2470,50 @@ def test_pagerank_validates(spark):
         pagerank(df, damping=1.5)
     with pytest.raises(ValueError, match="n_iter"):
         pagerank(df, n_iter=0)
+
+
+def _tok_hash_ref(tok):
+    h = 0
+    for i, b in enumerate(tok.encode("utf-8")):
+        h = (h + b * pow(31, i, 1 << 64)) % (1 << 64)
+    return h
+
+
+def test_token_hash64_parity(spark):
+    from gfp_gdal_spark.functions.text import token_hash64
+
+    toks = ["", "a", "table", "zzzzzzzzzzzzzzzz", "héllo", "x" * 40]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(toks)], "i long, t string")
+    got = {r["i"]: r["h"] for r in df.select("i", token_hash64(F.col("t")).alias("h")).collect()}
+    for i, t in enumerate(toks):
+        want = _tok_hash_ref(t)
+        assert got[i] % (1 << 64) == want, (t, got[i], want)
+
+
+def test_lr_quality_score_bruteforce(spark):
+    from gfp_gdal_spark.operators.curation import lr_quality_score
+
+    vocab = [("table", 0.4), ("slow", -0.6), ("fast", 0.5), ("scan", -0.1)]
+    wdf = spark.createDataFrame(vocab, "token string, weight double")
+    docs = [
+        (0, "table scan fast"),
+        (1, "slow slow query"),
+        (2, "nothing matches here"),
+        (3, "Table FAST"),  # lowercased on both sides
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in lr_quality_score(df, wdf, bias=0.1).collect()
+    }
+    wmap = dict(vocab)
+    for d, txt in docs:
+        toks = [t for t in txt.lower().split(" ") if t]
+        su = sum(round(wmap[t] * 1e6) for t in toks if t in wmap)
+        logit = 0.1 + su / (1e6 * len(toks))
+        assert got[d]["n_tokens"] == len(toks)
+        assert got[d]["n_matched"] == sum(t in wmap for t in toks)
+        assert abs(got[d]["logit"] - logit) < 1e-15, (d, got[d], logit)
+        import math
+
+        assert abs(got[d]["score"] - 1 / (1 + math.exp(-logit))) < 1e-12
