@@ -1079,6 +1079,29 @@ def _q_crop(spark, sf):
     )
 
 
+def _q_verify_pairs(spark, sf):
+    """The north_rule's per-row verification invariant as an operator:
+    a qnt transcode of the 300-image corpus verified against the
+    originals — decoded-pixel PSNR>=40dB gate evaluated in EXACT int64
+    (sq_err * 10^4 <= 255^2 * n_values, no log), caption equality, and
+    pixel_exact for the idempotent re-quantization rows. Captions are
+    edited on every 10th image so caption_match=false is exercised in
+    the certified row. Oracle: the synth-pixel closed form re-quantized
+    in SQL (qnt decode = floor(v/4)*4+2) -> identical integer algebra."""
+    _prep(spark)
+    from gfp_gdal_spark.operators.multimodal import reencode_images, verify_pairs
+
+    imgs = datagen.images_table(spark, 300, with_bytes=True)
+    cand = reencode_images(imgs, "qnt").withColumn(
+        "caption",
+        F.when(
+            F.substring("image_id", 4, 8).cast("long") % 10 == 0,
+            F.concat(F.col("caption"), F.lit(" [edited]")),
+        ).otherwise(F.col("caption")),
+    )
+    return verify_pairs(cand, imgs, psnr_db=40.0)
+
+
 def _q_sample_raster(spark, sf):
     """gdallocationinfo analog: 5 deterministic probes per synthetic
     image; the oracle replays the synth-pixel closed form at the
@@ -2747,6 +2770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-unchanged by the round-5 clip additions, and centroid +
         # clip exercise geometry.py/transforms.py/geom.py in-window ---
         "convex_hull": _q_convex_hull,
+        # verify_pairs (NEW, late round 5) lands at the head of the
+        # tail: the 50-slot window is fully occupied by first-time
+        # round-5 certifications; it is check_oracles-green locally
+        # (see ORACLES_LOCAL_r05.md) with exact-integer algebra and
+        # full pytest coverage (tests/test_multimodal.py).
+        "verify_pairs": _q_verify_pairs,
         # sample_per_group / sessionize (plain paths) rotate out under
         # the shared-oracle rule: their _sharded twins stay in-window
         # certified vs the IDENTICAL SQL, and plain-vs-sharded
@@ -4660,6 +4689,25 @@ def oracle_sql() -> dict[str, str]:
             FROM pix
             WHERE y >= 1 AND y < 9 AND x >= 2 AND x < 10
             GROUP BY image_id
+        """,
+        "verify_pairs": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=299) + """
+            , d AS (
+              SELECT i, image_id, w, h,
+                     CAST(sum(
+                         (floor(r/4)*4+2 - r) * (floor(r/4)*4+2 - r)
+                       + (floor(g/4)*4+2 - g) * (floor(g/4)*4+2 - g)
+                       + (floor(b/4)*4+2 - b) * (floor(b/4)*4+2 - b)
+                     ) AS BIGINT) AS sq_err
+              FROM pix GROUP BY i, image_id, w, h
+            )
+            SELECT image_id,
+                   TRUE AS shape_match,
+                   (i % 10 <> 0) AS caption_match,
+                   CAST(w * h * 3 AS BIGINT) AS n_values,
+                   sq_err,
+                   (sq_err * 10000 <= 65025 * w * h * 3) AS psnr_ok,
+                   (sq_err = 0) AS pixel_exact
+            FROM d
         """,
         "sample_raster": "WITH " + _SQL_IMG_PIXELS.format(n_minus_1=299) + """
             , reqs AS (

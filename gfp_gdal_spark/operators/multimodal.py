@@ -28,6 +28,7 @@ __all__ = [
     "image_ahash",
     "decode_ahash_stage",
     "decode_frame_sample",
+    "verify_pairs",
 ]
 
 _PNM_FMTS = ("ppm", "pgm")
@@ -345,6 +346,106 @@ def decode_frame_sample(
             )
 
     return videos.mapInPandas(op, schema)
+
+
+_VERIFY_SCHEMA = (
+    "image_id string, shape_match boolean, caption_match boolean, "
+    "n_values long, sq_err long, psnr_ok boolean, pixel_exact boolean"
+)
+
+
+def verify_pairs(cand: DataFrame, ref: DataFrame, psnr_db: float = 40.0) -> DataFrame:
+    """The north_rule's per-row verification invariant as a first-class
+    operator: compare a CANDIDATE image table against a REFERENCE table
+    row-by-row — decoded-pixel PSNR >= ``psnr_db`` (the BASELINE.json
+    "decoded-pixel allclose, PSNR>=40dB for lossy formats" gate) plus
+    caption equality. This is the tool a user runs to certify a
+    re-encoded / transcoded / migrated corpus against the original
+    pipeline's output (the reference's golden-fixture check,
+    gdal_nodes.cpp:296-341 re-encode leg).
+
+    Per matched image_id emits: shape_match (w/h equal), caption_match,
+    n_values (pixel-channel count compared), sq_err (EXACT int64 sum of
+    squared channel differences), psnr_ok, pixel_exact (sq_err == 0).
+    The PSNR gate is evaluated without computing a log: PSNR >= T
+    <=> sq_err * 10^(T/10) <= 255^2 * n_values — for integral
+    10^(T/10) (every multiple-of-10 dB threshold, incl. the default
+    40) both sides are exact int64, so the verdict is bit-reproducible
+    across engines. Shape-mismatched pairs skip decode and report
+    psnr_ok = false. Gray-vs-color pairs compare in 3-channel space
+    (gray broadcast, the GDAL band-expansion convention).
+
+    Scale: ONE image_id equi-join (AQE-broadcast when one side is
+    small) then shuffle-free whole-batch decode per uniform
+    (fmt_a, fmt_b, w, h) group — no per-image Python."""
+    a = cand.select(
+        "image_id",
+        F.col("bytes").alias("bytes_a"),
+        F.col("fmt").alias("fmt_a"),
+        F.col("w").alias("w_a"),
+        F.col("h").alias("h_a"),
+        F.col("caption").alias("caption_a"),
+    )
+    b = ref.select(
+        "image_id",
+        F.col("bytes").alias("bytes_b"),
+        F.col("fmt").alias("fmt_b"),
+        F.col("w").alias("w_b"),
+        F.col("h").alias("h_b"),
+        F.col("caption").alias("caption_b"),
+    )
+    factor = 10.0 ** (psnr_db / 10.0)
+    int_gate = float(factor).is_integer()
+    ifactor = int(factor) if int_gate else 0
+
+    def op(batches):
+        for pdf in batches:
+            n = len(pdf)
+            wa = pdf["w_a"].to_numpy()
+            ha = pdf["h_a"].to_numpy()
+            sm = (wa == pdf["w_b"].to_numpy()) & (ha == pdf["h_b"].to_numpy())
+            sq = np.zeros(n, np.int64)
+            nv = np.zeros(n, np.int64)
+            pos = np.flatnonzero(sm)
+            sub = pdf.iloc[pos]
+            for (fa, fb, w, h), idx in sub.groupby(
+                ["fmt_a", "fmt_b", "w_a", "h_a"], sort=False
+            ).indices.items():
+                rows = pos[idx]
+                pa = _codec.decode_group(
+                    [bytes(x) for x in pdf["bytes_a"].iloc[rows]], fa, int(w), int(h)
+                )
+                pb = _codec.decode_group(
+                    [bytes(x) for x in pdf["bytes_b"].iloc[rows]], fb, int(w), int(h)
+                )
+                if pa.ndim != pb.ndim:  # gray vs color: broadcast gray
+                    if pa.ndim == 3:
+                        pa = np.repeat(pa[..., None], 3, axis=-1)
+                    else:
+                        pb = np.repeat(pb[..., None], 3, axis=-1)
+                d = pa.astype(np.int64) - pb.astype(np.int64)
+                g = d.shape[0]
+                sq[rows] = (d * d).reshape(g, -1).sum(axis=1)
+                nv[rows] = int(np.prod(d.shape[1:], dtype=np.int64))
+            if int_gate:
+                ok = sm & (sq * ifactor <= 65025 * nv)
+            else:
+                ok = sm & (sq.astype(np.float64) * factor <= 65025.0 * nv)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].astype(str),
+                    "shape_match": sm,
+                    "caption_match": (
+                        pdf["caption_a"].astype(str) == pdf["caption_b"].astype(str)
+                    ).to_numpy(),
+                    "n_values": nv,
+                    "sq_err": sq,
+                    "psnr_ok": ok,
+                    "pixel_exact": sm & (sq == 0),
+                }
+            )
+
+    return a.join(b, "image_id").mapInPandas(op, _VERIFY_SCHEMA)
 
 
 _AUG_OPS = ("none", "hflip", "vflip", "rot180", "rot90", "rot270", "transpose")

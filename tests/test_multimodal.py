@@ -146,3 +146,49 @@ def test_decode_ahash_stage(spark, images):
     got = out.set_index("image_id")["ahash"]
     assert got.sort_index().equals(ref.sort_index())
     assert set(out.columns) == {"image_id", "w", "h", "phash", "ahash"}
+
+
+def test_verify_pairs_lossless_and_lossy(spark, images):
+    """north_rule invariant operator: a qnt transcode of the corpus
+    passes PSNR>=40 everywhere; lossless rows are pixel_exact; the
+    exact int64 sq_err matches a numpy reference per image."""
+    cand = MM.reencode_images(images, "qnt")
+    v = MM.verify_pairs(cand, images).toPandas().set_index("image_id")
+    assert len(v) == N
+    assert v["shape_match"].all() and v["caption_match"].all()
+    assert v["psnr_ok"].all()  # qnt bin error is ~1.25 MSE << 6.5025
+    # qnt-encoded originals re-quantize idempotently -> pixel_exact
+    orig = {r["image_id"]: r for r in images.collect()}
+    for iid, row in v.iterrows():
+        o = orig[iid]
+        p0 = C.decode_image(bytes(o["bytes"]), o["fmt"])
+        p1 = C.decode_image(C.encode_image(p0, "qnt"), "qnt")
+        sq = int(((p0.astype(np.int64) - p1.astype(np.int64)) ** 2).sum())
+        assert int(row["sq_err"]) == sq, iid
+        assert int(row["n_values"]) == p0.size, iid
+        assert bool(row["pixel_exact"]) == (sq == 0), iid
+        if o["fmt"] == "qnt":
+            assert bool(row["pixel_exact"]), iid
+
+
+def test_verify_pairs_detects_mismatches(spark, images):
+    """Shape, caption and pixel divergences are each flagged: a resized
+    candidate fails shape_match; a caption edit fails caption_match; a
+    pixel-mangled candidate fails psnr_ok at a strict threshold."""
+    small = images.limit(12)
+    # shape mismatch: resize the candidate
+    v1 = MM.verify_pairs(MM.resize_images(small, 8, 8), small).toPandas()
+    assert (~v1["shape_match"]).all() and (~v1["psnr_ok"]).all()
+    assert (v1["n_values"] == 0).all()
+    # caption mismatch only
+    cap = small.withColumn("caption", F.concat(F.col("caption"), F.lit("!")))
+    v2 = MM.verify_pairs(cap, small).toPandas()
+    assert (~v2["caption_match"]).all() and v2["psnr_ok"].all()
+    assert v2["pixel_exact"].all()
+    # pixel divergence: equalize mangles values; demand PSNR >= 50
+    eq = MM.equalize_images(small.where(F.col("fmt") == "ppm")).withColumn(
+        "caption", F.lit("x")
+    )
+    ref_g = small.where(F.col("fmt") == "ppm")
+    v3 = MM.verify_pairs(eq, ref_g, psnr_db=50.0).toPandas()
+    assert len(v3) > 0 and (~v3["psnr_ok"]).all()  # gray-vs-color leg too
