@@ -2559,6 +2559,20 @@ def _q_hillshade(spark, sf):
     )
 
 
+def _q_terrain(spark, sf):
+    """gdaldem TRI/TPI/roughness (Riley TRI via the sum/square-sum
+    decomposition — no per-pair differences) on the closed-form grid;
+    the oracle replays the identical scatter -> single-agg -> exact
+    integer algebra in SQL. All inner terms are exact integers, so
+    tri/tpi are bit-reproducible (sqrt / power-of-two division of
+    exact values)."""
+    from gfp_gdal_spark.operators.map_algebra import terrain_ruggedness
+
+    _prep(spark)
+    g = _grid_fixture(spark, sf, max_key=100)
+    return terrain_ruggedness(g, key="c_custkey", row="r", col="c", val="z")
+
+
 def _q_zonal_stats(spark, sf):
     """ZONAL statistics — the raster->vector bridge: order points
     (integer-valued z) aggregated per customer-rect zone through the
@@ -2776,6 +2790,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (see ORACLES_LOCAL_r05.md) with exact-integer algebra and
         # full pytest coverage (tests/test_multimodal.py).
         "verify_pairs": _q_verify_pairs,
+        # terrain (NEW, late round 5: gdaldem TRI/TPI/roughness) — same
+        # placement rationale as verify_pairs: locally oracle-green
+        # (ORACLES_LOCAL_r05.md), in-window siblings focal_stats /
+        # hillshade exercise map_algebra.py's scatter kernel.
+        "terrain": _q_terrain,
         # sample_per_group / sessionize (plain paths) rotate out under
         # the shared-oracle rule: their _sharded twins stay in-window
         # certified vs the IDENTICAL SQL, and plain-vs-sharded
@@ -4357,6 +4376,37 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY k, r, c
             HAVING count(*) = 9
+        """,
+        "terrain": """
+            -- scatter replay; TRI via the exact sum/square-sum
+            -- decomposition (all integer-valued), TPI /8 exact,
+            -- roughness = full-window max-min
+            WITH g AS (
+              SELECT c_custkey AS k, tr.r AS r, tc.c AS c,
+                     CAST((tr.r*31 + tc.c*17 + c_custkey) % 97 AS DOUBLE) AS z
+              FROM customer, range(0,16) tr(r), range(0,16) tc(c)
+              WHERE c_custkey <= 100
+            ),
+            s AS (
+              SELECT g.k, g.r + o.dr AS r, g.c + o.dc AS c, g.z, o.dr, o.dc
+              FROM g, (SELECT a.dr, b.dc
+                       FROM (VALUES (-1),(0),(1)) a(dr),
+                            (VALUES (-1),(0),(1)) b(dc)) o
+            ),
+            a AS (
+              SELECT k, r, c,
+                     count(*) AS n, sum(z) AS sv, sum(z*z) AS ss,
+                     min(z) AS mn, max(z) AS mx,
+                     max(CASE WHEN dr=0 AND dc=0 THEN z END) AS zc
+              FROM s GROUP BY k, r, c
+              HAVING count(*) = 9
+            )
+            SELECT k AS c_custkey, r, c,
+                   n - 1 AS n_nbrs,
+                   sqrt((ss - zc*zc) - 2*zc*(sv - zc) + (n-1)*zc*zc) AS tri,
+                   zc - (sv - zc) / CAST(n - 1 AS DOUBLE) AS tpi,
+                   mx - mn AS roughness
+            FROM a
         """,
         "hillshade": """
             -- Horn gradient sums (exact integer arithmetic / 8*cs),

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "focal_stats",
     "slope_hillshade",
+    "terrain_ruggedness",
     "zonal_stats",
     "band_index_stats",
     "idw_grid",
@@ -176,6 +177,68 @@ def slope_hillshade(
         slope.alias("slope_rad"),
         aspect.alias("aspect_rad"),
         F.greatest(shade, F.lit(0.0)).alias("hillshade"),
+    )
+
+
+def terrain_ruggedness(
+    grid: DataFrame,
+    key: str = "image_id",
+    row: str = "r",
+    col: str = "c",
+    val: str = "z",
+    interior_only: bool = True,
+) -> DataFrame:
+    """The remaining `gdaldem` terrain-index triple — TRI, TPI and
+    roughness — over a gridded elevation table (with
+    ``slope_hillshade`` this completes the gdaldem analytic suite):
+
+    - ``tri``       — Riley (1999) Terrain Ruggedness Index, gdaldem's
+      default: sqrt(sum over the 8 neighbors of (z_n - z_c)^2).
+      Decomposed as Sq - 2*z_c*S + k*z_c^2 with S = neighbor sum and
+      Sq = neighbor square-sum, so it needs NO per-pair difference —
+      plain sum / sum-of-squares aggregates (exact for integral z up
+      to 2^53; the sqrt is one deterministic IEEE op on an exact
+      integer).
+    - ``tpi``       — Topographic Position Index: z_c - mean(8
+      neighbors); the /8 of a full window is a power-of-two division,
+      so interior TPI is exact too.
+    - ``roughness`` — max - min of the full 3x3 window INCLUDING the
+      center (the gdaldem convention), exact.
+
+    Same single-shuffle scatter plan as ``focal_stats`` (one explode +
+    ONE map-side-combined hash aggregate; the center's own value rides
+    the self row, so no join back to the grid). ``interior_only=False``
+    keeps edge cells with their honest partial-window indices and
+    ``n_nbrs`` count."""
+    d = _scatter(grid, key, row, col, val, 1)
+    is_self = (F.col("_dr") == 0) & (F.col("_dc") == 0)
+    agg = (
+        d.groupBy(key, row, col)
+        .agg(
+            F.count(val).alias("_n"),
+            F.sum(val).alias("_s"),
+            F.sum(F.col(val) * F.col(val)).alias("_ss"),
+            F.min(val).alias("_mn"),
+            F.max(val).alias("_mx"),
+            F.max(F.when(is_self, F.col(val))).alias("_z"),
+            F.max(F.when(is_self, 1).otherwise(0)).alias("_is_cell"),
+        )
+        .where(F.col("_is_cell") == 1)
+    )
+    if interior_only:
+        agg = agg.where(F.col("_n") == 9)
+    z = F.col("_z")
+    k = (F.col("_n") - 1).cast("double")
+    ns = F.col("_s") - z
+    nq = F.col("_ss") - z * z
+    return agg.select(
+        key,
+        row,
+        col,
+        (F.col("_n") - 1).alias("n_nbrs"),
+        F.sqrt(nq - F.lit(2.0) * z * ns + k * z * z).alias("tri"),
+        (z - ns / k).alias("tpi"),
+        (F.col("_mx") - F.col("_mn")).alias("roughness"),
     )
 
 

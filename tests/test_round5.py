@@ -521,6 +521,42 @@ def test_slope_hillshade_bruteforce(spark):
         assert abs(row["hillshade"] - shade) < 1e-6
 
 
+def test_terrain_ruggedness_bruteforce(spark):
+    from gfp_gdal_spark.operators.map_algebra import terrain_ruggedness
+
+    df, grids = _rand_grid(spark, 37, nk=2, h=9, w=10)
+    out = terrain_ruggedness(df, interior_only=False).collect()
+    h, w = next(iter(grids.values())).shape
+    assert len(out) == len(grids) * h * w
+    for row in out:
+        z = grids[row["image_id"]]
+        r, c = row["r"], row["c"]
+        win = z[max(0, r - 1): r + 2, max(0, c - 1): c + 2]
+        zc = z[r, c]
+        nbrs = np.array([
+            z[r + dr, c + dc]
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+            if (dr, dc) != (0, 0)
+            and 0 <= r + dr < h and 0 <= c + dc < w
+        ])
+        assert row["n_nbrs"] == nbrs.size
+        assert abs(row["tri"] - np.sqrt(((nbrs - zc) ** 2).sum())) < 1e-9
+        assert abs(row["tpi"] - (zc - nbrs.mean())) < 1e-9
+        assert row["roughness"] == win.max() - win.min()
+    interior = terrain_ruggedness(df).collect()
+    assert len(interior) == len(grids) * (h - 2) * (w - 2)
+    assert all(r["n_nbrs"] == 8 for r in interior)
+
+
+def test_terrain_ruggedness_single_shuffle(spark):
+    from gfp_gdal_spark.operators.map_algebra import terrain_ruggedness
+
+    df, _ = _rand_grid(spark, 2, nk=1, h=4, w=4)
+    plan = terrain_ruggedness(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_zonal_stats_bruteforce(spark):
     from gfp_gdal_spark.operators.map_algebra import zonal_stats
 
