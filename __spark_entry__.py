@@ -2346,6 +2346,47 @@ def _q_track_stats(spark, sf):
     )
 
 
+def _q_interp_track(spark, sf):
+    """Position-at-time interpolation over the event fixes, certified
+    through the hot-track bucketed cascade (time_bucket=3600; the
+    plain path is pytest-asserted bit-identical). Query times: exact
+    hits (+0), interior offsets (+12.5 s), and far-future probes
+    (+1e9 -> in_range=false). The oracle replays the bracket choice
+    ((ts, event_id)-lexicographic) and the identical interpolation
+    arithmetic."""
+    from gfp_gdal_spark.operators.tracks import interpolate_track
+
+    _prep(spark)
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"),
+        _lon(F.col("event_id")).alias("lon"),
+        _lat(F.col("event_id")).alias("lat"),
+    )
+    q = e.where(F.col("event_id") % 7 == 0).select(
+        "user_id",
+        (
+            F.col("tsec")
+            + F.when(F.col("event_id") % 3 == 0, F.lit(0.0))
+            .when(F.col("event_id") % 3 == 1, F.lit(12.5))
+            .otherwise(F.lit(1e9))
+        ).alias("tsec"),
+        F.col("event_id").alias("query_id"),
+    )
+    return interpolate_track(
+        e,
+        q,
+        track="user_id",
+        ts="tsec",
+        lon="lon",
+        lat="lat",
+        qid="query_id",
+        tiebreak="event_id",
+        time_bucket=3600.0,
+    )
+
+
 def _q_track_stats_bucketed(spark, sf):
     """The hot-track execution path (time_bucket=600 s) certified
     against the IDENTICAL oracle as track_stats — the bucketed
@@ -2795,6 +2836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ORACLES_LOCAL_r05.md), in-window siblings focal_stats /
         # hillshade exercise map_algebra.py's scatter kernel.
         "terrain": _q_terrain,
+        # interp_track (NEW, late round 5: position-at-time over the
+        # hot-track bucketed cascade) — locally oracle-green; its
+        # module sibling track_stats_bucketed sits in-window.
+        "interp_track": _q_interp_track,
         # sample_per_group / sessionize (plain paths) rotate out under
         # the shared-oracle rule: their _sharded twins stay in-window
         # certified vs the IDENTICAL SQL, and plain-vs-sharded
@@ -4281,6 +4326,50 @@ def oracle_sql() -> dict[str, str]:
                                    / (max(tsec) - min(tsec)), 6)
                    END AS avg_speed_ms
             FROM g GROUP BY user_id
+        """,
+        "interp_track": f"""
+            WITH e AS (
+              SELECT user_id, event_id, epoch(ts) AS tsec,
+                     {_SQL_LON.format(k='event_id')} AS lon,
+                     {_SQL_LAT.format(k='event_id')} AS lat
+              FROM events
+            ),
+            q AS (
+              SELECT user_id, event_id AS query_id,
+                     tsec + CASE event_id % 3 WHEN 0 THEN 0.0
+                                              WHEN 1 THEN 12.5
+                                              ELSE 1e9 END AS qts
+              FROM e WHERE event_id % 7 = 0
+            ),
+            b0 AS (
+              SELECT query_id, tsec AS t0, lon AS lon0, lat AS lat0 FROM (
+                SELECT q.query_id, f.tsec, f.lon, f.lat,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY f.tsec DESC, f.event_id DESC) AS rn
+                FROM q JOIN e f
+                  ON f.user_id = q.user_id AND f.tsec <= q.qts
+              ) WHERE rn = 1
+            ),
+            b1 AS (
+              SELECT query_id, tsec AS t1, lon AS lon1, lat AS lat1 FROM (
+                SELECT q.query_id, f.tsec, f.lon, f.lat,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY f.tsec ASC, f.event_id ASC) AS rn
+                FROM q JOIN e f
+                  ON f.user_id = q.user_id AND f.tsec > q.qts
+              ) WHERE rn = 1
+            )
+            SELECT q.user_id, q.query_id, q.qts AS tsec,
+                   CASE WHEN t0 = qts THEN lon0
+                        WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                        THEN lon0 + (lon1 - lon0) * ((qts - t0) / (t1 - t0))
+                   END AS lon,
+                   CASE WHEN t0 = qts THEN lat0
+                        WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                        THEN lat0 + (lat1 - lat0) * ((qts - t0) / (t1 - t0))
+                   END AS lat,
+                   (t0 IS NOT NULL AND (t0 = qts OR t1 IS NOT NULL)) AS in_range
+            FROM q LEFT JOIN b0 USING (query_id) LEFT JOIN b1 USING (query_id)
         """,
         "track_stats": f"""
             WITH e AS (

@@ -20,7 +20,162 @@ from pyspark.sql import functions as F
 
 from gfp_gdal_spark.functions.geometry import haversine_m
 
-__all__ = ["track_stats"]
+__all__ = ["track_stats", "interpolate_track"]
+
+
+def interpolate_track(
+    fixes: DataFrame,
+    queries: DataFrame,
+    track: str = "track_id",
+    ts: str = "ts",
+    lon: str = "lon",
+    lat: str = "lat",
+    qid: str = "query_id",
+    tiebreak: str | None = None,
+    time_bucket: float | None = None,
+) -> DataFrame:
+    """Position-at-time lookup over GPS/AIS/flight tracks: for every
+    query row (track, qid, ts) find the bracketing fixes and linearly
+    interpolate (lon, lat) — the trajectory complement of ``asof_join``
+    (which carries the PREVIOUS value; interpolation needs BOTH
+    brackets). Standard use: align fix streams to frame timestamps,
+    sensor fusion, map-matching preprocessing.
+
+    Semantics (deterministic): the backward bracket is the fix with
+    the greatest (ts[, tiebreak]) <= query ts; the forward bracket the
+    least (ts[, tiebreak]) > query ts. A query exactly on a fix time
+    returns that fix's position (even when it is the last fix).
+    Queries before the first or after the last fix emit NULL lon/lat
+    with ``in_range = false`` (fail-visible, no extrapolation).
+    Longitude interpolates linearly — tracks crossing the antimeridian
+    must be unwrapped upstream (documented limitation; same convention
+    as linear lon handling elsewhere in the engine). With duplicate
+    fix timestamps pass ``tiebreak`` so the bracket choice is
+    deterministic.
+
+    Plain path: ONE shuffle — fixes and queries union into one
+    (track)-partitioned window; the backward bracket is a running
+    ``last`` carry and the forward a ``first`` over the following
+    frame (fix rows sort BEFORE query rows at equal ts, so exact hits
+    resolve to the fix).
+
+    Hot-track execution (``time_bucket=w``, the sessionize/track_stats
+    cascade): local brackets inside each (track, floor(ts/w)) bucket
+    (widest window partition = one bucket), then per-bucket carry-in /
+    carry-out fixes from a summary cascade over O(#buckets) rows per
+    track — queried-but-empty buckets are unioned into the summary so
+    their carries resolve; BIT-identical to the plain path for any
+    width."""
+    from pyspark.sql import Window
+
+    qdt = queries.schema[qid].dataType
+    fix_fields = [F.col(ts).alias("_ts")]
+    order = [F.col(ts).asc(), F.col("_isfix").desc()]
+    fcols = [track, ts, lon, lat]
+    if tiebreak is not None:
+        fix_fields.append(F.col(tiebreak).alias("_tb"))
+        order.append(F.col(tiebreak).asc())
+        fcols.append(tiebreak)
+    fix_fields += [F.col(lon).alias("_lon"), F.col(lat).alias("_lat")]
+
+    fx = fixes.select(*fcols).withColumns(
+        {"_isfix": F.lit(1), qid: F.lit(None).cast(qdt)}
+    )
+    qx = queries.select(track, ts, qid).withColumns(
+        {
+            "_isfix": F.lit(0),
+            lon: F.lit(None).cast("double"),
+            lat: F.lit(None).cast("double"),
+            **(
+                {tiebreak: F.lit(None).cast(fixes.schema[tiebreak].dataType)}
+                if tiebreak is not None
+                else {}
+            ),
+        }
+    )
+    u = fx.unionByName(qx)
+    fix = F.when(F.col("_isfix") == 1, F.struct(*fix_fields))
+
+    if time_bucket is None:
+        w = Window.partitionBy(track).orderBy(*order)
+        d = u.withColumns(
+            {
+                "_f0": F.last(fix, ignorenulls=True).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                "_f1": F.first(fix, ignorenulls=True).over(
+                    w.rowsBetween(0, Window.unboundedFollowing)
+                ),
+            }
+        )
+        q = d.where(F.col("_isfix") == 0)
+    else:
+        if time_bucket <= 0:
+            raise ValueError(f"time_bucket must be positive, got {time_bucket}")
+        u = u.withColumn("_bkt", F.floor(F.col(ts) / F.lit(float(time_bucket))))
+        w_local = Window.partitionBy(track, "_bkt").orderBy(*order)
+        d = u.withColumns(
+            {
+                "_l0": F.last(fix, ignorenulls=True).over(
+                    w_local.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                "_l1": F.first(fix, ignorenulls=True).over(
+                    w_local.rowsBetween(0, Window.unboundedFollowing)
+                ),
+            }
+        )
+        fsum = (
+            u.where(F.col("_isfix") == 1)
+            .groupBy(track, "_bkt")
+            .agg(
+                F.min(F.struct(*fix_fields)).alias("_first"),
+                F.max(F.struct(*fix_fields)).alias("_last"),
+            )
+        )
+        # queried-but-fixless buckets must still resolve carries
+        buckets = (
+            u.select(track, "_bkt").distinct().join(fsum, [track, "_bkt"], "left")
+        )
+        w_b = Window.partitionBy(track).orderBy(F.col("_bkt").asc())
+        carries = buckets.withColumns(
+            {
+                "_cin": F.max("_last").over(
+                    w_b.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                "_cout": F.min("_first").over(
+                    w_b.rowsBetween(1, Window.unboundedFollowing)
+                ),
+            }
+        ).select(track, "_bkt", "_cin", "_cout")
+        q = (
+            d.where(F.col("_isfix") == 0)
+            .join(carries, [track, "_bkt"], "left")
+            .withColumns(
+                {
+                    "_f0": F.coalesce(F.col("_l0"), F.col("_cin")),
+                    "_f1": F.coalesce(F.col("_l1"), F.col("_cout")),
+                }
+            )
+        )
+
+    f0, f1 = F.col("_f0"), F.col("_f1")
+    exact = f0.isNotNull() & (f0["_ts"] == F.col(ts))
+    ok = exact | (f0.isNotNull() & f1.isNotNull())
+    frac = (F.col(ts) - f0["_ts"]) / (f1["_ts"] - f0["_ts"])
+    lon_i = F.when(exact, f0["_lon"]).otherwise(
+        F.when(ok, f0["_lon"] + (f1["_lon"] - f0["_lon"]) * frac)
+    )
+    lat_i = F.when(exact, f0["_lat"]).otherwise(
+        F.when(ok, f0["_lat"] + (f1["_lat"] - f0["_lat"]) * frac)
+    )
+    return q.select(
+        track,
+        qid,
+        F.col(ts),
+        lon_i.alias(lon),
+        lat_i.alias(lat),
+        ok.alias("in_range"),
+    )
 
 
 def _leg_mm(plon, plat, lon: str, lat: str):

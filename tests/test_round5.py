@@ -817,6 +817,88 @@ def test_track_stats_bruteforce(spark):
     assert len(out) == 6
 
 
+def _interp_ref(fixes, tq):
+    """Python reference: fixes = sorted [(ts, seq, lon, lat)]."""
+    back = [f for f in fixes if f[0] <= tq]
+    fwd = [f for f in fixes if f[0] > tq]
+    f0 = max(back) if back else None
+    f1 = min(fwd) if fwd else None
+    if f0 is not None and f0[0] == tq:
+        return f0[2], f0[3], True
+    if f0 is None or f1 is None:
+        return None, None, False
+    fr = (tq - f0[0]) / (f1[0] - f0[0])
+    return f0[2] + (f1[2] - f0[2]) * fr, f0[3] + (f1[3] - f0[3]) * fr, True
+
+
+def test_interpolate_track_bruteforce(spark):
+    from gfp_gdal_spark.operators.tracks import interpolate_track
+
+    rng = np.random.default_rng(41)
+    fix_rows, q_rows, by_track = [], [], {}
+    for t in range(5):
+        npts = [1, 2, 6, 10, 4][t]
+        tsec = np.sort(rng.choice(np.arange(0, 900), npts, replace=False)).astype(float)
+        if t == 3:  # duplicate-timestamp pair -> tiebreak decides
+            tsec[4] = tsec[3]
+        fs = []
+        for i in range(npts):
+            f = (float(tsec[i]), i, float(rng.uniform(-170, 170)),
+                 float(rng.uniform(-80, 80)))
+            fs.append(f)
+            fix_rows.append((f"t{t}", f[0], f[2], f[3], i))
+        by_track[f"t{t}"] = sorted(fs)
+        # queries: interior, exact-hit, before-first, after-last
+        qts = [float(tsec[0]) - 5.0, float(tsec[-1]) + 5.0, float(tsec[0])]
+        qts += [float(x) for x in rng.uniform(tsec[0], tsec[-1], 6)]
+        for j, tq in enumerate(qts):
+            q_rows.append((f"t{t}", tq, t * 100 + j))
+    fx = spark.createDataFrame(
+        fix_rows, "track_id string, ts double, lon double, lat double, seq int"
+    )
+    qx = spark.createDataFrame(q_rows, "track_id string, ts double, query_id long")
+    out = interpolate_track(fx, qx, tiebreak="seq").collect()
+    assert len(out) == len(q_rows)
+    for r in out:
+        lo, la, ok = _interp_ref(by_track[r["track_id"]], r["ts"])
+        assert r["in_range"] == ok, r
+        if ok:
+            assert r["lon"] == lo and r["lat"] == la, r
+        else:
+            assert r["lon"] is None and r["lat"] is None
+
+
+@pytest.mark.parametrize("width", [7.0, 100.0, 1e6])
+def test_interpolate_track_bucketed_parity(spark, width):
+    """Hot-track cascade is BIT-identical to the plain path for any
+    bucket width, incl. a planted hot track and empty queried buckets."""
+    from gfp_gdal_spark.operators.tracks import interpolate_track
+
+    rng = np.random.default_rng(53)
+    fix_rows, q_rows = [], []
+    for t in range(3):
+        npts = 200 if t == 0 else 8  # planted hot track
+        tsec = np.sort(rng.choice(np.arange(0, 3000), npts, replace=False)).astype(float)
+        for i in range(npts):
+            fix_rows.append((f"t{t}", float(tsec[i]),
+                             float(rng.uniform(-170, 170)),
+                             float(rng.uniform(-80, 80)), i))
+        for j, tq in enumerate(
+            list(rng.uniform(-100, 3100, 25)) + [float(tsec[0]), float(tsec[-1])]
+        ):
+            q_rows.append((f"t{t}", float(tq), t * 1000 + j))
+    fx = spark.createDataFrame(
+        fix_rows, "track_id string, ts double, lon double, lat double, seq int"
+    )
+    qx = spark.createDataFrame(q_rows, "track_id string, ts double, query_id long")
+    plain = {r["query_id"]: r for r in interpolate_track(fx, qx, tiebreak="seq").collect()}
+    buck = interpolate_track(fx, qx, tiebreak="seq", time_bucket=width).collect()
+    assert len(buck) == len(plain)
+    for r in buck:
+        p = plain[r["query_id"]]
+        assert (r["lon"], r["lat"], r["in_range"]) == (p["lon"], p["lat"], p["in_range"]), r
+
+
 def test_track_stats_single_shuffle(spark):
     from gfp_gdal_spark.operators.tracks import track_stats
 
