@@ -2639,6 +2639,24 @@ def _q_zonal_stats(spark, sf):
     )
 
 
+def _q_zonal_mode(spark, sf):
+    """Zonal MAJORITY (categorical label transfer): order points carry
+    a 7-class label; per customer-rect zone the dominant class wins,
+    count ties -> smallest value (deterministic). Oracle = the same
+    containment theta-join + per-(zone,val) counts + the identical
+    (count, -value)-lexicographic argmax."""
+    from gfp_gdal_spark.operators.map_algebra import zonal_mode
+
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey").withColumn(
+        "z", (F.col("o_orderkey") % 7).cast("double")
+    )
+    polys = _rects_from_customer(_t(spark, sf, "customer"))
+    return zonal_mode(
+        pts, polys, zone_id="c_custkey", z=4, holes=None, broadcast=True
+    )
+
+
 def _q_weighted_sample_pg(spark, sf):
     """Efraimidis-Spirakis deterministic weighted sampling (4 per
     customer, weight = order totalprice): the DuckDB oracle evaluates
@@ -2840,6 +2858,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hot-track bucketed cascade) — locally oracle-green; its
         # module sibling track_stats_bucketed sits in-window.
         "interp_track": _q_interp_track,
+        # zonal_mode (NEW, late round 5: categorical majority zonal
+        # statistic) — locally oracle-green; zonal_stats exercises the
+        # shared pip_join stage in-window.
+        "zonal_mode": _q_zonal_mode,
         # sample_per_group / sessionize (plain paths) rotate out under
         # the shared-oracle rule: their _sharded twins stay in-window
         # certified vs the IDENTICAL SQL, and plain-vs-sharded
@@ -4555,6 +4577,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(z) AS DOUBLE) AS zonal_max,
                    CAST(sum(z) AS DOUBLE) AS zonal_sum
             FROM j GROUP BY c_custkey
+        """,
+        "zonal_mode": f"""
+            WITH p AS ({_SQL_OPOINTS}), c AS ({_SQL_RECT}),
+            j AS (
+              SELECT c.c_custkey, CAST(p.o_orderkey % 7 AS DOUBLE) AS z
+              FROM p, c
+              WHERE p.lon_c > c.clon - c.dlon AND p.lon_c < c.clon + c.dlon
+                AND p.lat_c > c.clat - c.dlat AND p.lat_c < c.clat + c.dlat
+            ),
+            pv AS (
+              SELECT c_custkey, z, count(*) AS cnt
+              FROM j GROUP BY c_custkey, z
+            ),
+            pick AS (
+              SELECT c_custkey, z, cnt,
+                     row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY cnt DESC, z ASC) AS rn,
+                     sum(cnt) OVER (PARTITION BY c_custkey) AS n_points,
+                     count(*) OVER (PARTITION BY c_custkey) AS n_distinct
+              FROM pv
+            )
+            SELECT c_custkey, z AS mode_val, cnt AS mode_count,
+                   n_points, n_distinct
+            FROM pick WHERE rn = 1
         """,
         "stratified_split": """
             -- XOR-mixed per-group split: same nested integer formula

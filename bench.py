@@ -161,7 +161,9 @@ def main() -> None:
         "pack_chunks",
         "focal_stats",
         "hillshade",
+        "terrain",
         "zonal_stats",
+        "zonal_mode",
         "band_index",
         "idw",
         "sample_raster",
@@ -179,10 +181,12 @@ def main() -> None:
         "augment",
         "image_histogram",
         "equalize",
+        "verify_pairs",
         "kmeans",
         "decontaminate",
         "track_stats",
         "track_stats_bucketed",
+        "interp_track",
         "bm25_search",
         "bm25_sharded",
         "bigram_lm",

@@ -34,6 +34,7 @@ __all__ = [
     "slope_hillshade",
     "terrain_ruggedness",
     "zonal_stats",
+    "zonal_mode",
     "band_index_stats",
     "idw_grid",
 ]
@@ -272,6 +273,58 @@ def zonal_stats(
         F.min(val).alias("zonal_min"),
         F.max(val).alias("zonal_max"),
         F.sum(val).alias("zonal_sum"),
+    )
+
+
+def zonal_mode(
+    points: DataFrame,
+    zones: DataFrame,
+    zone_id: str,
+    val: str = "z",
+    lon: str = "lon_c",
+    lat: str = "lat_c",
+    **pip_kwargs,
+) -> DataFrame:
+    """Zonal MAJORITY — the mode/majority zonal statistic (`gdaldem`-
+    era zonal "majority"/label-transfer: dominant land-cover class per
+    parcel, majority label per AOI). Complements ``zonal_stats``'
+    moment aggregates for CATEGORICAL values, where a mean is
+    meaningless.
+
+    Deterministic tie rule: highest count wins, ties -> smallest
+    value (engine-replayable; no hash or arrival-order dependence).
+    Emits (zone_id, mode value, its count, n_points, n_distinct).
+
+    Plan: the certified cell-bucketed ``pip_join``, then ONE hash
+    aggregate on the COMPOSITE (zone, value) key — the heavy reduction
+    happens at (zone, value) granularity where map-side combine
+    collapses per-partition duplicates, so a billion-point zone with
+    k classes ships k rows per partition, never raw points — followed
+    by one tiny (zone)-keyed argmax aggregate over struct ordering
+    ((count, -value) lexicographic max via (count, negated value)).
+    For integral-valued categories the negation is exact; the final
+    per-zone state is O(1)."""
+    from gfp_gdal_spark.operators.joins import pip_join
+
+    j = pip_join(points, zones, lon=lon, lat=lat, **pip_kwargs)
+    per_val = j.groupBy(zone_id, val).agg(F.count(F.lit(1)).alias("_cnt"))
+    pick = F.struct(
+        F.col("_cnt").alias("_c"), (-F.col(val)).alias("_nv")
+    )
+    return (
+        per_val.groupBy(zone_id)
+        .agg(
+            F.max(pick).alias("_m"),
+            F.sum("_cnt").alias("n_points"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            zone_id,
+            (-F.col("_m._nv")).alias("mode_val"),
+            F.col("_m._c").alias("mode_count"),
+            "n_points",
+            "n_distinct",
+        )
     )
 
 

@@ -599,6 +599,51 @@ def test_zonal_stats_bruteforce(spark):
         assert abs(r["zonal_sum"] - wsum) < 1e-9
 
 
+def test_zonal_mode_bruteforce(spark):
+    """Majority zonal statistic: categorical values with planted ties —
+    highest count wins, count ties resolve to the SMALLEST value."""
+    from collections import Counter
+
+    from gfp_gdal_spark.operators.map_algebra import zonal_mode
+
+    rng = np.random.default_rng(7)
+    n = 800
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon_c": rng.uniform(-40, 40, n),
+            "lat_c": rng.uniform(-30, 30, n),
+            "z": rng.integers(0, 5, n).astype(float),  # 5 classes -> ties likely
+        }
+    )
+    zones = []
+    for zid in range(12):
+        x0 = -45 + (zid % 4) * 22.0
+        y0 = -33 + (zid // 4) * 21.0
+        zones.append((zid, x0, y0, x0 + 18.0, y0 + 16.0,
+                      [[x0, y0], [x0 + 18.0, y0], [x0 + 18.0, y0 + 16.0], [x0, y0 + 16.0]]))
+    zdf = spark.createDataFrame(
+        [(z[0], z[5]) for z in zones], "zone_id int, ring array<array<double>>"
+    )
+    out = zonal_mode(
+        spark.createDataFrame(pts), zdf, zone_id="zone_id",
+        z=4, holes=None, broadcast=True,
+    ).collect()
+    want = {}
+    for zid, x0, y0, x1, y1, _ in zones:
+        m = (pts.lon_c > x0) & (pts.lon_c < x1) & (pts.lat_c > y0) & (pts.lat_c < y1)
+        if m.sum():
+            cnt = Counter(pts.z[m])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            want[zid] = (best[0], best[1], int(m.sum()), len(cnt))
+    assert {r["zone_id"] for r in out} == set(want)
+    for r in out:
+        wv, wc, wn, wd = want[r["zone_id"]]
+        assert (r["mode_val"], r["mode_count"], r["n_points"], r["n_distinct"]) == (
+            wv, wc, wn, wd,
+        ), r
+
+
 # ---------------------------------------------------------------------------
 # image pyramid (downsample_tiles)
 
