@@ -2600,6 +2600,37 @@ def _q_hillshade(spark, sf):
     )
 
 
+_RELIEF_RAMP = [(0, 0, 0, 255), (24, 0, 255, 0), (60, 255, 128, 0), (96, 255, 255, 255)]
+
+
+def _sql_relief(ci: int, vcol: str = "z") -> str:
+    """SQL replay of color_relief's exact half-up ramp for channel ci —
+    generated from the SAME _RELIEF_RAMP constant the Spark query uses,
+    identical operation order (((a + b*(v-x0)) + den) / (2*den))."""
+    ramp = _RELIEF_RAMP
+    parts = [f"WHEN {vcol} <= {ramp[0][0]} THEN {ramp[0][ci + 1]}"]
+    for (x0, *c0), (x1, *c1) in zip(ramp[:-1], ramp[1:]):
+        den, dc = x1 - x0, c1[ci] - c0[ci]
+        parts.append(
+            f"WHEN {vcol} <= {x1} THEN CAST(floor(({2 * c0[ci] * den} + "
+            f"{2 * dc}*({vcol} - {x0}) + {den}) / {2 * den}.0) AS INTEGER)"
+        )
+    parts.append(f"ELSE {ramp[-1][ci + 1]}")
+    return "CASE " + " ".join(parts) + " END"
+
+
+def _q_color_relief(spark, sf):
+    """gdaldem color-relief on the closed-form grid (z in 0..96, a
+    4-stop ramp): exact half-up piecewise-linear channels, end clamps
+    included; the oracle replays the identical rational arithmetic
+    from the shared ramp constant."""
+    from gfp_gdal_spark.operators.map_algebra import color_relief
+
+    _prep(spark)
+    g = _grid_fixture(spark, sf, max_key=120)
+    return color_relief(g, _RELIEF_RAMP, key="c_custkey", row="r", col="c", val="z")
+
+
 def _q_terrain(spark, sf):
     """gdaldem TRI/TPI/roughness (Riley TRI via the sum/square-sum
     decomposition — no per-pair differences) on the closed-form grid;
@@ -2862,6 +2893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # statistic) — locally oracle-green; zonal_stats exercises the
         # shared pip_join stage in-window.
         "zonal_mode": _q_zonal_mode,
+        # color_relief (NEW, late round 5: the last gdaldem mode; pure
+        # JVM CASE ladder, shuffle-free) — locally oracle-green.
+        "color_relief": _q_color_relief,
         # sample_per_group / sessionize (plain paths) rotate out under
         # the shared-oracle rule: their _sharded twins stay in-window
         # certified vs the IDENTICAL SQL, and plain-vs-sharded
@@ -4487,6 +4521,19 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             GROUP BY k, r, c
             HAVING count(*) = 9
+        """,
+        "color_relief": f"""
+            WITH g AS (
+              SELECT c_custkey, tr.r AS r, tc.c AS c,
+                     CAST((tr.r*31 + tc.c*17 + c_custkey) % 97 AS DOUBLE) AS z
+              FROM customer, range(0,16) tr(r), range(0,16) tc(c)
+              WHERE c_custkey <= 120
+            )
+            SELECT c_custkey, r, c, z,
+                   {_sql_relief(0)} AS relief_r,
+                   {_sql_relief(1)} AS relief_g,
+                   {_sql_relief(2)} AS relief_b
+            FROM g
         """,
         "terrain": """
             -- scatter replay; TRI via the exact sum/square-sum

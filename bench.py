@@ -162,6 +162,7 @@ def main() -> None:
         "focal_stats",
         "hillshade",
         "terrain",
+        "color_relief",
         "zonal_stats",
         "zonal_mode",
         "band_index",

@@ -35,6 +35,7 @@ __all__ = [
     "terrain_ruggedness",
     "zonal_stats",
     "zonal_mode",
+    "color_relief",
     "band_index_stats",
     "idw_grid",
 ]
@@ -274,6 +275,60 @@ def zonal_stats(
         F.max(val).alias("zonal_max"),
         F.sum(val).alias("zonal_sum"),
     )
+
+
+def color_relief(
+    grid: DataFrame,
+    ramp: list[tuple[int, int, int, int]],
+    key: str = "image_id",
+    row: str = "r",
+    col: str = "c",
+    val: str = "z",
+) -> DataFrame:
+    """`gdaldem color-relief` — elevation -> RGB via a piecewise-linear
+    color ramp (with hillshade/slope/aspect + TRI/TPI/roughness this
+    closes out every gdaldem mode). ``ramp`` is the color file:
+    ascending [(elev, r, g, b)] integer breakpoints; values below the
+    first / above the last breakpoint clamp to the end colors (GDAL's
+    default behavior).
+
+    Exactness contract: for integral elevations each channel is
+    round-half-up(c0 + (c1-c0)*(v-x0)/(x1-x0)) computed as
+    floor((2*c0*den + 2*dc*(v-x0) + den) / (2*den)) — one exact
+    rational whose double quotient is >= 1/(2*den) away from any
+    half-integer crossing, so the floor is bit-reproducible across
+    engines (the equalize_images trick).
+
+    Execution: a pure JVM Column CASE ladder, shuffle-free, zero
+    Python — at 10^12 pixels this is a map-only stage fused into
+    whatever scan precedes it. Compose with rasterize/encode legs to
+    materialize RGB frames."""
+    if len(ramp) < 2:
+        raise ValueError("ramp needs >= 2 breakpoints")
+    if any(a[0] >= b[0] for a, b in zip(ramp[:-1], ramp[1:])):
+        raise ValueError("ramp elevations must be strictly ascending")
+    v = F.col(val)
+    names = ("relief_r", "relief_g", "relief_b")
+    exprs = []
+    for ci in range(3):
+        e = F.when(v <= F.lit(ramp[0][0]), F.lit(ramp[0][ci + 1]))
+        for (x0, *c0), (x1, *c1) in zip(ramp[:-1], ramp[1:]):
+            den = x1 - x0
+            dc = c1[ci] - c0[ci]
+            e = e.when(
+                v <= F.lit(x1),
+                F.floor(
+                    (
+                        F.lit(float(2 * c0[ci] * den))
+                        + F.lit(float(2 * dc)) * (v - F.lit(float(x0)))
+                        + F.lit(float(den))
+                    )
+                    / F.lit(float(2 * den))
+                ),
+            )
+        e = e.otherwise(F.lit(ramp[-1][ci + 1]))
+        exprs.append(e.cast("int").alias(names[ci]))
+    return grid.select(key, row, col, val, *exprs)
 
 
 def zonal_mode(

@@ -599,6 +599,45 @@ def test_zonal_stats_bruteforce(spark):
         assert abs(r["zonal_sum"] - wsum) < 1e-9
 
 
+def test_color_relief_bruteforce(spark):
+    """gdaldem color-relief: exact half-up piecewise-linear ramp,
+    end clamping, per-channel integer parity vs a Python-int replay."""
+    from gfp_gdal_spark.operators.map_algebra import color_relief
+
+    ramp = [(10, 0, 0, 255), (50, 0, 255, 0), (120, 255, 128, 0), (200, 255, 255, 255)]
+    df, grids = _rand_grid(spark, 61, nk=2, h=8, w=9)
+    out = color_relief(df, ramp).collect()
+    assert len(out) == 2 * 8 * 9
+
+    def ref(v, ci):
+        if v <= ramp[0][0]:
+            return ramp[0][ci + 1]
+        for (x0, *c0), (x1, *c1) in zip(ramp[:-1], ramp[1:]):
+            if v <= x1:
+                den, dc = x1 - x0, c1[ci] - c0[ci]
+                return (2 * c0[ci] * den + 2 * dc * (int(v) - x0) + den) // (2 * den)
+        return ramp[-1][ci + 1]
+
+    for rrow in out:
+        v = grids[rrow["image_id"]][rrow["r"], rrow["c"]]
+        assert rrow["z"] == v
+        got = (rrow["relief_r"], rrow["relief_g"], rrow["relief_b"])
+        assert got == (ref(v, 0), ref(v, 1), ref(v, 2)), (v, got)
+
+    with pytest.raises(ValueError, match="ascending"):
+        color_relief(df, [(5, 0, 0, 0), (5, 1, 1, 1)])
+    with pytest.raises(ValueError, match="breakpoints"):
+        color_relief(df, [(5, 0, 0, 0)])
+
+
+def test_color_relief_no_python_nodes(spark):
+    from gfp_gdal_spark.operators.map_algebra import color_relief
+
+    df, _ = _rand_grid(spark, 3, nk=1, h=4, w=4)
+    plan = color_relief(df, [(0, 0, 0, 0), (100, 255, 255, 255)])._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan, plan
+
+
 def test_zonal_mode_bruteforce(spark):
     """Majority zonal statistic: categorical values with planted ties —
     highest count wins, count ties resolve to the SMALLEST value."""
