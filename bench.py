@@ -185,6 +185,7 @@ def main() -> None:
         "verify_pairs",
         "kmeans",
         "decontaminate",
+        "dup_spans",
         "track_stats",
         "track_stats_bucketed",
         "interp_track",

@@ -26,6 +26,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "decontaminate",
+    "duplicate_spans",
 ]
 
 
@@ -402,3 +403,105 @@ def decontaminate(
         .where(F.col("n_hit_grams") >= min_hits)
     )
     return out
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    min_count: int = 2,
+    hash_windows: bool = False,
+) -> DataFrame:
+    """Exact-substring duplicate SPANS — the corpus-global
+    substring-level dedup staple (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": remove any k-token
+    substring that occurs verbatim elsewhere in the corpus; this
+    operator FINDS those regions so the caller can cut or downweight
+    them). Where exact_dedup keys whole documents and paragraph_dedup
+    keys paragraphs, this keys every k-token rolling window, so shared
+    boilerplate INSIDE otherwise-distinct documents is caught.
+
+    Semantics: tokens = lower(text) split on single spaces (the
+    _word_grams contract); every k-token window whose exact string
+    occurs >= ``min_count`` times corpus-wide (within- and cross-doc
+    occurrences both count, as in the paper's suffix-array form) marks
+    its k token positions as duplicated; overlapping/adjacent
+    duplicated windows merge into maximal spans. Returns one row per
+    maximal span: (doc_id, span_start, span_end, n_windows) with
+    token-position bounds inclusive (span_end = last covered token).
+    Docs shorter than k tokens emit nothing — they cannot contain a
+    k-token duplicate.
+
+    Scale shape (designed against a 10^12-doc corpus where the
+    suffix-array build of the paper doesn't distribute):
+    - window occurrences are a pure-Column transform+explode (no UDF);
+      the frequency pass is ONE vocabulary-keyed hash aggregate whose
+      map-side combine collapses hot boilerplate (a window repeated
+      10^9 times crosses the wire once per map partition, not 10^9
+      times);
+    - the match-back is an equi-join on the window key — both sides
+      hash-partition on the same key, and the aggregate side arrives
+      pre-partitioned, so EnsureRequirements inserts no extra exchange
+      for it;
+    - span assembly is ONE per-doc window (gaps-and-islands: a new
+      island starts when the next duplicated window begins more than k
+      tokens after the previous one, i.e. its coverage neither overlaps
+      nor touches) and the final groupBy reuses the window's hash
+      distribution — partitioning on doc_id satisfies the (doc_id,
+      island) clustering, no second exchange (the interval_union_length
+      plan shape). Per-doc state is bounded by doc length.
+    - ``hash_windows=True`` shuffles xxhash64(window) instead of the
+      k-token string — 8-byte keys (collision odds ~2^-64 per pair;
+      pytest asserts parity with the exact path). Use it at corpus
+      scale; the default string key is what the DuckDB oracle replays.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col(text)), " ")
+    # sequence() descends when start > stop, so short docs must be
+    # filtered BEFORE the transform, not cleaned up after
+    occ = (
+        df.where(F.size(toks) >= k)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("win"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("_id", F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    )
+    if hash_windows:
+        occ = occ.withColumn("win", F.xxhash64("win"))
+    dup = (
+        occ.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("win")
+    )
+    hits = occ.join(dup, "win").select("_id", "pos")
+    w_ord = Window.partitionBy("_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w_ord)
+    island = F.sum(F.when(gap > k, 1).otherwise(0)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hits.withColumn("_isl", island)
+        .groupBy("_id", "_isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(F.col("_id").alias(id_col), "span_start", "span_end", "n_windows")
+    )

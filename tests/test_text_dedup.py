@@ -111,3 +111,116 @@ def test_fingerprint_and_simhash_deterministic(spark, docs):
     b = docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp")).toPandas()
     assert a.equals(b)
     assert a.set_index("doc_id").loc[0, "fp"] == a.set_index("doc_id").loc[1, "fp"]
+
+
+# ---------------------------------------------------------------- #
+# duplicate_spans (Lee et al. 2021 exact-substring dedup)          #
+# ---------------------------------------------------------------- #
+
+
+def _dup_spans_ref(texts: dict[int, str], k: int, min_count: int = 2):
+    """Independent Python reference: brute-force window counting +
+    interval-union span merge (merge when coverage overlaps OR
+    touches, i.e. next_pos <= prev_pos + k)."""
+    occ = []  # (doc, pos, win)
+    from collections import Counter
+
+    for d, t in texts.items():
+        toks = t.lower().split(" ")
+        for i in range(len(toks) - k + 1):
+            occ.append((d, i, " ".join(toks[i : i + k])))
+    cnt = Counter(w for _, _, w in occ)
+    hits = sorted((d, p) for d, p, w in occ if cnt[w] >= min_count)
+    spans = []
+    for d, p in hits:
+        if spans and spans[-1][0] == d and p <= spans[-1][2] + k:
+            spans[-1][2] = p
+            spans[-1][3] += 1
+        else:
+            spans.append([d, p, p, 1])
+    return {(d, s, e + k - 1, n) for d, s, e, n in spans}
+
+
+def test_duplicate_spans_planted(spark):
+    # doc 0 and doc 1 share an interior 6-token run; doc 2 repeats a
+    # window internally; doc 3 is clean; doc 4 is shorter than k
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        1: "one two gamma delta epsilon zeta eta theta nine ten",
+        2: "x y z w x y z w x y z w",
+        3: "totally unrelated words without any shared windows here",
+        4: "too short",
+    }
+    k = 4
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = DD.duplicate_spans(spark.createDataFrame(pdf), k=k).toPandas()
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in out.itertuples()
+    }
+    assert got == _dup_spans_ref(texts, k)
+    # the shared run: tokens 2..7 in doc 0 ("gamma..theta", 6 tokens,
+    # 3 overlapping windows of 4)
+    assert (0, 2, 7, 3) in got
+    assert not (out.doc_id == 3).any()
+    assert not (out.doc_id == 4).any()
+
+
+def test_duplicate_spans_gap_vs_touch(spark):
+    # Two duplicated windows in one doc: at pos p and p+k they TOUCH
+    # (one span); at pos p and p+k+1 they leave a 1-token gap (two
+    # spans). Construct with doc 0 carrying both patterns and doc 1
+    # supplying the matching windows.
+    k = 2
+    texts = {
+        0: "a b a b q c d zz c d",  # "a b" dup at 0 and 2 (touch at gap=k); "c d" at 5 and 8 (gap>k)
+        1: "a b x1 x2 c d",  # x1/x2 keep the bridging windows unique
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = DD.duplicate_spans(spark.createDataFrame(pdf), k=k).toPandas()
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in out.itertuples()
+    }
+    assert got == _dup_spans_ref(texts, k)
+    d0 = sorted((s, e) for d, s, e, _ in got if d == 0)
+    assert (0, 3) in d0  # touching windows merged
+    assert (5, 6) in d0 and (8, 9) in d0  # gapped windows split
+
+
+def test_duplicate_spans_random_parity_and_hash_path(spark):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        d: " ".join(rng.choice(vocab, size=int(rng.integers(3, 40))))
+        for d in range(30)
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    sdf = spark.createDataFrame(pdf)
+    for k in (2, 3, 5):
+        out = DD.duplicate_spans(sdf, k=k).toPandas()
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in out.itertuples()
+        }
+        assert got == _dup_spans_ref(texts, k), f"k={k}"
+        hashed = DD.duplicate_spans(sdf, k=k, hash_windows=True).toPandas()
+        goth = {
+            (r.doc_id, r.span_start, r.span_end, r.n_windows)
+            for r in hashed.itertuples()
+        }
+        assert goth == got, f"hash_windows parity k={k}"
+
+
+def test_duplicate_spans_min_count_and_args(spark):
+    texts = {0: "a b c a b c a b c", 1: "z z2 z3"}
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    sdf = spark.createDataFrame(pdf)
+    # "a b c" occurs 3x in doc 0 (pos 0,3,6): min_count=4 finds nothing
+    assert DD.duplicate_spans(sdf, k=3, min_count=4).count() == 0
+    out = DD.duplicate_spans(sdf, k=3, min_count=3).toPandas()
+    assert {(r.doc_id, r.span_start, r.span_end) for r in out.itertuples()} == {(0, 0, 8)}
+    with pytest.raises(ValueError):
+        DD.duplicate_spans(sdf, k=0)
+    with pytest.raises(ValueError):
+        DD.duplicate_spans(sdf, min_count=1)
