@@ -2469,6 +2469,40 @@ def _q_dup_spans(spark, sf):
     )
 
 
+def _q_viewshed(spark, sf):
+    """gdal_viewshed analog certified on 1-row frames, where the Wang
+    propagation reduces EXACTLY to the 1-D running-max-slope LOS: the
+    oracle computes slope_c = (z_c - z_eye)/c and visible = slope_c >=
+    max of earlier slopes. The planted terrain ((k*31 + c*c*11 +
+    c*23) % 97, eye = z_0 + 0.25) is tie-scanned: min |slope - prevmax|
+    margin 0.0104 over k < 2000, so the operator's prorated-product
+    recursion and the oracle's direct ratios agree bitwise on the
+    boolean. 2-D semantics are pinned by scalar-reference parity +
+    wall/flat property tests (tests/test_round5.py)."""
+    from gfp_gdal_spark.operators.raster import stack_bands
+    from gfp_gdal_spark.operators.vectorize import viewshed
+
+    _prep(spark)
+    cust = _t(spark, sf, "customer").where(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+    w = 32
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(w - 1)),
+        lambda i: ((k * 31 + i * i * 11 + i * 23) % 97).cast("double"),
+    )
+    base = cust.select(
+        k.cast("string").alias("image_id"),
+        F.lit(w).alias("w"),
+        F.lit(1).alias("h"),
+        band.alias("band0"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    out = viewshed(tiles, 0, 0, observer_height=0.25)
+    return out.select(
+        "image_id", F.col("c").cast("long").alias("c"), "z", "visible"
+    )
+
+
 def _q_repetition(spark, sf):
     """Gopher-style repetition profile on the documents table. The
     synthetic docs are single-line, so the fixture plants newlines
@@ -2848,6 +2882,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour": _q_contour,
         "sieve": _q_sieve,
         "fill_nodata": _q_fill_nodata,
+        # viewshed (NEW, final round-5 session: gdal_viewshed analog in
+        # vectorize.py) — new code takes an in-window slot; centroid
+        # rotates to the tail in exchange (functions/geometry.py is
+        # byte-unchanged this session, brute-force parity pytest-held,
+        # locally oracle-green in ORACLES_LOCAL_r05.md).
+        "viewshed": _q_viewshed,
         # --- changed: multimodal.py (augment/histogram/equalize) ---
         "augment": _q_augment,
         "image_histogram": _q_image_histogram,
@@ -2905,10 +2945,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": _q_bigram_lm,
         # --- changed: functions/geometry.py + transforms.py + kernels/
         # geom.py (centroid, hull, NEW Sutherland-Hodgman clip) ---
-        "centroid": _q_centroid,
         "clip": _q_clip,
         # --- tail (entries 51+): r04-green (or r03-green + modules
-        # diff-unchanged since), untouched this round. convex_hull
+        # diff-unchanged since), untouched this round. centroid rotated
+        # out in exchange for viewshed (see the in-window comment):
+        # ring_centroid's body is byte-unchanged this session, clip
+        # keeps geometry.py/geom.py covered in-window. convex_hull
         # rotates to the tail head under the function-granularity
         # exception: points_hull/convex_hull_per_key bodies are
         # byte-unchanged by the round-5 clip additions, and centroid +
@@ -2917,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window comment): kernel byte-unchanged this session,
         # locally oracle-green.
         "segmentize": _q_segmentize,
+        "centroid": _q_centroid,
         "convex_hull": _q_convex_hull,
         # verify_pairs (NEW, late round 5) lands at the head of the
         # tail: the 50-slot window is fully occupied by first-time
@@ -4171,6 +4214,36 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS val
             FROM customer, range(8) r, range(12) c
             WHERE c_custkey < 200
+        """,
+        "viewshed": """
+            -- 1-row Wang viewshed == exact 1-D LOS: visible iff the
+            -- pixel's slope from the eye is >= the running max of the
+            -- earlier slopes (tie-free by the fixture's 0.0104 margin)
+            WITH g AS (
+              SELECT c_custkey AS k, i.c AS c,
+                     CAST((c_custkey*31 + i.c*i.c*11 + i.c*23) % 97 AS DOUBLE) AS z
+              FROM customer, range(0, 32) i(c)
+              WHERE c_custkey < 400
+            ),
+            o AS (SELECT k, z + 0.25 AS zo FROM g WHERE c = 0),
+            s AS (
+              SELECT g.k, g.c, g.z, (g.z - o.zo) / g.c AS slope
+              FROM g JOIN o USING (k) WHERE g.c >= 1
+            ),
+            m AS (
+              SELECT k, c, z, slope,
+                     max(slope) OVER (PARTITION BY k ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+              FROM s
+            )
+            SELECT CAST(k AS VARCHAR) AS image_id, c,
+                   CAST(z AS BIGINT) AS z,
+                   (prevmax IS NULL OR slope >= prevmax) AS visible
+            FROM m
+            UNION ALL
+            SELECT CAST(k AS VARCHAR) AS image_id, 0 AS c,
+                   CAST(z AS BIGINT) AS z, true AS visible
+            FROM g WHERE c = 0
         """,
         "fill_nodata": """
             -- Voronoi fill from two planted seeds (rows 0-3 vs 4-7):

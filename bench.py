@@ -176,6 +176,7 @@ def main() -> None:
         "reproject",
         "label_regions",
         "proximity",
+        "viewshed",
         "contour",
         "sieve",
         "fill_nodata",

@@ -1,5 +1,5 @@
 """Raster->vector utilities — the `gdal_polygonize` / `gdal_proximity`
-/ `gdal_contour` / `gdal_sieve` analogs over the image-row table
+/ `gdal_contour` / `gdal_sieve` / `gdal_viewshed` analogs over the image-row table
 (input_hint schema), completing the GDAL utility family beside
 ``rasterize_zones`` (gdal_rasterize), ``reproject_webmercator``
 (gdalwarp), ``mosaic_composite`` (gdal_merge) and ``map_algebra``
@@ -38,6 +38,7 @@ __all__ = [
     "contour_segments",
     "sieve_filter",
     "fill_nodata",
+    "viewshed",
 ]
 
 _BIG = np.int64(1) << np.int64(62)
@@ -613,6 +614,161 @@ def fill_nodata(
                 ),
                 preserve_index=False,
             )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images.select(*cols).mapInArrow(op, schema)
+
+
+def _viewshed_sweep(Zv: np.ndarray, auxv: np.ndarray, r0: int, c0: int) -> None:
+    """One EAST-quadrant Wang propagation (|dr| <= dc, diagonals
+    included) over (m, H, W) views, writing the required-LOS-height
+    surface into ``auxv`` in place. The four quadrants are this same
+    routine on flipped/transposed views; both quadrants adjacent to a
+    diagonal recompute the diagonal chain with the identical op
+    sequence (wA = 1 exactly), so their overlapping writes coincide
+    bitwise.
+
+    Heights are relative to the eye (Z = z - z_eye). For a cell at
+    offset (dr, d), d >= 2, the ray from the observer crosses column
+    d-1 between the inner neighbor A = (sign(dr)*(|dr|-1), d-1) and
+    the aligned neighbor B = (dr, d-1) with weights |dr|/d and
+    1-|dr|/d; the effective blocking height there (max of terrain and
+    its own required height) prorates by d/(d-1) along the ray. Ring
+    d=1 sees no intervening terrain: aux = -inf, always visible.
+    """
+    m, H, W = Zv.shape
+    Eprev: np.ndarray | None = None
+    for d in range(1, W - c0):
+        c = c0 + d
+        lo = max(r0 - d, 0)
+        hi = min(r0 + d, H - 1)
+        rows = np.arange(lo, hi + 1)
+        if d == 1:
+            a = np.full((m, rows.size), -np.inf)
+        else:
+            dr = rows - r0
+            absdr = np.abs(dr)
+            rA = r0 + np.sign(dr) * (absdr - 1)
+            wA = absdr / float(d)
+            wB = 1.0 - wA
+            EA = Eprev[:, rA]
+            # |dr| == d rows have wB == 0.0 exactly and an uncomputed
+            # (NaN) B slot in Eprev — mask BEFORE multiplying
+            EB = np.where(wB > 0.0, Eprev[:, rows], 0.0)
+            a = (wA * EA + wB * EB) * (d / (d - 1.0))
+        auxv[:, lo : hi + 1, c] = a
+        Ecur = np.full((m, H), np.nan)
+        Ecur[:, lo : hi + 1] = np.maximum(Zv[:, lo : hi + 1, c], a)
+        Eprev = Ecur
+
+
+def _viewshed_group(
+    pix: np.ndarray,
+    r0: int,
+    c0: int,
+    observer_height: float,
+    target_height: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(visible bool, Z float) tensors for a uniform (m, h, w) group:
+    Wang, Robinson & White (2000) reference-plane viewshed (the
+    algorithm `gdal_viewshed` implements), whole-group vectorized —
+    the ring loop is h+w-2 steps of (m, ring) vector ops, O(m*h*w)
+    total, no per-frame Python."""
+    m, h, w = pix.shape
+    z_eye = pix[:, r0, c0].astype(np.float64) + observer_height
+    Z = pix.astype(np.float64) - z_eye[:, None, None]
+    aux = np.full((m, h, w), np.nan)
+    aux[:, r0, c0] = -np.inf
+    _viewshed_sweep(Z, aux, r0, c0)  # east
+    _viewshed_sweep(Z[:, :, ::-1], aux[:, :, ::-1], r0, w - 1 - c0)  # west
+    Zt, auxt = Z.swapaxes(1, 2), aux.swapaxes(1, 2)
+    _viewshed_sweep(Zt, auxt, c0, r0)  # south
+    _viewshed_sweep(Zt[:, :, ::-1], auxt[:, :, ::-1], c0, h - 1 - r0)  # north
+    return (Z + target_height) >= aux, Z
+
+
+def viewshed(
+    images: DataFrame,
+    observer_r: int,
+    observer_c: int,
+    observer_height: float = 2.0,
+    target_height: float = 0.0,
+) -> DataFrame:
+    """Line-of-sight visibility raster (the `gdal_viewshed` analog,
+    completing the gdaldem/terrain suite): per frame, every pixel is
+    flagged visible iff the sight line from an observer standing
+    ``observer_height`` above the terrain at pixel (observer_r,
+    observer_c) clears the Wang-interpolated intervening terrain
+    (``target_height`` is added at the target, gdal_viewshed's -tz).
+    Emits one row per pixel: (image_id, r, c, z, visible) — z is the
+    terrain value, so coverage/masking aggregates derive downstream in
+    pure SQL. The observer's own pixel and its 8 neighbors are always
+    visible (no intervening cell).
+
+    Observer coordinates are frame coordinates shared by every row
+    (tower placement on gridded DEM tiles); frames whose (w, h) do not
+    contain the observer fail loud (K9 input gating) rather than
+    silently clamping. 1-row frames reduce to the exact 1-D
+    running-max-slope LOS — the driver oracle replays that closed
+    form; 2-D semantics are pinned by the scalar-reference parity and
+    wall/flat property tests in tests/test_round5.py.
+
+    Scale: per-frame independent mapInArrow (no shuffle), whole-group
+    vectorized ring propagation (see `_viewshed_group`); cross-tile
+    viewsheds compose by mosaicking tiles around the observer first
+    (`mosaic_composite`), as with any finite-support focal operator.
+    """
+    if observer_r < 0 or observer_c < 0:
+        raise ValueError(
+            f"observer must be non-negative, got ({observer_r}, {observer_c})"
+        )
+    schema = "image_id string, r int, c int, z long, visible boolean"
+
+    def op(batches):
+        import collections
+
+        tune_worker()
+        for b in batches:
+            names = b.schema.names
+            blobs = b.column(names.index("bytes"))
+            fmts = b.column(names.index("fmt")).to_pylist()
+            ids = b.column(names.index("image_id")).to_pylist()
+            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
+            if b.num_rows == 0:
+                continue
+            groups = collections.defaultdict(list)
+            for i in range(b.num_rows):
+                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            for (f, w, h), idxs in groups.items():
+                if observer_r >= h or observer_c >= w:
+                    raise ValueError(
+                        f"observer ({observer_r}, {observer_c}) outside "
+                        f"{h}x{w} frame (K9: no silent clamping)"
+                    )
+                pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
+                vis, _ = _viewshed_group(
+                    pix, observer_r, observer_c, observer_height, target_height
+                )
+                m = len(idxs)
+                id_arr = np.asarray([ids[i] for i in idxs], dtype=object)
+                fid = np.repeat(np.arange(m), h * w)
+                rr = np.broadcast_to(
+                    np.arange(h, dtype=np.int32).reshape(1, h, 1), (m, h, w)
+                ).reshape(-1)
+                cc = np.broadcast_to(
+                    np.arange(w, dtype=np.int32).reshape(1, 1, w), (m, h, w)
+                ).reshape(-1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(id_arr[fid]),
+                        pa.array(rr, pa.int32()),
+                        pa.array(cc, pa.int32()),
+                        pa.array(pix.reshape(-1), pa.int64()),
+                        pa.array(vis.reshape(-1), pa.bool_()),
+                    ],
+                    ["image_id", "r", "c", "z", "visible"],
+                )
 
     cols = ["image_id", "bytes", "fmt", "w", "h"]
     return images.select(*cols).mapInArrow(op, schema)

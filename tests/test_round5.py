@@ -2719,3 +2719,123 @@ def test_lr_quality_score_bruteforce(spark):
         import math
 
         assert abs(got[d]["score"] - 1 / (1 + math.exp(-logit))) < 1e-12
+
+
+# ---------------------------------------------------------------- #
+# viewshed (gdal_viewshed analog, Wang 2000)                        #
+# ---------------------------------------------------------------- #
+
+
+def _ref_viewshed(a, r0, c0, oh, th=0.0):
+    """Scalar Wang-propagation reference: per-quadrant, pixel-by-pixel
+    recursion with the SAME op order as the vectorized kernel
+    (interpolate, then prorate by d/(d-1)) — booleans must match
+    bitwise."""
+    h, w = a.shape
+    zo = float(a[r0, c0]) + oh
+    Z = a.astype(float) - zo
+    aux = np.full((h, w), np.nan)
+    aux[r0, c0] = -np.inf
+
+    def sweep(zf, auxf, rr0, cc0):
+        H, W = zf.shape
+        eprev = {}
+        for d in range(1, W - cc0):
+            c = cc0 + d
+            ecur = {}
+            for r in range(max(rr0 - d, 0), min(rr0 + d, H - 1) + 1):
+                dr = r - rr0
+                if d == 1:
+                    val = -np.inf
+                else:
+                    absdr = abs(dr)
+                    rA = rr0 + np.sign(dr) * (absdr - 1)
+                    wA = absdr / float(d)
+                    wB = 1.0 - wA
+                    eb = eprev[r] if wB > 0.0 else 0.0
+                    val = (wA * eprev[int(rA)] + wB * eb) * (d / (d - 1.0))
+                auxf[r, c] = val
+                ecur[r] = max(zf[r, c], val)
+            eprev = ecur
+
+    sweep(Z, aux, r0, c0)
+    sweep(Z[:, ::-1], aux[:, ::-1], r0, w - 1 - c0)
+    Zt, auxt = Z.T.copy(), aux.T  # note: .T of aux is a view -> writes land
+    # transpose view of Z is fine too; copy only to silence read strides
+    sweep(Z.T, auxt, c0, r0)
+    sweep(Z.T[:, ::-1], auxt[:, ::-1], c0, h - 1 - r0)
+    return (Z + th) >= aux
+
+
+def test_viewshed_flat_and_wall(spark):
+    from gfp_gdal_spark.operators.vectorize import viewshed
+
+    flat = np.zeros((7, 9), int)
+    wall = np.zeros((7, 9), int)
+    wall[:, 5] = 80  # full-height wall east of the observer
+    df = _img_df(spark, [flat, wall])
+    got = {
+        (r["image_id"], r["r"], r["c"]): r["visible"]
+        for r in viewshed(df, 3, 2, observer_height=2.0).collect()
+    }
+    # flat terrain, elevated eye: everything visible
+    assert all(got[("0", r, c)] for r in range(7) for c in range(9))
+    # wall frame: wall face visible, everything strictly behind it dark
+    assert got[("1", 3, 5)]
+    assert not any(got[("1", r, c)] for r in range(7) for c in range(6, 9))
+    # in front of the wall everything is visible
+    assert all(got[("1", r, c)] for r in range(7) for c in range(5))
+
+
+def test_viewshed_reference_parity(spark):
+    from gfp_gdal_spark.operators.vectorize import viewshed
+
+    rng = np.random.RandomState(23)
+    arrs = [rng.randint(0, 90, size=(rng.randint(2, 11), rng.randint(2, 11)))
+            for _ in range(14)]
+    arrs += [rng.randint(0, 90, size=(1, 17)), rng.randint(0, 90, size=(13, 1))]
+    for (r0, c0) in [(0, 0), (1, 0)]:
+        ok_shapes = [a for a in arrs if a.shape[0] > r0 and a.shape[1] > c0]
+        df = _img_df(spark, ok_shapes)
+        got = {
+            (r["image_id"], r["r"], r["c"]): r["visible"]
+            for r in viewshed(df, r0, c0, observer_height=1.5).collect()
+        }
+        for i, a in enumerate(ok_shapes):
+            want = _ref_viewshed(a, r0, c0, 1.5)
+            for r in range(a.shape[0]):
+                for c in range(a.shape[1]):
+                    assert got[(str(i), r, c)] == want[r, c], (i, r, c, a)
+
+
+def test_viewshed_center_observer_parity(spark):
+    from gfp_gdal_spark.operators.vectorize import viewshed
+
+    rng = np.random.RandomState(29)
+    arrs = [rng.randint(0, 120, size=(9, 9)) for _ in range(8)]
+    df = _img_df(spark, arrs)
+    got = {
+        (r["image_id"], r["r"], r["c"]): r["visible"]
+        for r in viewshed(df, 4, 4, observer_height=0.5, target_height=1.0).collect()
+    }
+    for i, a in enumerate(arrs):
+        want = _ref_viewshed(a, 4, 4, 0.5, 1.0)
+        assert all(
+            got[(str(i), r, c)] == want[r, c] for r in range(9) for c in range(9)
+        ), (i, a)
+
+
+def test_viewshed_height_monotone_and_oob(spark):
+    from gfp_gdal_spark.operators.vectorize import viewshed
+
+    rng = np.random.RandomState(31)
+    a = rng.randint(0, 100, size=(10, 10))
+    df = _img_df(spark, [a])
+    n_low = viewshed(df, 5, 5, observer_height=0.5).where("visible").count()
+    n_high = viewshed(df, 5, 5, observer_height=1000.0).where("visible").count()
+    # an eye far above the terrain's whole relief sees every pixel
+    assert n_low <= n_high == 100
+    with pytest.raises(Exception):
+        viewshed(df, 10, 0).count()  # K9 fail-loud, observer outside frame
+    with pytest.raises(ValueError):
+        viewshed(df, -1, 0)
