@@ -15,6 +15,7 @@ from gfp_gdal_spark.sources.datagen import IMAGES_SCHEMA
 
 __all__ = [
     "streaming_label_regions",
+    "streaming_viewshed",
     "read_image_stream",
     "streaming_tile_counts",
     "streaming_tile_rollup",
@@ -227,6 +228,31 @@ def streaming_label_regions(
     from gfp_gdal_spark.operators.vectorize import label_regions
 
     return label_regions(images_stream, connectivity=connectivity, nodata=nodata)
+
+
+def streaming_viewshed(
+    images_stream: DataFrame,
+    observer_r: int,
+    observer_c: int,
+    observer_height: float = 2.0,
+    target_height: float = 0.0,
+) -> DataFrame:
+    """operators.vectorize.viewshed over the DEM-tile stream verbatim —
+    visibility depends only on a frame's own pixels, so micro-batch,
+    restart, and batch runs emit identical rows (append mode, no
+    state). The continuous form of tower-coverage screening: score
+    each arriving terrain tile as it lands; cross-tile viewsheds stay
+    a batch mosaic-then-viewshed job, as in the batch operator's
+    contract."""
+    from gfp_gdal_spark.operators.vectorize import viewshed
+
+    return viewshed(
+        images_stream,
+        observer_r,
+        observer_c,
+        observer_height=observer_height,
+        target_height=target_height,
+    )
 
 
 def streaming_redact_pii(docs_stream: DataFrame, text_col: str = "text") -> DataFrame:

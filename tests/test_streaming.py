@@ -402,3 +402,31 @@ def test_streaming_resample_matches_batch(spark, tmp_path):
         assert got.exceptAll(static).isEmpty()
     finally:
         q.stop()
+
+
+def test_streaming_viewshed_matches_batch(spark, tmp_path):
+    """Stateless per-frame visibility over a TWO-micro-batch stream
+    must equal batch viewshed over the full table."""
+    from gfp_gdal_spark.operators.vectorize import viewshed
+
+    d = str(tmp_path / "imgs_vs")
+    imgs = datagen.images_table(spark, 60, with_bytes=True)
+    imgs.where("image_id < 'img00000030'").coalesce(1).write.mode("append").parquet(d)
+    stream = SI.read_image_stream(spark, d)
+    q = (
+        SI.streaming_viewshed(stream, 0, 0, observer_height=1.5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vs_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        imgs.where("image_id >= 'img00000030'").coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        static = viewshed(spark.read.parquet(d), 0, 0, observer_height=1.5)
+        got = spark.sql("SELECT * FROM vs_stream")
+        assert static.exceptAll(got).isEmpty()
+        assert got.exceptAll(static).isEmpty()
+    finally:
+        q.stop()
