@@ -495,6 +495,20 @@ def _q_hex_cells(spark, sf):
     )
 
 
+def _q_geohash_cells(spark, sf):
+    """Geohash base32 ids (public vectors pinned in pytest); the SQL
+    oracle replays the identical clamp/floor/interleave algebra."""
+    from gfp_gdal_spark.functions.spatial import geohash_cell
+
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
+    return pts.select(
+        "o_orderkey",
+        geohash_cell(F.col("lon_c"), F.col("lat_c"), 5).alias("gh5"),
+        geohash_cell(F.col("lon_c"), F.col("lat_c"), 8).alias("gh8"),
+    )
+
+
 def _q_s2_cells(spark, sf):
     """S2-style cells: level-1 id is fully SQL-expressible (one Hilbert
     iteration); at level 12 the oracle checks the cube-face bits."""
@@ -2894,7 +2908,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equalize": _q_equalize,
         # --- changed: temporal.py ---
         "interval_join": _q_interval_join,
-        "interval_union": _q_interval_union,
+        # geohash_cells (NEW, final round-5 session: the fourth cell
+        # index in functions/spatial.py) — new code takes an in-window
+        # slot; interval_union rotates to the tail in exchange
+        # (temporal.py keeps interval_join in-window; interval_union
+        # has brute-force parity + a local oracle-green row in
+        # ORACLES_LOCAL_r05.md).
+        "geohash_cells": _q_geohash_cells,
         # --- new: tracks.py (trajectories, incl. hot-track bucketing) ---
         "track_stats_bucketed": _q_track_stats_bucketed,
         # --- changed: sampling.py (incl. new hot-group paths) ---
@@ -2960,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally oracle-green.
         "segmentize": _q_segmentize,
         "centroid": _q_centroid,
+        "interval_union": _q_interval_union,
         "convex_hull": _q_convex_hull,
         # verify_pairs (NEW, late round 5) lands at the head of the
         # tail: the 50-slot window is fully occupied by first-time
@@ -3090,6 +3111,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # kernels/cells.py (res<<59 | zigzag(q)<<28 | zigzag(r))
 _HEX_RES_MUL = 1 << 59
 _HEX_Q_MUL = 1 << 28
+
+
+def _sql_geohash(p: int, lon: str, lat: str) -> str:
+    """Identical-algebra geohash replay: same clamped floor indices,
+    same statically-unrolled bit interleave, same base32 gather as
+    functions/spatial.geohash_cell."""
+    from gfp_gdal_spark.functions.spatial import GEOHASH_B32
+
+    nbits = 5 * p
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    li = (
+        f"least(greatest(CAST(floor((({lon}) + 180.0) / 360.0 * {float(1 << nlon)})"
+        f" AS BIGINT), 0), {(1 << nlon) - 1})"
+    )
+    la = (
+        f"least(greatest(CAST(floor((({lat}) + 90.0) / 180.0 * {float(1 << nlat)})"
+        f" AS BIGINT), 0), {(1 << nlat) - 1})"
+    )
+    terms = [f"((li >> {nlon - 1 - i}) & 1) * {1 << (nbits - 1 - 2 * i)}" for i in range(nlon)]
+    terms += [f"((la >> {nlat - 1 - i}) & 1) * {1 << (nbits - 2 - 2 * i)}" for i in range(nlat)]
+    chars = " || ".join(
+        f"substring('{GEOHASH_B32}', CAST(((v >> {5 * (p - 1 - k)}) & 31) + 1 AS INT), 1)"
+        for k in range(p)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT {' + '.join(terms)} AS v"
+        f" FROM (SELECT {li} AS li, {la} AS la)))"
+    )
 
 
 def _sql_hex(res: int, lon: str, lat: str) -> str:
@@ -3529,6 +3579,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    {_sql_hex(7, 'p.lon_c', 'p.lat_c')} AS hex7,
                    {_sql_hex(9, 'p.lon_c', 'p.lat_c')} AS hex9
+            FROM p
+        """,
+        "geohash_cells": f"""
+            WITH p AS ({opoints})
+            SELECT o_orderkey,
+                   {_sql_geohash(5, 'p.lon_c', 'p.lat_c')} AS gh5,
+                   {_sql_geohash(8, 'p.lon_c', 'p.lat_c')} AS gh8
             FROM p
         """,
         "s2_cells": f"""

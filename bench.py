@@ -231,6 +231,7 @@ def main() -> None:
         "minhash_recall",
         "phash_pairs",
         "hex_cells",
+        "geohash_cells",
         "crs_webmercator",
     ]
     # JVM warmup: run the first query once untimed so query #1's number

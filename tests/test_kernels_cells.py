@@ -2,8 +2,10 @@
 invariants, S2-style Hilbert bijectivity."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from gfp_gdal_spark.kernels import cells as C
 
@@ -190,3 +192,79 @@ def test_pip_join_s2_matches_bruteforce(spark):
         )
         want |= {(int(pts_pdf["pid"][i]), int(poly["polygon_id"])) for i in np.flatnonzero(inside)}
     assert got == want
+
+
+# ---------------------------------------------------------------- #
+# geohash (pure-Column base32 encode)                               #
+# ---------------------------------------------------------------- #
+
+
+def _ref_geohash(lon: float, lat: float, p: int) -> str:
+    """Independent scalar reference (pinned below to the public test
+    vectors, so this is an external anchor, not a mirror)."""
+    B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    nbits = 5 * p
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    li = min(max(int(np.floor((lon + 180.0) / 360.0 * (1 << nlon))), 0), (1 << nlon) - 1)
+    la = min(max(int(np.floor((lat + 90.0) / 180.0 * (1 << nlat))), 0), (1 << nlat) - 1)
+    v = 0
+    for i in range(nlon):
+        v |= ((li >> (nlon - 1 - i)) & 1) << (nbits - 1 - 2 * i)
+    for i in range(nlat):
+        v |= ((la >> (nlat - 1 - i)) & 1) << (nbits - 2 - 2 * i)
+    return "".join(B32[(v >> 5 * (p - 1 - k)) & 31] for k in range(p))
+
+
+def test_geohash_public_vectors():
+    # the canonical examples every geohash implementation publishes
+    assert _ref_geohash(10.40744, 57.64911, 11) == "u4pruydqqvj"
+    assert _ref_geohash(-5.6, 42.6, 5) == "ezs42"
+
+
+def test_geohash_column_parity(spark):
+    import pandas as pd
+
+    from gfp_gdal_spark.functions.spatial import geohash_cell
+
+    rng = np.random.default_rng(41)
+    lons = np.r_[rng.uniform(-180, 180, 60), [-180.0, 179.999999, 0.0, 185.0, -999.0]]
+    lats = np.r_[rng.uniform(-90, 90, 60), [90.0, -90.0, 0.0, 95.0, -95.0]]
+    pdf = pd.DataFrame({"i": range(len(lons)), "lon": lons, "lat": lats})
+    df = spark.createDataFrame(pdf)
+    for p in (1, 5, 8, 12):
+        out = df.select(
+            "i", geohash_cell(F.col("lon"), F.col("lat"), p).alias("gh")
+        ).toPandas().set_index("i")["gh"]
+        for i in range(len(lons)):
+            want = _ref_geohash(lons[i], lats[i], p)
+            assert out[i] == want, (p, lons[i], lats[i], out[i], want)
+
+
+def test_geohash_prefix_containment(spark):
+    """Truncation == lower-precision encode (the equal-prefix spatial
+    bucket property) — exact, because floor(x*2^a) >> (a-b) ==
+    floor(x*2^b)."""
+    import pandas as pd
+
+    from gfp_gdal_spark.functions.spatial import geohash_cell
+
+    rng = np.random.default_rng(43)
+    pdf = pd.DataFrame(
+        {"lon": rng.uniform(-180, 180, 200), "lat": rng.uniform(-90, 90, 200)}
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        geohash_cell(F.col("lon"), F.col("lat"), 4).alias("g4"),
+        geohash_cell(F.col("lon"), F.col("lat"), 9).alias("g9"),
+    ).toPandas()
+    assert (out.g9.str[:4] == out.g4).all()
+
+
+def test_geohash_args():
+    from gfp_gdal_spark.functions.spatial import geohash_cell
+
+    with pytest.raises(ValueError):
+        geohash_cell(F.lit(0.0), F.lit(0.0), 0)
+    with pytest.raises(ValueError):
+        geohash_cell(F.lit(0.0), F.lit(0.0), 13)
