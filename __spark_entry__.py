@@ -2070,6 +2070,35 @@ def _q_equalize(spark, sf):
     )
 
 
+def _q_rescale(spark, sf):
+    """gdal_translate -scale analog on a planted 0..96 ramp, explicit
+    src (0,96) -> dst (10,250): every output pixel is the exact
+    integer (480*z + 96)//192 + 10, certified through raster_stats
+    (the equalize pattern); per-pixel values are brute-force-tested in
+    tests/test_round5.py, incl. per-frame auto bounds."""
+    from gfp_gdal_spark.operators.multimodal import rescale_images
+    from gfp_gdal_spark.operators.raster import raster_stats, stack_bands
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(95)),
+        lambda i: ((k * 13 + i * 29) % 97).cast("double"),
+    )
+    base = c.select(
+        k.cast("string").alias("image_id"),
+        F.lit(12).alias("w"),
+        F.lit(8).alias("h"),
+        band.alias("band0"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    st = raster_stats(rescale_images(tiles, 0, 96, dst_min=10, dst_max=250))
+    return st.select(
+        "image_id", "px_min", "px_max", F.round("px_mean", 6).alias("px_mean")
+    )
+
+
 def _q_augment(spark, sf):
     """Deterministic augmentation certified PIXEL-EXACTLY: the planted
     ramp 16*c + r gives every pixel a distinct value, so label_regions
@@ -2942,7 +2971,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_index": _q_band_index,
         "idw": _q_idw,
         "sample_raster": _q_sample_raster,
-        "crop": _q_crop,
+        # rescale (NEW, final round-5 session: gdal_translate -scale in
+        # multimodal.py) — new code takes an in-window slot; crop
+        # rotates to the tail in exchange (crop_images' body is
+        # byte-unchanged this session; equalize/augment/image_histogram
+        # keep multimodal.py covered in-window; crop stays locally
+        # oracle-green in ORACLES_LOCAL_r05.md).
+        "rescale": _q_rescale,
         "coverage": _q_coverage,
         # --- changed: profiling.py (vocab/cardinality + sketch certs) ---
         "corpus_quantiles_approx": _q_corpus_quantiles_approx,
@@ -2981,6 +3016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segmentize": _q_segmentize,
         "centroid": _q_centroid,
         "interval_union": _q_interval_union,
+        "crop": _q_crop,
         "convex_hull": _q_convex_hull,
         # verify_pairs (NEW, late round 5) lands at the head of the
         # tail: the 50-slot window is fully occupied by first-time
@@ -4243,6 +4279,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n_pixels
             FROM (SELECT * FROM ramp UNION ALL SELECT * FROM con)
             GROUP BY val
+        """,
+        "rescale": """
+            -- exact-integer linear stretch of the 0..96 ramp fixture:
+            -- every pixel value replays as (480*z + 96)//192 + 10
+            WITH px AS (
+              SELECT c_custkey AS k,
+                     (480 * ((c_custkey*13 + i.i*29) % 97) + 96) // 192 + 10 AS v
+              FROM customer, range(0, 96) i(i)
+              WHERE c_custkey < 400
+            )
+            SELECT CAST(k AS VARCHAR) AS image_id,
+                   CAST(min(v) AS DOUBLE) AS px_min,
+                   CAST(max(v) AS DOUBLE) AS px_max,
+                   ROUND(sum(v) / 96.0, 6) AS px_mean
+            FROM px GROUP BY k
         """,
         "equalize": """
             -- exact-integer CDF remap of the three-value fixture

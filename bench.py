@@ -169,6 +169,7 @@ def main() -> None:
         "idw",
         "sample_raster",
         "crop",
+        "rescale",
         "coverage",
         "tile_pyramid",
         "mosaic",

@@ -25,6 +25,7 @@ __all__ = [
     "reencode_images",
     "resize_images",
     "crop_images",
+    "rescale_images",
     "image_ahash",
     "decode_ahash_stage",
     "decode_frame_sample",
@@ -235,6 +236,70 @@ def crop_images(
             out["w"] = out_w
             out["h"] = out_h
             yield out
+
+    return images.mapInPandas(op, images.schema)
+
+
+def rescale_images(
+    images: DataFrame,
+    src_min: int | None = None,
+    src_max: int | None = None,
+    dst_min: int = 0,
+    dst_max: int = 255,
+) -> DataFrame:
+    """Linear pixel stretch (the `gdal_translate -scale [src_min
+    src_max [dst_min dst_max]]` analog): v maps to dst_min +
+    (v - src_min) * (dst_max - dst_min) / (src_max - src_min), inputs
+    clamped to the source interval first (GDAL's clamp), computed in
+    EXACT integer arithmetic with round-half-up —
+    ((v - smin) * (dmax - dmin) * 2 + span) // (2 * span) + dmin —
+    so the output is bit-identical across engines and partitionings
+    (no float rounding drift; the equalize_images contract).
+
+    ``src_min``/``src_max`` = None uses each FRAME's own min/max
+    (gdal_translate's argument-less -scale); constant frames (span 0)
+    map to ``dst_min``, documented rather than NaN. dst bounds must
+    satisfy 0 <= dst_min <= dst_max <= 255 (uint8 sink).
+
+    Scale: whole-batch decode_group -> one vectorized remap ->
+    encode_group per uniform (fmt, w, h) group; shuffle-free, no
+    per-image Python. Per-frame bounds are whole-group axis
+    reductions, not per-image loops.
+    """
+    if not 0 <= dst_min <= dst_max <= 255:
+        raise ValueError(f"bad dst range [{dst_min}, {dst_max}]")
+    if (src_min is None) != (src_max is None):
+        raise ValueError("src_min and src_max must be set together")
+    if src_min is not None and src_min > src_max:
+        raise ValueError(f"src_min {src_min} > src_max {src_max}")
+    ddelta = dst_max - dst_min
+
+    def op(batches):
+        for pdf in batches:
+            blobs: list[bytes | None] = [None] * len(pdf)
+            for fmt, w, h, idx, pix in _grouped(pdf):
+                p = pix.astype(np.int64)
+                red = tuple(range(1, p.ndim))  # all axes but the frame
+                if src_min is None:
+                    smin = p.min(axis=red, keepdims=True)
+                    smax = p.max(axis=red, keepdims=True)
+                else:
+                    smin = np.full((len(idx),) + (1,) * (p.ndim - 1), src_min, np.int64)
+                    smax = np.full_like(smin, src_max)
+                span = smax - smin
+                v = np.clip(p, smin, smax)
+                safe = np.where(span > 0, span, 1)  # both where-branches evaluate
+                out = np.where(
+                    span > 0,
+                    (2 * (v - smin) * ddelta + safe) // (2 * safe) + dst_min,
+                    dst_min,
+                ).astype(np.uint8)
+                enc = _codec.encode_group(out, fmt)
+                for j, i in enumerate(idx):
+                    blobs[i] = enc[j]
+            out_pdf = pdf.copy()
+            out_pdf["bytes"] = blobs
+            yield out_pdf
 
     return images.mapInPandas(op, images.schema)
 

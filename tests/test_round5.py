@@ -2839,3 +2839,69 @@ def test_viewshed_height_monotone_and_oob(spark):
         viewshed(df, 10, 0).count()  # K9 fail-loud, observer outside frame
     with pytest.raises(ValueError):
         viewshed(df, -1, 0)
+
+
+# ---------------------------------------------------------------- #
+# rescale_images (gdal_translate -scale analog)                     #
+# ---------------------------------------------------------------- #
+
+
+def _ref_rescale(a, smin, smax, dmin, dmax):
+    p = a.astype(np.int64)
+    if smin is None:
+        smin, smax = int(p.min()), int(p.max())
+    span = smax - smin
+    if span == 0:
+        return np.full_like(p, dmin).astype(np.uint8)
+    v = np.clip(p, smin, smax)
+    return ((2 * (v - smin) * (dmax - dmin) + span) // (2 * span) + dmin).astype(
+        np.uint8
+    )
+
+
+def _decode_rows(rows):
+    from gfp_gdal_spark.kernels.codec import decode_image
+
+    return {
+        r["image_id"]: decode_image(bytes(r["bytes"]), r["fmt"]) for r in rows
+    }
+
+
+@pytest.mark.parametrize(
+    "bounds", [(None, None, 0, 255), (10, 200, 0, 255), (0, 96, 10, 250)]
+)
+def test_rescale_pixel_parity(spark, bounds):
+    from gfp_gdal_spark.operators.multimodal import rescale_images
+
+    smin, smax, dmin, dmax = bounds
+    rng = np.random.RandomState(17)
+    arrs = [rng.randint(0, 256, size=(rng.randint(2, 9), rng.randint(2, 9)))
+            for _ in range(8)]
+    arrs.append(np.full((4, 4), 77))  # constant frame -> dst_min
+    df = _img_df(spark, arrs)
+    got = _decode_rows(
+        rescale_images(df, smin, smax, dst_min=dmin, dst_max=dmax).collect()
+    )
+    for i, a in enumerate(arrs):
+        want = _ref_rescale(a, smin, smax, dmin, dmax)
+        assert (got[str(i)] == want).all(), (i, a, got[str(i)], want)
+
+
+def test_rescale_color_and_args(spark):
+    from gfp_gdal_spark.kernels.codec import encode_image
+    from gfp_gdal_spark.operators.multimodal import rescale_images
+
+    rng = np.random.RandomState(19)
+    a = rng.randint(0, 256, size=(5, 6, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("c0", bytearray(encode_image(a, "ppm")), "ppm", 6, 5)],
+        "image_id string, bytes binary, fmt string, w int, h int",
+    )
+    got = _decode_rows(rescale_images(df, 50, 180).collect())
+    assert (got["c0"] == _ref_rescale(a, 50, 180, 0, 255)).all()
+    with pytest.raises(ValueError):
+        rescale_images(df, 10, None)
+    with pytest.raises(ValueError):
+        rescale_images(df, 20, 10)
+    with pytest.raises(ValueError):
+        rescale_images(df, None, None, dst_min=-1)
