@@ -2512,6 +2512,22 @@ def _q_dup_spans(spark, sf):
     )
 
 
+def _q_tfidf(spark, sf):
+    """Hashed TF-IDF features on the documents table: the integer
+    contract (fid via the portable 31-poly hash, tf, df, N) is
+    certified; weight applies ln() and is pytest-held (libm ulp — the
+    lr_quality sigmoid precedent). Oracle = the same HUGEINT hash
+    replay + two grouped counts."""
+    from gfp_gdal_spark.operators.retrieval import hashed_tfidf
+
+    _prep(spark)
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    out = hashed_tfidf(d, dim=1 << 20)
+    return out.select("doc_id", "fid", "tf", "df", "n_docs")
+
+
 def _q_viewshed(spark, sf):
     """gdal_viewshed analog certified on 1-row frames, where the Wang
     propagation reduces EXACTLY to the 1-D running-max-slope LOS: the
@@ -2982,7 +2998,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed: profiling.py (vocab/cardinality + sketch certs) ---
         "corpus_quantiles_approx": _q_corpus_quantiles_approx,
         "vocab_topk": _q_vocab_topk,
-        "distinct_profile_approx": _q_distinct_profile_approx,
+        # tfidf (NEW, final round-5 session: hashed featurization in
+        # retrieval.py) — new code takes an in-window slot;
+        # distinct_profile_approx rotates to the tail in exchange
+        # (profiling.py is byte-unchanged this session;
+        # corpus_quantiles_approx + vocab_topk keep it covered
+        # in-window; the approx row stays locally oracle-green in
+        # ORACLES_LOCAL_r05.md).
+        "tfidf": _q_tfidf,
         # --- changed: dedup.py (hamming_pairs + simhash refactor) ---
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "phash_pairs": _q_phash_pairs,
@@ -3017,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid": _q_centroid,
         "interval_union": _q_interval_union,
         "crop": _q_crop,
+        "distinct_profile_approx": _q_distinct_profile_approx,
         "convex_hull": _q_convex_hull,
         # verify_pairs (NEW, late round 5) lands at the head of the
         # tail: the 50-slot window is fully occupied by first-time
@@ -3147,6 +3171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # kernels/cells.py (res<<59 | zigzag(q)<<28 | zigzag(r))
 _HEX_RES_MUL = 1 << 59
 _HEX_Q_MUL = 1 << 28
+
+
+_SQL_P31 = "p31(i, p) AS (VALUES (0, 1::HUGEINT), (1, 31::HUGEINT), (2, 961::HUGEINT), (3, 29791::HUGEINT), (4, 923521::HUGEINT), (5, 28629151::HUGEINT), (6, 887503681::HUGEINT), (7, 27512614111::HUGEINT), (8, 852891037441::HUGEINT), (9, 26439622160671::HUGEINT), (10, 819628286980801::HUGEINT), (11, 25408476896404831::HUGEINT), (12, 787662783788549761::HUGEINT), (13, 5970802223735490975::HUGEINT), (14, 627428198704704065::HUGEINT), (15, 1003530086136274399::HUGEINT), (16, 12662688596514954753::HUGEINT), (17, 5161720944063013407::HUGEINT), (18, 12439396676277002689::HUGEINT), (19, 16686415490396051039::HUGEINT), (20, 770046138410136961::HUGEINT), (21, 5424686217004694175::HUGEINT), (22, 2144576063759554881::HUGEINT), (23, 11141625755417546463::HUGEINT))"  # 31^i mod 2^64, i = 0..23 (max token length 24)
 
 
 def _sql_geohash(p: int, lon: str, lat: str) -> str:
@@ -5041,11 +5068,45 @@ def oracle_sql() -> dict[str, str]:
                      AS frac_pos
             FROM u GROUP BY image_id
         """,
-        "lr_quality": """
+        "tfidf": f"""
+            -- same HUGEINT hash replay as lr_quality; tf = per-(doc,
+            -- fid) count, df = per-fid doc count derived FROM tf,
+            -- N = all input docs (tokenless ones included)
+            WITH {_SQL_P31},
+            base AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ts
+              FROM documents WHERE doc_id < 300
+            ),
+            occ AS (
+              SELECT doc_id, u.t AS tok
+              FROM base, unnest(ts) AS u(t) WHERE length(u.t) > 0
+            ),
+            dtok AS (SELECT DISTINCT tok FROM occ),
+            th AS (
+              SELECT tok,
+                     CAST(SUM(unicode(substr(tok, i + 1, 1)) * p)
+                          % 1048576 AS BIGINT) AS fid
+              FROM dtok JOIN p31 ON i < length(tok)
+              GROUP BY tok
+            ),
+            tf AS (
+              SELECT o.doc_id, th.fid, count(*) AS tf
+              FROM occ o JOIN th USING (tok)
+              GROUP BY o.doc_id, th.fid
+            ),
+            dfq AS (SELECT fid, count(*) AS df FROM tf GROUP BY fid),
+            n AS (SELECT count(*) AS n_docs FROM base)
+            SELECT tf.doc_id, tf.fid,
+                   CAST(tf.tf AS BIGINT) AS tf,
+                   CAST(dfq.df AS BIGINT) AS df,
+                   CAST(n.n_docs AS BIGINT) AS n_docs
+            FROM tf JOIN dfq USING (fid) CROSS JOIN n
+        """,
+        "lr_quality": f"""
             -- portable 31-polynomial token hash replayed in HUGEINT;
             -- fid = hash mod 2^20 (2^20 | 2^64, so no 2^64 reduction
             -- needed before the mod)
-            WITH p31(i, p) AS (VALUES (0, 1::HUGEINT), (1, 31::HUGEINT), (2, 961::HUGEINT), (3, 29791::HUGEINT), (4, 923521::HUGEINT), (5, 28629151::HUGEINT), (6, 887503681::HUGEINT), (7, 27512614111::HUGEINT), (8, 852891037441::HUGEINT), (9, 26439622160671::HUGEINT), (10, 819628286980801::HUGEINT), (11, 25408476896404831::HUGEINT), (12, 787662783788549761::HUGEINT), (13, 5970802223735490975::HUGEINT), (14, 627428198704704065::HUGEINT), (15, 1003530086136274399::HUGEINT), (16, 12662688596514954753::HUGEINT), (17, 5161720944063013407::HUGEINT), (18, 12439396676277002689::HUGEINT), (19, 16686415490396051039::HUGEINT), (20, 770046138410136961::HUGEINT), (21, 5424686217004694175::HUGEINT), (22, 2144576063759554881::HUGEINT), (23, 11141625755417546463::HUGEINT)),
+            WITH {_SQL_P31},
             base AS (
               SELECT doc_id, string_split(lower(text), ' ') AS ts
               FROM documents WHERE doc_id < 400

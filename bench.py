@@ -193,6 +193,7 @@ def main() -> None:
         "interp_track",
         "bm25_search",
         "bm25_sharded",
+        "tfidf",
         "bigram_lm",
         "centroid",
         "convex_hull",

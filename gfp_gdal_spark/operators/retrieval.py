@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_search"]
+__all__ = ["bm25_search", "hashed_tfidf"]
 
 
 def _terms(df: DataFrame, text: str, id_col: str, out_id: str) -> DataFrame:
@@ -123,5 +123,73 @@ def bm25_search(
             F.col("_did").alias(id_col),
             "score",
             F.col("_rn").alias("rank"),
+        )
+    )
+
+
+def hashed_tfidf(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 20,
+    assemble: bool = False,
+) -> DataFrame:
+    """Hashed TF-IDF featurization — the sparse-vector complement of
+    BM25 (classifier features, cheap similarity, IVF/kmeans inputs):
+    tokens route through the PORTABLE 31-polynomial hash mod ``dim``
+    (functions.text.token_hash64 — the lr_quality_score routing
+    contract, so collisions replay exactly in any engine), tf/df come
+    from the exploded term table, idf = ln((N+1)/(df+1)) + 1 (the
+    smooth sklearn form), weight = tf * idf.
+
+    Output (default): one row per (doc, feature) —
+    (doc_id, fid, tf, df, n_docs, weight). The INTEGER columns
+    (fid, tf, df, n_docs) are the certified cross-engine contract;
+    ``weight`` applies ln(), whose last ulp is libm-specific — like
+    lr_quality_score's sigmoid, certify the integers, not the float.
+    ``assemble=True`` instead emits one row per doc with fid-sorted
+    parallel arrays (fids, weights) — the form kmeans/ANN consume.
+
+    Scale shape: tf is ONE (doc, fid)-keyed hash agg over the exploded
+    terms (map-side combine collapses repeats); df derives from the tf
+    table itself (one vocabulary-keyed agg — never a second pass over
+    raw tokens); the df join-back is vocabulary-sized (AQE broadcasts
+    it) and N rides a lazy broadcast 1-row cross join (no driver
+    collect). Nothing shuffles the corpus more than once.
+    """
+    from gfp_gdal_spark.functions.text import token_hash64
+
+    if dim <= 0:
+        raise ValueError(f"dim must be > 0: {dim}")
+    terms = _terms(docs, text, id_col, "_id")
+    # pmod for the same uint64-bit-pattern reason as lr_quality_score
+    tf = (
+        terms.select("_id", F.pmod(token_hash64(F.col("term")), F.lit(dim)).alias("fid"))
+        .groupBy("_id", "fid")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("fid").agg(F.count(F.lit(1)).alias("df"))
+    n = F.broadcast(docs.select(F.count(F.lit(1)).alias("n_docs")))
+    out = (
+        tf.join(dfreq, "fid")
+        .crossJoin(n)
+        .withColumn(
+            "weight",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    if not assemble:
+        return out.select(
+            F.col("_id").alias(id_col), "fid", "tf", "df", "n_docs", "weight"
+        )
+    pairs = F.sort_array(F.collect_list(F.struct("fid", "weight")))
+    return (
+        out.groupBy("_id")
+        .agg(pairs.alias("_p"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.transform("_p", lambda s: s["fid"]).alias("fids"),
+            F.transform("_p", lambda s: s["weight"]).alias("weights"),
         )
     )

@@ -2905,3 +2905,57 @@ def test_rescale_color_and_args(spark):
         rescale_images(df, 20, 10)
     with pytest.raises(ValueError):
         rescale_images(df, None, None, dst_min=-1)
+
+
+# ---------------------------------------------------------------- #
+# hashed_tfidf                                                      #
+# ---------------------------------------------------------------- #
+
+
+def test_hashed_tfidf_reference_parity(spark):
+    import math
+
+    from gfp_gdal_spark.operators.retrieval import hashed_tfidf
+
+    docs = [
+        (0, "spark shuffles spark rows"),
+        (1, "rows and rows of spark"),
+        (2, "completely different tokens here"),
+        (3, ""),  # tokenless doc: no feature rows, still counts in N
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    dim = 1 << 20
+    out = hashed_tfidf(df, dim=dim).toPandas()
+
+    def h31(t):
+        v = 0
+        for i, b in enumerate(t.encode()):
+            v = (v + b * pow(31, i, 1 << 64)) % (1 << 64)
+        return v % dim
+
+    # independent reference
+    from collections import Counter, defaultdict
+
+    tf = {d: Counter(h31(t) for t in txt.lower().split(" ") if t) for d, txt in docs}
+    dfreq = defaultdict(int)
+    for d in tf:
+        for f in tf[d]:
+            dfreq[f] += 1
+    n = len(docs)
+    got = {(r.doc_id, r.fid): (r.tf, r.df, r.n_docs, r.weight) for r in out.itertuples()}
+    want_keys = {(d, f) for d in tf for f in tf[d]}
+    assert set(got) == want_keys
+    for (d, f), (tfv, dfv, nv, wv) in got.items():
+        assert tfv == tf[d][f] and dfv == dfreq[f] and nv == n
+        assert abs(wv - tfv * (math.log((n + 1) / (dfv + 1)) + 1.0)) < 1e-12
+    assert not (out.doc_id == 3).any()
+
+    # assembled form: fid-sorted parallel arrays, same content
+    asm = hashed_tfidf(df, dim=dim, assemble=True).toPandas().set_index("doc_id")
+    for d in (0, 1, 2):
+        fids = list(asm.loc[d, "fids"])
+        assert fids == sorted(fids)
+        for f, w in zip(fids, asm.loc[d, "weights"]):
+            assert abs(got[(d, f)][3] - w) < 1e-12
+    with pytest.raises(ValueError):
+        hashed_tfidf(df, dim=0)
