@@ -2512,6 +2512,48 @@ def _q_dup_spans(spark, sf):
     )
 
 
+def _q_polygon_join(spark, sf):
+    """Polygon-overlap join certified on axis-aligned rect rings in
+    guaranteed general position (boundary grids 1.1/1.3 vs 0.9+0.37/
+    1.7+0.21 — min cross-side bound separation 0.01, numerically
+    scanned over all 400 keys): interiors-intersect == the strict
+    interval overlap the oracle replays. The general-geometry kernel
+    (proper crossings + containment) is SAT-parity-tested on random
+    convex pairs in tests/test_round5.py."""
+    from gfp_gdal_spark.operators.joins import polygon_join
+
+    _prep(spark)
+    cust = _t(spark, sf, "customer").where(F.col("c_custkey") < 400)
+    k = F.col("c_custkey")
+
+    def rect(df, x0, y0, x1, y1, idc, ringc):
+        ring = F.array(
+            F.array(x0, y0), F.array(x1, y0), F.array(x1, y1), F.array(x0, y1)
+        )
+        return df.select(k.alias(idc), ring.alias(ringc))
+
+    lx0 = (k % 19).cast("double") * 1.1
+    ly0 = ((k / 19).cast("long") % 17).cast("double") * 1.3
+    lv = rect(
+        cust.where(k < 200),
+        lx0, ly0,
+        lx0 + 1.0 + (k % 5).cast("double") * 0.7,
+        ly0 + 1.0 + (k % 7).cast("double") * 0.5,
+        "l_id", "l_ring",
+    )
+    rx0 = (k % 23).cast("double") * 0.9 + 0.37
+    ry0 = ((k / 23).cast("long") % 13).cast("double") * 1.7 + 0.21
+    rv = rect(
+        cust.where(k >= 200),
+        rx0, ry0,
+        rx0 + 1.2 + (k % 6).cast("double") * 0.6,
+        ry0 + 1.1 + (k % 4).cast("double") * 0.8,
+        "r_id", "r_ring",
+    )
+    out = polygon_join(lv, rv, z=10)
+    return out.select("l_id", "r_id")
+
+
 def _q_tfidf(spark, sf):
     """Hashed TF-IDF features on the documents table: the integer
     contract (fid via the portable 31-poly hash, tf, df, N) is
@@ -2932,6 +2974,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_rollup": _q_tile_rollup,
         "bbox_join": _q_bbox_join,
+        # polygon_join (NEW, final round-5 session: the interiors-
+        # intersect polygon x polygon join in joins.py) — new code
+        # takes an in-window slot; sieve rotates to the tail in
+        # exchange (sieve_filter's body is byte-unchanged this session;
+        # label_regions/proximity/contour/fill_nodata/viewshed keep
+        # vectorize.py covered in-window; sieve stays locally
+        # oracle-green in ORACLES_LOCAL_r05.md).
+        "polygon_join": _q_polygon_join,
         "overlap_clusters": _q_overlap_clusters,
         "density_clusters": _q_density_clusters,
         "kmeans": _q_kmeans,
@@ -2939,7 +2989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_regions": _q_label_regions,
         "proximity": _q_proximity,
         "contour": _q_contour,
-        "sieve": _q_sieve,
         "fill_nodata": _q_fill_nodata,
         # viewshed (NEW, final round-5 session: gdal_viewshed analog in
         # vectorize.py) — new code takes an in-window slot; centroid
@@ -3041,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_union": _q_interval_union,
         "crop": _q_crop,
         "distinct_profile_approx": _q_distinct_profile_approx,
+        "sieve": _q_sieve,
         "convex_hull": _q_convex_hull,
         # verify_pairs (NEW, late round 5) lands at the head of the
         # tail: the 50-slot window is fully occupied by first-time
@@ -5067,6 +5117,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN u > 0 THEN 1.0 ELSE 0.0 END), 6)
                      AS frac_pos
             FROM u GROUP BY image_id
+        """,
+        "polygon_join": """
+            -- interiors-intersect on general-position rects == strict
+            -- interval overlap on both axes
+            WITH l AS (
+              SELECT c_custkey AS l_id,
+                     (c_custkey % 19) * 1.1 AS x0,
+                     ((c_custkey // 19) % 17) * 1.3 AS y0,
+                     (c_custkey % 19) * 1.1 + 1.0 + (c_custkey % 5) * 0.7 AS x1,
+                     ((c_custkey // 19) % 17) * 1.3 + 1.0 + (c_custkey % 7) * 0.5 AS y1
+              FROM customer WHERE c_custkey < 200
+            ),
+            r AS (
+              SELECT c_custkey AS r_id,
+                     (c_custkey % 23) * 0.9 + 0.37 AS x0,
+                     ((c_custkey // 23) % 13) * 1.7 + 0.21 AS y0,
+                     (c_custkey % 23) * 0.9 + 0.37 + 1.2 + (c_custkey % 6) * 0.6 AS x1,
+                     ((c_custkey // 23) % 13) * 1.7 + 0.21 + 1.1 + (c_custkey % 4) * 0.8 AS y1
+              FROM customer WHERE c_custkey >= 200 AND c_custkey < 400
+            )
+            SELECT l.l_id, r.r_id
+            FROM l JOIN r
+              ON l.x0 < r.x1 AND r.x0 < l.x1
+             AND l.y0 < r.y1 AND r.y0 < l.y1
         """,
         "tfidf": f"""
             -- same HUGEINT hash replay as lr_quality; tf = per-(doc,

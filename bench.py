@@ -156,6 +156,7 @@ def main() -> None:
         "range_join",
         "interval_join",
         "bbox_join",
+        "polygon_join",
         "overlap_clusters",
         "density_clusters",
         "pack_chunks",

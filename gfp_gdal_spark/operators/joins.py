@@ -30,6 +30,7 @@ from gfp_gdal_spark.functions.spatial import (
     hex_kring,
     hex_pack_cols,
     pip_refine_col,
+    ring_crossings_col,
     tile_cols,
     tile_cover_cols,
 )
@@ -38,6 +39,7 @@ __all__ = [
     "tile_assign",
     "tile_cover",
     "bbox_join",
+    "polygon_join",
     "overlap_clusters",
     "ring_bbox_cols",
     "cover_cells_tile",
@@ -196,6 +198,101 @@ def bbox_join(
     cx, cy = tile_cols(F.greatest(lmnx, rmnx), F.greatest(lmny, rmny), z)
     canonical = (F.col("_cx") == cx) & (F.col("_cy") == cy)
     return j.where(overlap & canonical).drop("_cx", "_cy")
+
+
+def _edges_cross_col(ra: Column, rb: Column) -> Column:
+    """TRUE iff any edge of (unclosed) ring ``ra`` PROPERLY crosses any
+    edge of ring ``rb`` — the strict double-orientation test, as one
+    nested JVM higher-order expression (O(nA*nB) per evaluated pair,
+    zero Python). Zero cross products (touching / collinear contacts)
+    never register: strictness is what makes the polygon_join
+    predicate an INTERIORS-intersect test."""
+    na, nb = F.size(ra), F.size(rb)
+
+    def orient(o: Column, a: Column, b: Column) -> Column:
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def seg_hit(i: Column) -> Column:
+        a1, a2 = F.get(ra, i), F.get(ra, (i + 1) % na)
+
+        def hit_j(j: Column) -> Column:
+            b1, b2 = F.get(rb, j), F.get(rb, (j + 1) % nb)
+            d1, d2 = orient(b1, b2, a1), orient(b1, b2, a2)
+            d3, d4 = orient(a1, a2, b1), orient(a1, a2, b2)
+            return ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+        return F.exists(F.sequence(F.lit(0), nb - 1), hit_j)
+
+    return F.exists(F.sequence(F.lit(0), na - 1), seg_hit)
+
+
+def polygon_join(
+    left: DataFrame,
+    right: DataFrame,
+    z: int = 8,
+    l_ring: str = "l_ring",
+    r_ring: str = "r_ring",
+) -> DataFrame:
+    """Polygon-OVERLAP join (interiors intersect) — the general-
+    geometry sibling of ``bbox_join`` and the missing fourth spatial
+    join beside point-in-polygon / kNN / radius (zone x zone conflict
+    checks, footprint x parcel matching, scene x AOI selection).
+
+    Candidates: both rings' bboxes explode over their WebMercator
+    z-tile cover and equi-join, each pair kept only in the overlap
+    rectangle's lower-left canonical tile (exactly ``bbox_join``'s
+    shape: no distinct, no product, fan-out bounded by cover size).
+    Refine, all pure JVM Column (zero Python nodes in the whole plan):
+
+        overlap  =  any edge of A properly crosses an edge of B
+                 OR any vertex of A strictly inside B
+                 OR any vertex of B strictly inside A
+
+    EXACT for simple rings in general position (no vertex of one ring
+    ON the other's boundary, no collinear edge overlap): any positive-
+    area intersection then either strictly contains a vertex or forces
+    a proper crossing, and disjoint-with-a-gap pairs never match.
+    Boundary-COINCIDENT pairs (shared edge, corner contact, inscribed
+    vertices) sit outside the contract — the proper-crossing test
+    correctly sees no interior meeting, but a ray-cast of a vertex
+    lying exactly on the other boundary may classify either way, as in
+    any strict-predicate floating-point geometry engine; pre-snap with
+    quantized/segmentized coordinates if inputs carry exact shared
+    bounds.
+
+    Rings are the house ``array<array<double>>`` unclosed canon; ring
+    column names must differ across sides (output carries both). Cost
+    is O(nA*nB) codegen per surviving candidate — right for footprint/
+    zone rings (tens of vertices); simplify first for vertex-heavy
+    geometry, as the reference pipeline does before joins.
+    """
+    if l_ring == r_ring:
+        raise ValueError(
+            f"ring columns collide across sides ({l_ring!r}); rename one"
+        )
+
+    def bb(df: DataFrame, ring: str, pfx: str) -> tuple[DataFrame, tuple[str, ...]]:
+        xs = F.transform(F.col(ring), lambda p: p[0])
+        ys = F.transform(F.col(ring), lambda p: p[1])
+        cols = tuple(pfx + c for c in ("min_lon", "min_lat", "max_lon", "max_lat"))
+        out = (
+            df.withColumn(cols[0], F.array_min(xs))
+            .withColumn(cols[1], F.array_min(ys))
+            .withColumn(cols[2], F.array_max(xs))
+            .withColumn(cols[3], F.array_max(ys))
+        )
+        return out, cols
+
+    lv, l_cols = bb(left, l_ring, "_pl_")
+    rv, r_cols = bb(right, r_ring, "_pr_")
+    cand = bbox_join(lv, rv, z=z, l_cols=l_cols, r_cols=r_cols)
+    ra, rb = F.col(l_ring), F.col(r_ring)
+    pred = (
+        _edges_cross_col(ra, rb)
+        | F.exists(ra, lambda p: ring_crossings_col(p[0], p[1], rb))
+        | F.exists(rb, lambda p: ring_crossings_col(p[0], p[1], ra))
+    )
+    return cand.where(pred).drop(*l_cols, *r_cols)
 
 
 def overlap_clusters(

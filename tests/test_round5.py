@@ -2959,3 +2959,81 @@ def test_hashed_tfidf_reference_parity(spark):
             assert abs(got[(d, f)][3] - w) < 1e-12
     with pytest.raises(ValueError):
         hashed_tfidf(df, dim=0)
+
+
+# ---------------------------------------------------------------- #
+# polygon_join (interiors-intersect overlap join)                   #
+# ---------------------------------------------------------------- #
+
+
+def _sat_interiors_intersect(pa, pb):
+    """Exact separating-axis test for CONVEX polygons: interiors
+    intersect iff NO edge normal of either polygon strictly separates
+    (touching = separated with zero gap -> no interior overlap)."""
+    import numpy as np
+
+    def axes(p):
+        e = np.roll(p, -1, axis=0) - p
+        return np.stack([-e[:, 1], e[:, 0]], axis=1)
+
+    for ax in np.vstack([axes(pa), axes(pb)]):
+        a0, a1 = (pa @ ax).min(), (pa @ ax).max()
+        b0, b1 = (pb @ ax).min(), (pb @ ax).max()
+        if a1 <= b0 or b1 <= a0:  # separated or just touching
+            return False
+    return True
+
+
+def _convex_poly(rng, cx, cy, r):
+    """Random convex ring (CCW, unclosed): hull of points on a circle."""
+    import numpy as np
+
+    k = rng.randint(4, 9)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    return np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)
+
+
+def _poly_rows(polys, ring_col):
+    return [(i, [[float(x), float(y)] for x, y in p]) for i, p in enumerate(polys)]
+
+
+def test_polygon_join_sat_parity(spark):
+    import numpy as np
+
+    from gfp_gdal_spark.operators.joins import polygon_join
+
+    rng = np.random.RandomState(37)
+    A = [_convex_poly(rng, rng.uniform(-2, 2), rng.uniform(-2, 2), rng.uniform(0.3, 1.6))
+         for _ in range(25)]
+    B = [_convex_poly(rng, rng.uniform(-2, 2), rng.uniform(-2, 2), rng.uniform(0.3, 1.6))
+         for _ in range(25)]
+    la = spark.createDataFrame(_poly_rows(A, "l_ring"),
+                               "l_id long, l_ring array<array<double>>")
+    rb = spark.createDataFrame(_poly_rows(B, "r_ring"),
+                               "r_id long, r_ring array<array<double>>")
+    got = {(r["l_id"], r["r_id"])
+           for r in polygon_join(la, rb, z=6).select("l_id", "r_id").collect()}
+    want = {(i, j) for i, a in enumerate(A) for j, b in enumerate(B)
+            if _sat_interiors_intersect(a, b)}
+    assert got == want
+    assert len(want) > 10  # the fixture really exercises overlap
+
+
+def test_polygon_join_containment_and_touch(spark):
+    from gfp_gdal_spark.operators.joins import polygon_join
+
+    sq = lambda x0, y0, s: [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]]
+    A = [(0, sq(0.0, 0.0, 4.0)), (1, sq(10.0, 0.0, 2.0)), (2, sq(30.0, 0.0, 2.0))]
+    #       contains B0          overlapped by B2 corner     disjoint from all
+    B = [(0, sq(1.0, 1.0, 1.0)), (1, sq(12.5, 0.0, 2.0)), (2, sq(0.5, 0.5, 10.0))]
+    la = spark.createDataFrame(A, "l_id long, l_ring array<array<double>>")
+    rb = spark.createDataFrame(B, "r_id long, r_ring array<array<double>>")
+    got = {(r["l_id"], r["r_id"])
+           for r in polygon_join(la, rb, z=6).select("l_id", "r_id").collect()}
+    # containment (both directions counted once per pair), partial
+    # overlap, but NOT the gapped neighbor (A1/B1) or the far square
+    assert got == {(0, 0), (0, 2), (1, 2)}
+    with pytest.raises(ValueError):
+        polygon_join(la.withColumnRenamed("l_ring", "ring"),
+                     rb.withColumnRenamed("r_ring", "ring"),
+                     l_ring="ring", r_ring="ring")
