@@ -15,6 +15,7 @@ from gfp_gdal_spark.sources.datagen import IMAGES_SCHEMA
 
 __all__ = [
     "streaming_label_regions",
+    "streaming_pip_join",
     "streaming_viewshed",
     "read_image_stream",
     "streaming_tile_counts",
@@ -228,6 +229,34 @@ def streaming_label_regions(
     from gfp_gdal_spark.operators.vectorize import label_regions
 
     return label_regions(images_stream, connectivity=connectivity, nodata=nodata)
+
+
+def streaming_pip_join(
+    images_stream: DataFrame,
+    polys: DataFrame,
+    z: int = 8,
+    **pip_kwargs,
+) -> DataFrame:
+    """The north-star ingest shape as a STREAM: arriving image records
+    footprint-derive, cell-bucket, and point-in-polygon join against a
+    STATIC vector layer — ``operators.joins.pip_join`` composes
+    verbatim as a stream-static equi-join (the polygon side replicates
+    over its covering cells exactly as in batch; Structured Streaming
+    plans stream-static inner joins stateless, so this is append mode
+    with NO state store). Micro-batch, restart, and batch runs emit
+    identical join rows — the batch-parity test asserts it.
+
+    The static side must be a batch DataFrame (zones, parcels, AOIs);
+    broadcast defaults to True because a streaming micro-batch should
+    never shuffle the static layer per trigger.
+    """
+    from gfp_gdal_spark.operators.joins import pip_join
+
+    pip_kwargs.setdefault("broadcast", True)
+    pts = with_footprint(images_stream).select(
+        "image_id", "lon_c", "lat_c", "w", "h"
+    )
+    return pip_join(pts, polys, z=z, **pip_kwargs)
 
 
 def streaming_viewshed(

@@ -430,3 +430,41 @@ def test_streaming_viewshed_matches_batch(spark, tmp_path):
         assert got.exceptAll(static).isEmpty()
     finally:
         q.stop()
+
+
+def test_streaming_pip_join_matches_batch(spark, tmp_path):
+    """Stream-static PiP join over a TWO-micro-batch image stream must
+    equal the batch pip_join over the full table (stateless append —
+    the north-star ingest as a stream)."""
+    from gfp_gdal_spark.functions.spatial import with_footprint
+    from gfp_gdal_spark.operators.joins import pip_join
+
+    d = str(tmp_path / "imgs_pip")
+    imgs = datagen.images_table(spark, 400, with_bytes=False)
+    polys = datagen.vector_layer_zones(spark, 60)
+    imgs.where("image_id < 'img00000200'").coalesce(1).write.mode("append").parquet(d)
+    stream = SI.read_image_stream(spark, d)
+    q = (
+        SI.streaming_pip_join(stream, polys, z=6)
+        .select("image_id", "polygon_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pip_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        imgs.where("image_id >= 'img00000200'").coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        pts = with_footprint(spark.read.parquet(d)).select(
+            "image_id", "lon_c", "lat_c", "w", "h"
+        )
+        static = pip_join(pts, polys, z=6, broadcast=True).select(
+            "image_id", "polygon_id"
+        )
+        got = spark.sql("SELECT * FROM pip_stream")
+        assert static.count() > 0
+        assert static.exceptAll(got).isEmpty()
+        assert got.exceptAll(static).isEmpty()
+    finally:
+        q.stop()
