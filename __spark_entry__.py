@@ -976,6 +976,26 @@ def _q_pagerank(spark, sf):
     )
 
 
+def _q_bfs_hops(spark, sf):
+    """Multi-source BFS on the same planted disjoint 50-cycles as the
+    pagerank fixture, one seed per cycle (key % 50 == 0): the
+    undirected hop distance on a 50-cycle is the closed form
+    least(k % 50, 50 - k % 50). Arbitrary-graph parity is BFS-tested
+    in tests/test_round5.py."""
+    _prep(spark)
+    from gfp_gdal_spark.plans.graph import bfs_hops
+
+    c = _t(spark, sf, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    nxt = (k - (k % 50)) + (k + 1) % 50
+    edges = c.select(k.alias("src"), nxt.alias("dst"))
+    seeds = c.where(k % 50 == 0).select(k.alias("v"))
+    out = bfs_hops(edges, seeds, max_hops=25)
+    return out.select(
+        F.col("vertex").alias("c_custkey"), F.col("hops").cast("long").alias("hops")
+    )
+
+
 def _q_simplify_lines(spark, sf):
     """Open-polyline DP on planted 3-vertex lines: the midpoint bump is
     0.0001 (dropped) for even keys, 0.05 (kept) for odd at tol=0.01 —
@@ -2984,6 +3004,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_join": _q_polygon_join,
         "overlap_clusters": _q_overlap_clusters,
         "density_clusters": _q_density_clusters,
+        # bfs_hops (NEW, final round-5 session: multi-source BFS in
+        # plans/graph.py) — new code takes an in-window slot;
+        # image_histogram rotates to the tail in exchange (its body is
+        # byte-unchanged this session; equalize/augment/rescale keep
+        # multimodal.py covered in-window; locally oracle-green in
+        # ORACLES_LOCAL_r05.md).
+        "bfs_hops": _q_bfs_hops,
         "kmeans": _q_kmeans,
         # --- new: vectorize.py (polygonize/proximity/contour/sieve/fill) ---
         "label_regions": _q_label_regions,
@@ -2998,7 +3025,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": _q_viewshed,
         # --- changed: multimodal.py (augment/histogram/equalize) ---
         "augment": _q_augment,
-        "image_histogram": _q_image_histogram,
         "equalize": _q_equalize,
         # --- changed: temporal.py ---
         "interval_join": _q_interval_join,
@@ -3091,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop": _q_crop,
         "distinct_profile_approx": _q_distinct_profile_approx,
         "sieve": _q_sieve,
+        "image_histogram": _q_image_histogram,
         "convex_hull": _q_convex_hull,
         # verify_pairs (NEW, late round 5) lands at the head of the
         # tail: the 50-slot window is fully occupied by first-time
@@ -5218,6 +5245,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN th USING (tok)
             LEFT JOIN vh USING (fid)
             GROUP BY o.doc_id
+        """,
+        "bfs_hops": """
+            -- undirected hop distance on a 50-cycle from the seed at
+            -- position 0 is least(p, 50 - p), p = key % 50
+            SELECT c_custkey,
+                   CAST(least(c_custkey % 50, 50 - c_custkey % 50) AS BIGINT)
+                     AS hops
+            FROM customer
         """,
         "pagerank": """
             -- planted 50-cycles: uniform is the exact fixed point

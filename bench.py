@@ -222,6 +222,7 @@ def main() -> None:
         "simplify_lines",
         "connected_components",
         "pagerank",
+        "bfs_hops",
         "salted_cell_count",
         "agg_pricing",
         "group_segments",

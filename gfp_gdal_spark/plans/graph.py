@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from gfp_gdal_spark.plans.lineage import flat_checkpoint
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "bfs_hops"]
 
 
 def connected_components(
@@ -217,3 +217,63 @@ def pagerank(
         if (it + 1) % max(int(checkpoint_every), 1) == 0 or it == n_iter - 1:
             ranks = flat_checkpoint(ranks)
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex: str = "vertex",
+    max_hops: int = 30,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum-hop distance from a SEED SET — multi-source BFS over an
+    edge list (the crawl-graph curation signal: link distance from
+    trusted seed domains ranks crawl frontiers, beside pagerank's
+    authority score; also reachability pruning and mesh/track hop
+    counts). ``sources`` is a one-column DataFrame of seed vertex ids
+    (never a driver-side list — seed sets can be large). Returns
+    (vertex, hops) for every vertex reachable within ``max_hops``;
+    seeds get 0, unreachable vertices are absent (left-join the vertex
+    table and fill if a sentinel is wanted).
+
+    Level-synchronous frontier BFS: round k joins the CURRENT frontier
+    to the adjacency (ONE equi-join), anti-joins the settled set, and
+    the surviving vertices become frontier k+1. Exact min-hops under
+    any partitioning (a vertex is settled the first level it appears,
+    which IS its minimum hop count). Each round shuffles only the
+    frontier's adjacency — total traffic over the run is O(|E|)
+    amortized, the settled side of the anti-join stays hash-joinable,
+    and every round's frontier is flat_checkpoint-ed so round N's plan
+    never contains round N-1 (the connected_components lineage rule).
+    One count action per round (empty frontier = convergence, free on
+    the checkpoint materialization). A frontier still alive at
+    ``max_hops`` returns the <= max_hops truncation — documented, not
+    an error: distance-from-seeds consumers cap the horizon by design.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not directed:
+        sym = sym.unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    settled = flat_checkpoint(
+        sources.select(F.col(sources.columns[0]).alias("vertex"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.select(F.col("vertex").alias("a")), "a")
+            .select(F.col("b").alias("vertex"))
+            .distinct()
+            .join(settled.select("vertex"), "vertex", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        frontier = flat_checkpoint(nxt)
+        if frontier.count() == 0:
+            break
+        old = settled
+        settled = flat_checkpoint(settled.unionByName(frontier))
+        old.unpersist()
+    return settled.select(F.col("vertex").alias(vertex), "hops")

@@ -3037,3 +3037,56 @@ def test_polygon_join_containment_and_touch(spark):
         polygon_join(la.withColumnRenamed("l_ring", "ring"),
                      rb.withColumnRenamed("r_ring", "ring"),
                      l_ring="ring", r_ring="ring")
+
+
+# ---------------------------------------------------------------- #
+# bfs_hops (multi-source min-hop distance)                          #
+# ---------------------------------------------------------------- #
+
+
+def test_bfs_hops_reference_parity(spark):
+    import collections
+
+    from gfp_gdal_spark.plans.graph import bfs_hops
+
+    rng = np.random.RandomState(47)
+    n = 60
+    edges = {(int(rng.randint(n)), int(rng.randint(n))) for _ in range(90)}
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = [0, 17, 41]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "v long")
+    got = {r["vertex"]: r["hops"] for r in bfs_hops(e, s, max_hops=30).collect()}
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want, q = {x: 0 for x in seeds}, collections.deque(seeds)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+
+
+def test_bfs_hops_directed_and_truncation(spark):
+    from gfp_gdal_spark.plans.graph import bfs_hops
+
+    # directed path 0 -> 1 -> 2 -> 3 -> 4
+    e = spark.createDataFrame([(i, i + 1) for i in range(4)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "v long")
+    got = {r["vertex"]: r["hops"]
+           for r in bfs_hops(e, s, directed=True, max_hops=10).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    # reverse direction unreachable when directed
+    s4 = spark.createDataFrame([(4,)], "v long")
+    got4 = {r["vertex"]: r["hops"]
+            for r in bfs_hops(e, s4, directed=True, max_hops=10).collect()}
+    assert got4 == {4: 0}
+    # truncation at max_hops
+    t = {r["vertex"]: r["hops"]
+         for r in bfs_hops(e, s, directed=True, max_hops=2).collect()}
+    assert t == {0: 0, 1: 1, 2: 2}
