@@ -629,17 +629,16 @@ def _q_phash_pairs(spark, sf):
     a plain xor/bit_count theta self-join."""
     _prep(spark)
     imgs = datagen.images_table(spark, 230, with_bytes=True)
-    # materialize the decode ONCE (count() fills the cache) before the
-    # pigeonhole self-join: with a lazy persist both join sides race
-    # the empty cache and the decode runs twice. jvm_pnm=False: the
-    # fused JVM sample expression Janino-recompiles (~8s, driver-side)
-    # for every fresh DataFrame instance — the Arrow-batched python
-    # hash is the right stage here; the JVM expression stays certified
-    # by the image_ahash query. Measured 24s -> ~5s.
-    ah = MM.image_ahash(imgs, jvm_pnm=False).persist()
-    ah.count()
+    # materialize=True persists + counts the (id, sig) projection so
+    # the decode feeding the hash runs ONCE, not once per side of the
+    # pigeonhole self-join. jvm_pnm=False: the fused JVM sample
+    # expression Janino-recompiles (~8s, driver-side) for every fresh
+    # DataFrame instance — the Arrow-batched python hash is the right
+    # stage here; the JVM expression stays certified by the
+    # image_ahash query. Measured 24s -> ~5s.
+    ah = MM.image_ahash(imgs, jvm_pnm=False)
     return DD.hamming_pairs(
-        ah, sig="ahash", id_col="image_id", max_hamming=6
+        ah, sig="ahash", id_col="image_id", max_hamming=6, materialize=True
     )
 
 
@@ -964,11 +963,15 @@ def _q_pagerank(spark, sf):
     _prep(spark)
     from gfp_gdal_spark.plans.graph import pagerank
 
-    c = _t(spark, sf, "customer").select("c_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey")
     k = F.col("c_custkey")  # keys are 0-based (0..N-1)
+    # cap to COMPLETE groups of 50: a partial tail group's (k+1)%50
+    # edge would point at a nonexistent vertex and break the closed
+    # form (same trap as the density_clusters partial-tail fix)
+    n = cust.count() // 50 * 50
+    c = cust.where(k < n)
     nxt = (k - (k % 50)) + (k + 1) % 50
     edges = c.select(k.alias("src"), nxt.alias("dst"))
-    n = c.count()
     out = pagerank(edges, n_iter=8, checkpoint_every=4)
     return out.select(
         F.col("v").alias("c_custkey"),
@@ -985,8 +988,10 @@ def _q_bfs_hops(spark, sf):
     _prep(spark)
     from gfp_gdal_spark.plans.graph import bfs_hops
 
-    c = _t(spark, sf, "customer").select("c_custkey")
+    cust = _t(spark, sf, "customer").select("c_custkey")
     k = F.col("c_custkey")
+    # complete 50-groups only — see _q_pagerank's cap comment
+    c = cust.where(k < cust.count() // 50 * 50)
     nxt = (k - (k % 50)) + (k + 1) % 50
     edges = c.select(k.alias("src"), nxt.alias("dst"))
     seeds = c.where(k % 50 == 0).select(k.alias("v"))
@@ -3250,7 +3255,7 @@ _HEX_RES_MUL = 1 << 59
 _HEX_Q_MUL = 1 << 28
 
 
-_SQL_P31 = "p31(i, p) AS (VALUES (0, 1::HUGEINT), (1, 31::HUGEINT), (2, 961::HUGEINT), (3, 29791::HUGEINT), (4, 923521::HUGEINT), (5, 28629151::HUGEINT), (6, 887503681::HUGEINT), (7, 27512614111::HUGEINT), (8, 852891037441::HUGEINT), (9, 26439622160671::HUGEINT), (10, 819628286980801::HUGEINT), (11, 25408476896404831::HUGEINT), (12, 787662783788549761::HUGEINT), (13, 5970802223735490975::HUGEINT), (14, 627428198704704065::HUGEINT), (15, 1003530086136274399::HUGEINT), (16, 12662688596514954753::HUGEINT), (17, 5161720944063013407::HUGEINT), (18, 12439396676277002689::HUGEINT), (19, 16686415490396051039::HUGEINT), (20, 770046138410136961::HUGEINT), (21, 5424686217004694175::HUGEINT), (22, 2144576063759554881::HUGEINT), (23, 11141625755417546463::HUGEINT))"  # 31^i mod 2^64, i = 0..23 (max token length 24)
+_SQL_P31 = "p31(i, p) AS (VALUES (0, 1::HUGEINT), (1, 31::HUGEINT), (2, 961::HUGEINT), (3, 29791::HUGEINT), (4, 923521::HUGEINT), (5, 28629151::HUGEINT), (6, 887503681::HUGEINT), (7, 27512614111::HUGEINT), (8, 852891037441::HUGEINT), (9, 26439622160671::HUGEINT), (10, 819628286980801::HUGEINT), (11, 25408476896404831::HUGEINT), (12, 787662783788549761::HUGEINT), (13, 5970802223735490975::HUGEINT), (14, 627428198704704065::HUGEINT), (15, 1003530086136274399::HUGEINT), (16, 12662688596514954753::HUGEINT), (17, 5161720944063013407::HUGEINT), (18, 12439396676277002689::HUGEINT), (19, 16686415490396051039::HUGEINT), (20, 770046138410136961::HUGEINT), (21, 5424686217004694175::HUGEINT), (22, 2144576063759554881::HUGEINT), (23, 11141625755417546463::HUGEINT), (24, 13349005091172011265::HUGEINT), (25, 7990788204722213663::HUGEINT), (26, 7906761388164452545::HUGEINT), (27, 5301930074873857887::HUGEINT), (28, 16785879731413181569::HUGEINT), (29, 3853437609941183391::HUGEINT), (30, 8776101465919375425::HUGEINT), (31, 13804728411566915551::HUGEINT), (32, 3671467063254694913::HUGEINT), (33, 3135014518638232607::HUGEINT), (34, 4951729709237452737::HUGEINT), (35, 5929668396684621919::HUGEINT), (36, 17799023633837314945::HUGEINT), (37, 16814154511379766431::HUGEINT), (38, 4729955788905314113::HUGEINT), (39, 17501420940097876191::HUGEINT), (40, 7588471005457165057::HUGEINT), (41, 13881672284657497375::HUGEINT), (42, 6056727129062731457::HUGEINT), (43, 3291100263849159007::HUGEINT), (44, 9790387810776171137::HUGEINT), (45, 8354116954708479391::HUGEINT), (46, 723208564029138497::HUGEINT), (47, 3972721411193741791::HUGEINT), (48, 12473899304748685825::HUGEINT), (49, 17755996973018228255::HUGEINT), (50, 15480328025988079041::HUGEINT), (51, 274822889182108255::HUGEINT), (52, 8519509564645355905::HUGEINT), (53, 5850379472072310431::HUGEINT), (54, 15341066970855658817::HUGEINT), (55, 14404474253786632927::HUGEINT), (56, 3816844098356381953::HUGEINT), (57, 7641702606790530847::HUGEINT), (58, 15531851925991836865::HUGEINT), (59, 1872063789298600799::HUGEINT), (60, 2693745247127969921::HUGEINT), (61, 9719126366128861087::HUGEINT), (62, 6145012170641867841::HUGEINT), (63, 6027936552802386911::HUGEINT))"  # 31^i mod 2^64, i = 0..63 — covers tokens to 64 chars (corpus max is 8); per-CODEPOINT replay, exact for the all-ASCII corpus (engine hashes UTF-8 bytes)
 
 
 def _sql_geohash(p: int, lon: str, lat: str) -> str:
@@ -5253,10 +5258,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(c_custkey % 50, 50 - c_custkey % 50) AS BIGINT)
                      AS hops
             FROM customer
+            WHERE c_custkey < (SELECT count(*) // 50 * 50 FROM customer)
         """,
         "pagerank": """
             -- planted 50-cycles: uniform is the exact fixed point
             SELECT c_custkey, TRUE AS rank_ok FROM customer
+            WHERE c_custkey < (SELECT count(*) // 50 * 50 FROM customer)
         """,
         "simplify_lines": f"""
             WITH r AS ({_SQL_RECT})

@@ -252,7 +252,6 @@ def token_hash64(token: Column) -> Column:
         np.cumsum(counts[:-1], out=offs[1:])
         pos = np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
         # 31^pos mod 2^64 via cumprod over per-token position resets
-        p = np.ones(total, dtype=np.uint64)
         maxlen = int(counts.max())
         pw = np.ones(maxlen, dtype=np.uint64)
         if maxlen > 1:

@@ -222,9 +222,14 @@ def paragraph_dedup(
     driver collect.
     """
     kid = F.col(id_col)
+    # sep is a LITERAL separator (it is re-inserted verbatim by the
+    # concat_ws below), so quote it for F.split's Java-regex argument
+    # with \Q..\E — otherwise sep='.' would split on every character
+    # while the reassembly joins with a literal dot
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         kid.alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("_pos", "_para"),
     )
     dedupable = F.length("_para") >= int(min_chars)
     winners = (
@@ -328,9 +333,21 @@ def lr_quality_score(
             F.coalesce(F.sum("_wu"), F.lit(0)).alias("_su"),
         )
     )
-    logit = F.lit(float(bias)) + F.col("_su") / (
-        F.lit(float(quantum)) * F.col("n_tokens")
+    # left-join back onto the full id set: a document with no tokens
+    # (empty/whitespace-only text) produces no explode rows and would
+    # silently vanish — it must surface as n_tokens=0 / logit=bias so
+    # downstream gates can see (and flag) it rather than skip it
+    all_ids = df.select(F.col(id_col).alias("_id"))
+    per_doc = all_ids.join(per_doc, "_id", "left").select(
+        "_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        F.coalesce("_su", F.lit(0)).alias("_su"),
     )
+    logit = F.lit(float(bias)) + F.when(
+        F.col("n_tokens") > 0,
+        F.col("_su") / (F.lit(float(quantum)) * F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
     return per_doc.select(
         F.col("_id").alias(id_col),
         "n_tokens",

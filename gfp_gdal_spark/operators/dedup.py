@@ -242,17 +242,18 @@ def hamming_pairs(
 
     s = df.select(F.col(id_col).alias("_id"), F.col(sig).alias("_sh"))
     if materialize:
-        # Persist the (id, sig) projection so later ACTIONS reuse it
-        # (16 bytes a row: MEMORY_AND_DISK holds 10^12 sigs
-        # cluster-wide). NB within the FIRST action both join sides
-        # race the empty cache, so the signature pipeline still runs
-        # up to twice; for strict compute-once (e.g. an expensive
-        # image decode), persist + count() upstream before calling —
-        # the phash_pairs driver query shows the pattern. Caller owns
-        # the cache lifetime (knn_join's persisted-side contract).
+        # Persist AND materialize the (id, sig) projection so the
+        # signature pipeline runs exactly once (16 bytes a row:
+        # MEMORY_AND_DISK holds 10^12 sigs cluster-wide). The eager
+        # count() is what buys compute-once — without it, both join
+        # sides of the first action race the empty cache and an
+        # expensive upstream (e.g. an image decode feeding phash)
+        # runs twice. Caller owns the cache lifetime (unpersist when
+        # done — knn_join's persisted-side contract).
         from pyspark import StorageLevel
 
         s = s.persist(StorageLevel.MEMORY_AND_DISK)
+        s.count()
     blocks = s.select(
         "_id",
         "_sh",

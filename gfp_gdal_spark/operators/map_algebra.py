@@ -311,7 +311,11 @@ def color_relief(
     names = ("relief_r", "relief_g", "relief_b")
     exprs = []
     for ci in range(3):
-        e = F.when(v <= F.lit(ramp[0][0]), F.lit(ramp[0][ci + 1]))
+        # NULL z (the engine's nodata convention) must yield NULL
+        # color, not fall through every not-true WHEN into the
+        # top-of-ramp otherwise() clamp
+        e = F.when(v.isNull(), F.lit(None))
+        e = e.when(v <= F.lit(ramp[0][0]), F.lit(ramp[0][ci + 1]))
         for (x0, *c0), (x1, *c1) in zip(ramp[:-1], ramp[1:]):
             den = x1 - x0
             dc = c1[ci] - c0[ci]

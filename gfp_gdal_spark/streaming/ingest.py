@@ -320,18 +320,52 @@ def streaming_resample(
     id_col: str = "event_id",
 ) -> DataFrame:
     """operators.temporal.resample_series over the event stream — the
-    continuous OHLC/decimation feed. The batch operator composes
-    verbatim (struct-extrema first/last + integer-cent sums are all
-    mergeable aggregates, so partial state per (key, bucket) is O(1));
-    the stream adds a watermark on the event time so closed buckets
-    emit and their state is dropped. Update/append output mode; state
-    is bounded by keys x open-buckets-inside-the-watermark, never by
-    stream length."""
-    from gfp_gdal_spark.operators.temporal import resample_series
-
-    s = events_stream.withColumn(on, F.col(on).cast("timestamp")).withWatermark(
-        on, watermark
+    continuous OHLC/decimation feed. The aggregates compose verbatim
+    (struct-extrema first/last + integer-cent sums are all mergeable,
+    so partial state per (key, bucket) is O(1)); the grouping key must
+    be ``F.window(on, ...)`` rather than the batch operator's derived
+    ``floor(unix_micros/w)`` bucket — a plain derived column strips the
+    event-time metadata, so the watermark would never bind to the
+    aggregation (append mode rejected, state never evicted). Tumbling
+    windows are epoch-aligned exactly like the batch bucket, so
+    ``unix_micros(window.start) / w`` recovers the identical bucket
+    index and the output schema/values match the batch operator
+    row-for-row. Update/append output mode; state is bounded by
+    keys x open-buckets-inside-the-watermark, never by stream length.
+    """
+    cents = 100
+    wus = int(round(float(width_s) * 1e6))
+    if wus <= 0:
+        raise ValueError(f"width_s must be > 0: {width_s!r}")
+    v = F.col(value_col)
+    s = (
+        events_stream.withColumn(on, F.col(on).cast("timestamp"))
+        .withWatermark(on, watermark)
+        .select(
+            F.col(on),
+            F.col(by),
+            F.col(on).alias("_on"),
+            F.col(id_col).alias("_id"),
+            v.alias("_v"),
+            F.round(v * cents, 0).cast("long").alias("_vi"),
+        )
     )
-    return resample_series(
-        s, by, on=on, width_s=width_s, value_col=value_col, id_col=id_col
+    return (
+        s.groupBy(F.window(on, f"{wus} microseconds"), by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct("_on", "_id", "_v"))["_v"].alias("first_val"),
+            F.max(F.struct("_on", "_id", "_v"))["_v"].alias("last_val"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+            F.sum("_vi").alias("_sum_u"),
+        )
+        .select(
+            by,
+            F.floor(F.unix_micros(F.col("window.start")) / F.lit(float(wus)))
+            .cast("long")
+            .alias("bucket"),
+            "n", "first_val", "last_val", "vmin", "vmax",
+            (F.col("_sum_u") / (F.lit(float(cents)) * F.col("n"))).alias("vmean"),
+        )
     )

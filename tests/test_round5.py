@@ -3090,3 +3090,52 @@ def test_bfs_hops_directed_and_truncation(spark):
     t = {r["vertex"]: r["hops"]
          for r in bfs_hops(e, s, directed=True, max_hops=2).collect()}
     assert t == {0: 0, 1: 1, 2: 2}
+
+
+def test_paragraph_dedup_literal_metachar_sep(spark):
+    """sep is a LITERAL: '.' must split on dots only (regex '.' would
+    split on every char, then rejoin with literal dots -> corruption)."""
+    from gfp_gdal_spark.operators.curation import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta.gamma.alpha beta"), (1, "gamma.delta")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, sep=".").collect()}
+    # doc 0: 'alpha beta' wins at pos 0, dup at pos 2 dropped; 'gamma'
+    # wins at pos 1. doc 1: 'gamma' already seen in doc 0 -> dropped.
+    assert out[0]["text"] == "alpha beta.gamma"
+    assert out[0]["n_paras"] == 3 and out[0]["n_dropped"] == 1
+    assert out[1]["text"] == "delta"
+    assert out[1]["n_paras"] == 2 and out[1]["n_dropped"] == 1
+
+
+def test_lr_quality_score_empty_doc_row(spark):
+    """Zero-token documents must surface with n_tokens=0 / logit=bias,
+    not silently vanish from the output."""
+    from gfp_gdal_spark.operators.curation import lr_quality_score
+
+    docs = spark.createDataFrame(
+        [(0, "good spark"), (1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    w = spark.createDataFrame([("good", 0.5)], "token string, weight double")
+    out = {r["doc_id"]: r for r in lr_quality_score(docs, w, bias=0.25).collect()}
+    assert set(out) == {0, 1, 2}
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 0 and out[d]["n_matched"] == 0
+        assert out[d]["logit"] == 0.25
+
+
+def test_color_relief_null_z_is_null(spark):
+    """NULL elevation (nodata) must map to NULL color, not the
+    top-of-ramp clamp."""
+    from gfp_gdal_spark.operators.map_algebra import color_relief
+
+    grid = spark.createDataFrame(
+        [(0, 0, 0, None), (0, 0, 1, 500.0)],
+        "image_id long, r int, c int, z double",
+    )
+    ramp = [(0.0, 0, 0, 0), (1000.0, 255, 255, 255)]
+    out = {r["c"]: r for r in color_relief(grid, ramp).collect()}
+    assert out[0]["relief_r"] is None
+    assert out[1]["relief_r"] == 128

@@ -404,6 +404,62 @@ def test_streaming_resample_matches_batch(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_resample_append_evicts_state(spark, tmp_path):
+    """Append-mode regression test: the watermark must BIND to the
+    aggregation (grouping by F.window, not a derived bucket column —
+    a plain alias strips the event-time metadata, append mode then
+    fails at analysis and state grows forever). Proven by (a) the
+    append query starting at all, (b) closed buckets emitting once
+    the watermark passes them, (c) the state store reporting evicted
+    rows."""
+    import datetime as dt
+
+    d = str(tmp_path / "ev_resample_append")
+    base = dt.datetime(2024, 1, 1)
+    early = [
+        (i, base + dt.timedelta(seconds=13 * i % 600), i % 3, float(i % 7))
+        for i in range(120)
+    ]
+    late = [
+        (1000 + i, base + dt.timedelta(hours=3, seconds=11 * i % 600), i % 3, 1.5)
+        for i in range(60)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    spark.createDataFrame(early, schema).coalesce(1).write.mode("append").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        SI.streaming_resample(stream, width_s=600.0, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("resample_append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2 sits 3h later: watermark advances past every early
+        # bucket, so they close, emit, and their state is dropped
+        spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        # watermark updates at batch END; one more non-empty batch
+        # (an empty parquet write triggers no micro-batch) flushes the
+        # now-closed buckets to the append sink
+        tick = [(2000, base + dt.timedelta(hours=4), 0, 1.0)]
+        spark.createDataFrame(tick, schema).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM resample_append")
+        # buckets are epoch-absolute: the early rows all live in
+        # floor(epoch(base)/600) — all 3 user groups emitted, full counts
+        b0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp()) // 600
+        assert got.where(f"bucket = {b0}").count() == 3
+        assert got.where(f"bucket = {b0}").agg(F.sum("n")).first()[0] == 120
+        removed = sum(
+            s["numRowsRemoved"] for s in q.lastProgress["stateOperators"]
+        )
+        assert removed > 0, "watermark never evicted aggregation state"
+    finally:
+        q.stop()
+
+
 def test_streaming_viewshed_matches_batch(spark, tmp_path):
     """Stateless per-frame visibility over a TWO-micro-batch stream
     must equal batch viewshed over the full table."""
