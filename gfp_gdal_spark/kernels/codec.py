@@ -28,10 +28,41 @@ __all__ = [
     "encode_group",
     "decode_image",
     "decode_group",
+    "group_by_shape",
     "ahash_batch",
     "psnr",
     "synth_pixels",
 ]
+
+
+def group_by_shape(batch, id_col: str = "image_id"):
+    """Group an Arrow image RecordBatch's row indices by uniform
+    (fmt, w, h) — the shared front half of every mapInArrow image
+    operator (``decode_group`` needs the shape up front, so the batch
+    is partitioned into uniform groups first).
+
+    Returns ``(ids, blobs, groups)``: ``ids`` is the id column as a
+    Python list (``None`` when ``id_col`` is absent from the batch),
+    ``blobs`` the Arrow binary column (index with ``blobs[i].as_py()``),
+    and ``groups`` a dict ``(fmt, w, h) -> [row indices]`` (empty for
+    an empty batch, so ``for ... in groups.items()`` degrades to a
+    no-op without a separate num_rows guard).
+    """
+    import collections
+
+    names = batch.schema.names
+    blobs = batch.column(names.index("bytes"))
+    ids = (
+        batch.column(names.index(id_col)).to_pylist() if id_col in names else None
+    )
+    groups: dict = collections.defaultdict(list)
+    if batch.num_rows:
+        fmts = batch.column(names.index("fmt")).to_pylist()
+        ws = batch.column(names.index("w")).to_numpy(zero_copy_only=False)
+        hs = batch.column(names.index("h")).to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+    return ids, blobs, groups
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 

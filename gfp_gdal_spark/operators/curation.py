@@ -80,8 +80,11 @@ def repetition_stats(
     base = df.select(kid.alias("_id"), F.col(text_col).alias("_t"))
 
     # --- duplicate-line characters -------------------------------------
+    # line_sep is a LITERAL separator — quote it for F.split's Java
+    # regex argument (same contract as paragraph_dedup's sep)
+    sep_re = "\\Q" + line_sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = base.select(
-        "_id", F.explode(F.split(F.col("_t"), line_sep)).alias("line")
+        "_id", F.explode(F.split(F.col("_t"), sep_re)).alias("line")
     ).where(F.length("line") > 0)
     per_line = lines.groupBy("_id", "line").agg(F.count(F.lit(1)).alias("cnt"))
     line_stats = per_line.groupBy("_id").agg(

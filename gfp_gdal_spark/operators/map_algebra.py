@@ -487,6 +487,7 @@ def idw_grid(
     y_col: str = "lat",
     radius_px: int = 2,
     frame_col: str | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Inverse-distance-weighted gridding (the `gdal_grid
     -a invdist:power=2:radius=R` analog): scatter every point to the
@@ -531,6 +532,17 @@ def idw_grid(
     ]
     d2s = sorted({d2 for _, _, d2 in offs if d2 > 0})
     L = math.lcm(*d2s) if d2s else 1
+    if exact and L.bit_length() > 40:
+        # lcm(d2) grows super-exponentially with the radius (26 bits
+        # at R=6, 42 at R=7, 55 at R=8): past ~40 bits the int64 terms
+        # wq*v and their sums overflow SILENTLY (ANSI off). Fail loud;
+        # exact=False switches to double 1/d2 weights — the scale path
+        # for wide radii, deterministic up to fp summation order.
+        raise ValueError(
+            f"radius_px={R} needs {L.bit_length()}-bit exact weights; "
+            f"the int64 contract holds to radius_px <= 6 — pass "
+            f"exact=False for the double-weight path"
+        )
 
     vt = dict(points.dtypes).get(value_col)
     if vt not in ("tinyint", "smallint", "int", "bigint"):
@@ -556,7 +568,11 @@ def idw_grid(
                 F.lit(dr).alias("dr"),
                 F.lit(dc).alias("dc"),
                 F.lit(d2).alias("d2"),
-                F.lit(L // d2 if d2 > 0 else 0).alias("wq"),
+                (
+                    F.lit(L // d2 if d2 > 0 else 0)
+                    if exact
+                    else F.lit(1.0 / d2 if d2 > 0 else 0.0)
+                ).alias("wq"),
             )
             for dr, dc, d2 in offs
         ]

@@ -599,19 +599,8 @@ def image_histogram(images: DataFrame) -> DataFrame:
     from gfp_gdal_spark.operators.vectorize import _gray_group
 
     def op(batches):
-        import collections
-
         for b in batches:
-            names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
-            if b.num_rows == 0:
-                continue
-            groups = collections.defaultdict(list)
-            for i in range(b.num_rows):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            _, blobs, groups = _codec.group_by_shape(b)
             hist = np.zeros(256, np.int64)
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
@@ -646,23 +635,17 @@ def equalize_images(images: DataFrame) -> DataFrame:
     schema = "image_id string, w int, h int, bytes binary, fmt string"
 
     def op(batches):
-        import collections
-
         import pandas as pd
 
         for b in batches:
-            names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ids = b.column(names.index("image_id")).to_pylist()
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
             if b.num_rows == 0:
                 continue
             n = b.num_rows
-            groups = collections.defaultdict(list)
-            for i in range(n):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            ids, blobs, groups = _codec.group_by_shape(b)
+            nm = b.schema.names
+            fmts = b.column(nm.index("fmt")).to_pylist()
+            ws = b.column(nm.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(nm.index("h")).to_numpy(zero_copy_only=False)
             out_b: list = [None] * n
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)

@@ -106,22 +106,37 @@ def distinct_profile(
     / key-space sizing pass (distinct URLs, domains, doc fingerprints).
     Returns one narrow row per column: (column, n_distinct).
 
-    ``exact=True`` runs one count(DISTINCT) pass per column (exact,
-    oracle-checkable). ``exact=False`` switches every column to
+    ``exact=True`` computes every count(DISTINCT) in one aggregate
+    (exact, oracle-checkable; Catalyst plans the multi-distinct via
+    one Expand — k-way row multiplication inside ONE scan, not k
+    scans). ``exact=False`` switches every column to
     ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``) —
     the mergeable-sketch path for 10^12-row tables, same trade as
-    ``corpus_quantiles(exact=False)``; certified by bracketing against
-    the exact counts (see the driver's `distinct_profile_approx`).
+    ``corpus_quantiles(exact=False)``: all k sketches fill in a single
+    pass over the table, and at that scale the scan IS the cost.
+    Certified by bracketing against the exact counts (see the driver's
+    `distinct_profile_approx`). The wide 1-row aggregate is unpivoted
+    to the narrow (column, n_distinct) shape with a Column-only
+    explode (no name interpolation) — it is one row, so the unpivot
+    is free.
     """
+    if not cols:
+        raise ValueError("cols must be non-empty")
     fn = (
         (lambda c: F.countDistinct(F.col(c)))
         if exact
         else (lambda c: F.approx_count_distinct(F.col(c), rsd))
     )
-    out = None
-    for c in cols:
-        row = df.agg(fn(c).alias("n_distinct")).select(
-            F.lit(c).alias("column"), "n_distinct"
+    wide = df.agg(*[fn(c).alias(f"_n{i}") for i, c in enumerate(cols)])
+    narrow = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"_n{i}").alias("n_distinct"),
+                )
+                for i, c in enumerate(cols)
+            ]
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    return wide.select(narrow.alias("_kv")).select("_kv.column", "_kv.n_distinct")

@@ -303,15 +303,24 @@ def downsample_tiles(
             blobs: list[bytes] = []
             fmts: list[str] = []
             shapes: list[tuple] = []
+            # negative tile coords: Spark % keeps the sign, so an ODD
+            # negative x gives quadrant -1, but an EVEN negative x
+            # gives quadrant 0 and would silently place pixels under a
+            # wrong (negative) parent. shiftright of ANY negative long
+            # is negative, so the parent coords catch every case —
+            # slippy z/x/y tiles are non-negative by definition.
+            if (pdf["_px"].to_numpy() < 0).any() or (
+                pdf["_py"].to_numpy() < 0
+            ).any():
+                raise ValueError(
+                    "negative tile coordinates — slippy z/x/y tiles "
+                    "must be non-negative"
+                )
             for i, ch in enumerate(pdf["_ch"]):
                 seen = set()
                 for c in ch:
                     q = (c["_qx"], c["_qy"])
                     if q not in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                        # negative tile coords: Spark % keeps the sign,
-                        # so x=-1 -> quadrant -1, which would silently
-                        # wrap the canvas index. Slippy coords are
-                        # non-negative by definition — fail loud.
                         raise ValueError(
                             f"negative tile coordinates (quadrant {q}) — "
                             f"slippy z/x/y tiles must be non-negative"
@@ -449,6 +458,11 @@ def mosaic_composite(
     """
     from pyspark.sql import Window
 
+    if not 0 <= int(nodata) <= 255:
+        # the decoded pixel dtype is uint8 — an out-of-range nodata
+        # would wrap in the np.full fill AND in the != comparison,
+        # silently corrupting the valid-pixel mask
+        raise ValueError(f"nodata must be a uint8 value (0..255): {nodata!r}")
     d = (
         tiles.select(
             F.col(tile_x).cast("long").alias("_tx"),
@@ -716,26 +730,14 @@ def reproject_webmercator(
     R = 6378137.0
 
     def op(batches):
-        import collections
-
         tune_worker()
         for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids, blobs, groups = _codec.group_by_shape(b)
             names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ids = b.column(names.index("image_id")).to_pylist()
             lat_c = b.column(names.index("lat_c")).to_numpy(zero_copy_only=False)
             dlat = b.column(names.index("dlat")).to_numpy(zero_copy_only=False)
-            n = b.num_rows
-            if n == 0:
-                continue
-            groups = collections.defaultdict(list)
-            # uniform (fmt, w, h) groups from the input_hint shape
-            # columns (decode_group needs the shape up front)
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
-            for i in range(n):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
             out_id: list = []
             out_w: list = []
             out_h: list = []

@@ -346,11 +346,17 @@ def pack_chunks(
     )
     cum = F.sum(F.col(tokens).cast("long")).over(w)
     d = d.withColumn("tok_offset", (cum - F.col(tokens).cast("long")))
+    # integer `div` (exact at any offset — floor(double/double) would
+    # drift past 2^53 total tokens), but never interpolate the USER'S
+    # column name into the expr string: a non-identifier name like
+    # "n-chars" would parse as arithmetic. Route it through a safe
+    # internal alias instead.
+    d = d.withColumn("_tok", F.col(tokens).cast("long"))
     first = F.expr(f"tok_offset div {int(budget)}")
-    last = F.expr(f"(tok_offset + {tokens} - 1) div {int(budget)}")
+    last = F.expr(f"(tok_offset + _tok - 1) div {int(budget)}")
     return (
         d.withColumn("chunk_first", first)
         .withColumn("chunk_last", last)
         .withColumn("n_chunks", (F.col("chunk_last") - F.col("chunk_first") + 1))
-        .drop("_u")
+        .drop("_u", "_tok")
     )

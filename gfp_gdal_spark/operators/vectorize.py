@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 
 from gfp_gdal_spark.functions.worker_tuning import tune_worker
 from gfp_gdal_spark.kernels import codec as _codec
+from gfp_gdal_spark.kernels.codec import group_by_shape
 
 __all__ = [
     "label_regions",
@@ -146,21 +147,9 @@ def label_regions(
     )
 
     def op(batches):
-        import collections
-
         tune_worker()
         for b in batches:
-            names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ids = b.column(names.index("image_id")).to_pylist()
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
-            if b.num_rows == 0:
-                continue
-            groups = collections.defaultdict(list)
-            for i in range(b.num_rows):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            ids, blobs, groups = group_by_shape(b)
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
                 lab = _label_group(pix, connectivity)
@@ -169,6 +158,11 @@ def label_regions(
                     keep = val != nodata
                     frame, region, val, cnt = frame[keep], region[keep], val[keep], cnt[keep]
                     r0, c0, r1, c1 = r0[keep], c0[keep], r1[keep], c1[keep]
+                if frame.size == 0:
+                    # all-nodata group: an empty object take would make
+                    # pa.array infer type NULL and break the declared
+                    # string schema (contour_segments has the same guard)
+                    continue
                 id_arr = np.asarray([ids[i] for i in idxs], dtype=object)
                 yield pa.RecordBatch.from_arrays(
                     [
@@ -262,21 +256,9 @@ def proximity_raster(
     )
 
     def op(batches):
-        import collections
-
         tune_worker()
         for b in batches:
-            names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ids = b.column(names.index("image_id")).to_pylist()
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
-            if b.num_rows == 0:
-                continue
-            groups = collections.defaultdict(list)
-            for i in range(b.num_rows):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            ids, blobs, groups = group_by_shape(b)
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
                 mask = np.isin(pix, tset)
@@ -416,21 +398,9 @@ def contour_segments(
     )
 
     def op(batches):
-        import collections
-
         tune_worker()
         for b in batches:
-            names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ids = b.column(names.index("image_id")).to_pylist()
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
-            if b.num_rows == 0:
-                continue
-            groups = collections.defaultdict(list)
-            for i in range(b.num_rows):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            ids, blobs, groups = group_by_shape(b)
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
                 id_arr = np.asarray([ids[i] for i in idxs], dtype=object)
@@ -478,24 +448,18 @@ def sieve_filter(
     schema = "image_id string, w int, h int, bytes binary, fmt string"
 
     def op(batches):
-        import collections
-
         import pandas as pd
 
         tune_worker()
         for b in batches:
-            names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ids = b.column(names.index("image_id")).to_pylist()
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
             if b.num_rows == 0:
                 continue
-            groups = collections.defaultdict(list)
             n = b.num_rows
-            for i in range(n):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            ids, blobs, groups = group_by_shape(b)
+            nm = b.schema.names
+            fmts = b.column(nm.index("fmt")).to_pylist()
+            ws = b.column(nm.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(nm.index("h")).to_numpy(zero_copy_only=False)
             out_b: list = [None] * n
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
@@ -565,24 +529,18 @@ def fill_nodata(
     schema = "image_id string, w int, h int, bytes binary, fmt string"
 
     def op(batches):
-        import collections
-
         import pandas as pd
 
         tune_worker()
         for b in batches:
-            names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ids = b.column(names.index("image_id")).to_pylist()
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
             if b.num_rows == 0:
                 continue
             n = b.num_rows
-            groups = collections.defaultdict(list)
-            for i in range(n):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            ids, blobs, groups = group_by_shape(b)
+            nm = b.schema.names
+            fmts = b.column(nm.index("fmt")).to_pylist()
+            ws = b.column(nm.index("w")).to_numpy(zero_copy_only=False)
+            hs = b.column(nm.index("h")).to_numpy(zero_copy_only=False)
             out_b: list = [None] * n
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
@@ -725,21 +683,9 @@ def viewshed(
     schema = "image_id string, r int, c int, z long, visible boolean"
 
     def op(batches):
-        import collections
-
         tune_worker()
         for b in batches:
-            names = b.schema.names
-            blobs = b.column(names.index("bytes"))
-            fmts = b.column(names.index("fmt")).to_pylist()
-            ids = b.column(names.index("image_id")).to_pylist()
-            ws = b.column(names.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(names.index("h")).to_numpy(zero_copy_only=False)
-            if b.num_rows == 0:
-                continue
-            groups = collections.defaultdict(list)
-            for i in range(b.num_rows):
-                groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+            ids, blobs, groups = group_by_shape(b)
             for (f, w, h), idxs in groups.items():
                 if observer_r >= h or observer_c >= w:
                     raise ValueError(

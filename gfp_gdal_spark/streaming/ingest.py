@@ -26,6 +26,8 @@ __all__ = [
     "streaming_redact_pii",
     "streaming_resample",
     "streaming_clip",
+    "streaming_band_index",
+    "streaming_sessionize",
 ]
 
 

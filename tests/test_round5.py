@@ -3139,3 +3139,105 @@ def test_color_relief_null_z_is_null(spark):
     out = {r["c"]: r for r in color_relief(grid, ramp).collect()}
     assert out[0]["relief_r"] is None
     assert out[1]["relief_r"] == 128
+
+
+def test_downsample_tiles_even_negative_coords_fail_loud(spark):
+    """EVEN negative x gives quadrant 0 (Spark % keeps sign), so the
+    quadrant-only guard missed it — the parent-coordinate sign check
+    must catch every negative input."""
+    from gfp_gdal_spark.kernels.codec import encode_image
+    from gfp_gdal_spark.operators.raster import downsample_tiles
+
+    p = np.zeros((4, 4, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(5, -2, 2, 4, 4, bytearray(encode_image(p, "ppm")), "ppm")],
+        "tile_z int, tile_x long, tile_y long, w int, h int, bytes binary, fmt string",
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        downsample_tiles(df).collect()
+
+
+def test_idw_grid_radius_overflow_guard_and_double_path(spark):
+    """radius_px=8 needs 55-bit exact weights — the int64 contract must
+    fail loud; exact=False runs the double-weight path and agrees with
+    a scalar reference."""
+    from gfp_gdal_spark.operators.map_algebra import idw_grid
+
+    df = spark.createDataFrame(
+        [(0.5, 0.5, 10), (2.5, 0.5, 30)], "lon double, lat double, val int"
+    )
+    with pytest.raises(ValueError, match="exact=False"):
+        idw_grid(df, (0, 0, 4, 1), 4, 1, "val", radius_px=8)
+    got = {
+        r["px_c"]: r
+        for r in idw_grid(
+            df, (0, 0, 4, 1), 4, 1, "val", radius_px=8, exact=False
+        ).collect()
+    }
+    # node col=1: d2=1 to the col-0 point, d2=... to col-2? both points
+    # snap to cols 0 and 2; node 1 sees w=1/1 and 1/1 -> mean 20
+    assert got[1]["idw"] == pytest.approx((10 / 1 + 30 / 1) / (1 + 1))
+    # exact hits at the point nodes
+    assert got[0]["idw"] == pytest.approx(10.0)
+    assert got[2]["idw"] == pytest.approx(30.0)
+
+
+def test_mosaic_composite_nodata_range_fail_loud(spark):
+    from gfp_gdal_spark.operators.raster import mosaic_composite
+
+    df = spark.createDataFrame(
+        [], "tile_x long, tile_y long, p int, image_id string, "
+            "w int, h int, bytes binary, fmt string"
+    )
+    with pytest.raises(ValueError, match="uint8"):
+        mosaic_composite(df, "p", nodata=256)
+
+
+def test_label_regions_all_nodata_group(spark):
+    """A (fmt,w,h) group whose every region is nodata must be skipped,
+    not yield a null-typed image_id array (Arrow schema mismatch)."""
+    from gfp_gdal_spark.operators.vectorize import label_regions
+
+    a = np.zeros((2, 3), int)  # single region, value 0 -> dropped
+    out = label_regions(_img_df(spark, [a]), nodata=0).collect()
+    assert out == []
+
+
+def test_distinct_profile_shapes(spark):
+    from gfp_gdal_spark.operators.profiling import distinct_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b")], "k long, s string"
+    )
+    got = {r["column"]: r["n_distinct"] for r in
+           distinct_profile(df, ["k", "s"]).collect()}
+    assert got == {"k": 2, "s": 2}
+    approx = {r["column"]: r["n_distinct"] for r in
+              distinct_profile(df, ["k", "s"], exact=False).collect()}
+    assert set(approx) == {"k", "s"}
+    with pytest.raises(ValueError, match="non-empty"):
+        distinct_profile(df, [])
+
+
+def test_pack_chunks_nonidentifier_column(spark):
+    """The tokens column must survive non-identifier names (no raw
+    interpolation into the expr string)."""
+    from gfp_gdal_spark.operators.sampling import pack_chunks
+
+    df = spark.createDataFrame([(1, 600), (2, 600)], "doc_id long, `n-toks` long")
+    out = pack_chunks(df, id_col="doc_id", tokens="n-toks", budget=1000).collect()
+    assert len(out) == 2
+    assert sum(r["n_chunks"] for r in out) >= 2
+
+
+def test_repetition_stats_literal_sep(spark):
+    """line_sep='.' must split on literal dots, not every character."""
+    from gfp_gdal_spark.operators.curation import repetition_stats
+
+    df = spark.createDataFrame(
+        [(0, "abc.abc.xyz")], "doc_id long, text string"
+    )
+    r = repetition_stats(df, line_sep=".", ngram_ns=[2]).collect()[0]
+    assert r["n_lines"] == 3
+    # 'abc' appears twice (6 chars of 9) -> dup fraction 6/9
+    assert r["dup_line_frac"] == pytest.approx(6 / 9)
