@@ -1826,6 +1826,43 @@ def _q_label_regions(spark, sf):
     )
 
 
+def _q_stitch_regions(spark, sf):
+    """Cross-tile region stitching on a planted horizontal-stripe
+    mosaic: an 8x10 tile grid (tiles 12x10 px), every pixel's value =
+    its GLOBAL row index (ty*10 + r), so each tile row is one full-
+    width region (region id = r*12) and every global row stitches
+    across all 10 tiles into ONE component whose id is the leftmost
+    tile's vertex id = ty*2^40 + r*12 (vid = ((ty<<20|tx)<<20)+region,
+    min member wins). Everything is closed-form; arbitrary-geometry
+    parity is brute-force-tested against whole-grid labeling in
+    tests/test_round5.py::test_stitch_regions_bruteforce."""
+    from gfp_gdal_spark.operators.raster import stack_bands
+    from gfp_gdal_spark.operators.vectorize import stitch_regions
+
+    _prep(spark)
+    c = _t(spark, sf, "customer").where(F.col("c_custkey") < 80)
+    k = F.col("c_custkey")
+    w, h = 12, 10
+    tx, ty = k % 10, (k / 10).cast("int")
+    band = F.transform(
+        F.sequence(F.lit(0), F.lit(w * h - 1)),
+        lambda i: (ty * 10 + (i / w).cast("int")).cast("double"),
+    )
+    base = c.select(
+        k.cast("string").alias("image_id"),
+        F.lit(w).alias("w"),
+        F.lit(h).alias("h"),
+        tx.alias("tile_x"),
+        ty.alias("tile_y"),
+        band.alias("band0"),
+    )
+    tiles = stack_bands(base, ["band0"], fmt="pgm")
+    return stitch_regions(tiles).select(
+        "image_id", "region", "val", "n_pixels", "r0", "c0", "r1", "c1",
+        "component",
+    )
+
+
 def _q_proximity(spark, sf):
     """gdal_proximity analog with two planted seeds per 8x8 frame at
     arithmetic positions: per-pixel exact squared distance + nearest
@@ -3023,6 +3060,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": _q_kmeans,
         # --- new: vectorize.py (polygonize/proximity/contour/sieve/fill) ---
         "label_regions": _q_label_regions,
+        # stitch_regions (NEW, final round-5 session: cross-tile region
+        # stitching — region_borders perimeter feed + vid-encoded
+        # connected_components). New code takes an in-window slot; clip
+        # rotates to the tail in exchange (clip_polygons is
+        # byte-unchanged since its certification, brute-force
+        # pytest-held, locally oracle-green in ORACLES_LOCAL_r05.md).
+        "stitch_regions": _q_stitch_regions,
         "proximity": _q_proximity,
         "contour": _q_contour,
         "fill_nodata": _q_fill_nodata,
@@ -4153,6 +4197,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bj.range * 3 + 2 AS INTEGER) AS c1
             FROM customer, range(4) bi, range(4) bj
             WHERE c_custkey < 400
+        """,
+        "stitch_regions": """
+            -- horizontal stripes: tile row r is one full-width region
+            -- (region = r*12); global row (ty*10+r) stitches across the
+            -- 10 tile columns into component = ty*2^40 + r*12 (leftmost
+            -- tile's vid, min member)
+            SELECT CAST(c_custkey AS VARCHAR) AS image_id,
+                   CAST(t.range * 12 AS BIGINT) AS region,
+                   CAST((c_custkey // 10) * 10 + t.range AS BIGINT) AS val,
+                   CAST(12 AS BIGINT) AS n_pixels,
+                   CAST(t.range AS INTEGER) AS r0,
+                   CAST(0 AS INTEGER) AS c0,
+                   CAST(t.range AS INTEGER) AS r1,
+                   CAST(11 AS INTEGER) AS c1,
+                   CAST((c_custkey // 10) * 1099511627776
+                        + t.range * 12 AS BIGINT) AS component
+            FROM customer, range(10) t
+            WHERE c_custkey < 80
         """,
         "proximity": """
             WITH px AS (

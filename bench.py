@@ -177,6 +177,7 @@ def main() -> None:
         "rasterize",
         "reproject",
         "label_regions",
+        "stitch_regions",
         "proximity",
         "viewshed",
         "contour",

@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from gfp_gdal_spark.functions.worker_tuning import tune_worker
 from gfp_gdal_spark.kernels import codec as _codec
@@ -35,6 +36,8 @@ from gfp_gdal_spark.kernels.codec import group_by_shape
 
 __all__ = [
     "label_regions",
+    "region_borders",
+    "stitch_regions",
     "proximity_raster",
     "contour_segments",
     "sieve_filter",
@@ -180,6 +183,175 @@ def label_regions(
 
     cols = ["image_id", "bytes", "fmt", "w", "h"]
     return images.select(*cols).mapInArrow(op, schema)
+
+
+def region_borders(
+    images: DataFrame,
+    connectivity: int = 4,
+    nodata: int | None = None,
+) -> DataFrame:
+    """Per-tile region labels along the four tile EDGES — the stitch
+    feed for ``stitch_regions``: one row per border pixel with
+    (image_id, side 'L'/'R'/'T'/'B', pos, region, val), where region is
+    the same deterministic per-tile label ``label_regions`` emits (min
+    linear pixel index) and pos is the row index for L/R, the column
+    index for T/B. ``nodata`` border pixels are dropped (they never
+    stitch). Output volume is 2*(h+w) rows per tile — the perimeter,
+    not the area, so the stitch shuffle moves O(sqrt(pixels))."""
+    schema = "image_id string, side string, pos int, region long, val long"
+
+    def op(batches):
+        tune_worker()
+        for b in batches:
+            ids, blobs, groups = group_by_shape(b)
+            for (f, w, h), idxs in groups.items():
+                pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
+                lab = _label_group(pix, connectivity)
+                m = pix.shape[0]
+                frames, sides, poss, regs, vals = [], [], [], [], []
+                for side, lsl, psz in (
+                    ("L", (slice(None), slice(None), 0), h),
+                    ("R", (slice(None), slice(None), w - 1), h),
+                    ("T", (slice(None), 0, slice(None)), w),
+                    ("B", (slice(None), h - 1, slice(None)), w),
+                ):
+                    lg, vg = lab[lsl], pix[lsl]  # (m, psz)
+                    fr = np.repeat(np.arange(m, dtype=np.int64), psz)
+                    po = np.tile(np.arange(psz, dtype=np.int64), m)
+                    rg = lg.reshape(-1)
+                    vv = vg.reshape(-1)
+                    if nodata is not None:
+                        keep = vv != nodata
+                        fr, po, rg, vv = fr[keep], po[keep], rg[keep], vv[keep]
+                    frames.append(fr)
+                    poss.append(po)
+                    regs.append(rg)
+                    vals.append(vv)
+                    sides.append(np.full(fr.size, side, dtype=object))
+                fr = np.concatenate(frames)
+                if fr.size == 0:
+                    continue
+                id_arr = np.asarray([ids[i] for i in idxs], dtype=object)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(id_arr[fr]),
+                        pa.array(np.concatenate(sides)),
+                        pa.array(np.concatenate(poss).astype(np.int32)),
+                        pa.array(np.concatenate(regs), pa.int64()),
+                        pa.array(np.concatenate(vals), pa.int64()),
+                    ],
+                    ["image_id", "side", "pos", "region", "val"],
+                )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images.select(*cols).mapInArrow(op, schema)
+
+
+_VID_BITS = 20
+
+
+def stitch_regions(
+    images: DataFrame,
+    tile_x: str = "tile_x",
+    tile_y: str = "tile_y",
+    connectivity: int = 4,
+    nodata: int | None = None,
+) -> DataFrame:
+    """Cross-tile region stitching — the step every tiled
+    `gdal_polygonize` needs: per-tile ``label_regions`` labels are
+    merged into GLOBAL components wherever equal-valued regions touch
+    across a shared tile border (right edge of (x, y) against left
+    edge of (x+1, y) at the same row; bottom against top at the same
+    column). ``images`` must carry integer tile-grid coordinates in
+    ``tile_x``/``tile_y`` (adjacent tiles differ by exactly 1).
+
+    Output: the ``label_regions`` rows plus ``component`` — a global
+    long id, deterministically the MINIMUM member vertex id where
+    vid = ((tile_y << 20 | tile_x) << 20) + region (fail-loud if any
+    tile coord or region exceeds 20 bits, i.e. tiles past 2^20 per
+    axis or tiles larger than 2^20 pixels).
+
+    Plan shape at 10^12 pixels: the area-proportional work is the two
+    per-tile mapInArrow passes (label + border extraction — decode
+    runs twice; fusing them is a straightforward follow-up); the
+    stitch itself joins only PERIMETER rows (O(sqrt(pixels)) per tile)
+    via two equi-joins, then runs connected_components over the
+    resulting region-adjacency edge list, whose size is bounded by
+    total border length, not area. 4-connectivity only (diagonal
+    stitching would need pos+-1 matches; fail-loud).
+    """
+    from gfp_gdal_spark.plans.graph import connected_components
+
+    if connectivity != 4:
+        raise ValueError("stitch_regions supports connectivity=4 only")
+    tiles = images.select(
+        F.col("image_id"),
+        F.col(tile_x).cast("long").alias("_tx"),
+        F.col(tile_y).cast("long").alias("_ty"),
+    )
+    lim = 1 << _VID_BITS
+    bad = tiles.where(
+        (F.col("_tx") < 0) | (F.col("_tx") >= lim)
+        | (F.col("_ty") < 0) | (F.col("_ty") >= lim)
+    )
+    if bad.limit(1).count():
+        raise ValueError(f"tile coords must be in [0, 2^{_VID_BITS})")
+
+    def vid(tx, ty, region):
+        return (
+            F.shiftleft(F.shiftleft(ty, _VID_BITS) + tx, _VID_BITS) + region
+        )
+
+    borders = (
+        region_borders(images, connectivity=connectivity, nodata=nodata)
+        .join(tiles, "image_id")
+        .select(
+            "side", "pos", "val",
+            F.col("_tx"), F.col("_ty"),
+            vid(F.col("_tx"), F.col("_ty"), F.col("region")).alias("_vid"),
+        )
+    )
+    r = borders.where(F.col("side") == "R").select(
+        F.col("_tx").alias("_jx"), F.col("_ty").alias("_jy"),
+        "pos", "val", F.col("_vid").alias("_va"),
+    )
+    l = borders.where(F.col("side") == "L").select(
+        (F.col("_tx") - 1).alias("_jx"), F.col("_ty").alias("_jy"),
+        "pos", "val", F.col("_vid").alias("_vb"),
+    )
+    b_ = borders.where(F.col("side") == "B").select(
+        F.col("_tx").alias("_jx"), F.col("_ty").alias("_jy"),
+        "pos", "val", F.col("_vid").alias("_va"),
+    )
+    t = borders.where(F.col("side") == "T").select(
+        F.col("_tx").alias("_jx"), (F.col("_ty") - 1).alias("_jy"),
+        "pos", "val", F.col("_vid").alias("_vb"),
+    )
+    keys = ["_jx", "_jy", "pos", "val"]
+    edges = (
+        r.join(l, keys)
+        .select(F.col("_va").alias("src"), F.col("_vb").alias("dst"))
+        .unionByName(
+            b_.join(t, keys).select(
+                F.col("_va").alias("src"), F.col("_vb").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    labels = label_regions(images, connectivity=connectivity, nodata=nodata)
+    if labels.where(F.col("region") >= lim).limit(1).count():
+        raise ValueError(f"region ids must be < 2^{_VID_BITS} (tile too large)")
+    labeled = labels.join(tiles, "image_id").withColumn(
+        "_vid", vid(F.col("_tx"), F.col("_ty"), F.col("region"))
+    )
+    comp = connected_components(edges)
+    out = labeled.join(
+        comp.withColumnRenamed("vertex", "_vid"), "_vid", "left"
+    ).select(
+        "image_id", "region", "val", "n_pixels", "r0", "c0", "r1", "c1",
+        F.coalesce("component", F.col("_vid")).alias("component"),
+    )
+    return out
 
 
 def _proximity_group(pix: np.ndarray, mask: np.ndarray):

@@ -3241,3 +3241,76 @@ def test_repetition_stats_literal_sep(spark):
     assert r["n_lines"] == 3
     # 'abc' appears twice (6 chars of 9) -> dup fraction 6/9
     assert r["dup_line_frac"] == pytest.approx(6 / 9)
+
+
+def _tile_df(spark, tiles):
+    """tiles: list of (tx, ty, 2d-int-array) -> images DF with tile coords."""
+    from gfp_gdal_spark.kernels.codec import encode_image
+
+    rows = []
+    for tx, ty, a in tiles:
+        h, w = a.shape
+        blob = bytearray(encode_image(a.astype(np.uint8), "pgm"))
+        rows.append((f"t{tx}_{ty}", blob, "pgm", w, h, tx, ty))
+    return spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, fmt string, w int, h int, "
+        "tile_x int, tile_y int",
+    )
+
+
+def test_stitch_regions_bruteforce(spark):
+    """Random global grids cut into tiles: stitched components must
+    induce the SAME partition of pixels as labeling the whole grid
+    directly (up to relabeling)."""
+    from gfp_gdal_spark.operators.vectorize import (
+        _label_group,
+        stitch_regions,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        th, tw = rng.randint(2, 5), rng.randint(2, 5)   # tile dims
+        gy, gx = rng.randint(2, 4), rng.randint(2, 4)   # tile grid
+        G = rng.randint(0, 3, size=(th * gy, tw * gx))
+        tiles = [
+            (tx, ty, G[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw])
+            for ty in range(gy)
+            for tx in range(gx)
+        ]
+        out = stitch_regions(_tile_df(spark, tiles)).collect()
+        # global truth: label the whole grid at once
+        glab = _label_group(G[None, ...], 4)[0]
+        # map each stitched component to the set of global pixels it covers
+        got_parts: dict = {}
+        for r in out:
+            tx, ty = (int(x) for x in r["image_id"][1:].split("_"))
+            # recover the tile's pixels of this region from per-tile lab
+            tl = _label_group(
+                G[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw][None, ...], 4
+            )[0]
+            px = {
+                (ty * th + rr, tx * tw + cc)
+                for rr in range(th)
+                for cc in range(tw)
+                if tl[rr, cc] == r["region"]
+            }
+            got_parts.setdefault(r["component"], set()).update(px)
+        want_parts: dict = {}
+        for rr in range(th * gy):
+            for cc in range(tw * gx):
+                want_parts.setdefault(glab[rr, cc], set()).add((rr, cc))
+        assert sorted(got_parts.values(), key=sorted) == sorted(
+            want_parts.values(), key=sorted
+        ), f"trial {trial}: partition mismatch"
+
+
+def test_stitch_regions_guards(spark):
+    from gfp_gdal_spark.operators.vectorize import stitch_regions
+
+    df = _tile_df(spark, [(0, 0, np.zeros((2, 2), int))])
+    with pytest.raises(ValueError, match="connectivity=4"):
+        stitch_regions(df, connectivity=8)
+    bad = _tile_df(spark, [(1 << 21, 0, np.zeros((2, 2), int))])
+    with pytest.raises(ValueError, match="tile coords"):
+        stitch_regions(bad)
