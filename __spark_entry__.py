@@ -876,6 +876,28 @@ def _q_asof_join_fwd(spark, sf):
     return out.select("user_id", "event_id", "next_value")
 
 
+def _q_asof_join_near(spark, sf):
+    """NEAREST as-of join (closer of the prior/following right row,
+    ties to the prior — pandas merge_asof convention): both carries in
+    ONE shuffle (two window sorts over the same hash partition).
+    Oracle: DuckDB argmin over |dt| with the same tie order. Right
+    timestamps are unique per key (global event_id), so the pick is
+    unambiguous cross-engine."""
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    _prep(spark)
+    e = _t(spark, sf, "events")
+    l = e.where(F.pmod("event_id", F.lit(2)) == 0).select("user_id", "event_id")
+    r = e.where(F.pmod("event_id", F.lit(2)) == 1).select(
+        "user_id", "event_id", F.round("value", 6).alias("near_value")
+    )
+    out = asof_join(
+        l, r, on="event_id", by="user_id", value_cols=["near_value"],
+        direction="nearest",
+    )
+    return out.select("user_id", "event_id", "near_value")
+
+
 def _q_range_join(spark, sf):
     """Interval containment join (1-D twin of the PiP join): order-key
     points vs nation-derived intervals, bin-bucketed equi-join +
@@ -3081,6 +3103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equalize": _q_equalize,
         # --- changed: temporal.py ---
         "interval_join": _q_interval_join,
+        # asof nearest (NEW, final round-5 session: third merge_asof
+        # direction, single-shuffle dual carry). In-window; bigram_lm
+        # rotates to the tail in exchange (lm.py byte-unchanged since
+        # its certification, locally oracle-green in
+        # ORACLES_LOCAL_r05.md).
+        "asof_join_near": _q_asof_join_near,
         # geohash_cells (NEW, final round-5 session: the fourth cell
         # index in functions/spatial.py) — new code takes an in-window
         # slot; interval_union rotates to the tail in exchange
@@ -5135,6 +5163,20 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY tsec ASC, event_id ASC
                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
             FROM f
+        """,
+        "asof_join_near": """
+            WITH l AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 0),
+            r AS (SELECT user_id, event_id, round(value, 6) AS near_value
+                  FROM events WHERE event_id % 2 = 1)
+            SELECT user_id, event_id, near_value FROM (
+              SELECT l.user_id, l.event_id, r.near_value,
+                     row_number() OVER (
+                       PARTITION BY l.user_id, l.event_id
+                       ORDER BY abs(l.event_id - r.event_id) ASC NULLS LAST,
+                                r.event_id ASC NULLS LAST
+                     ) AS rn
+              FROM l LEFT JOIN r ON l.user_id = r.user_id
+            ) WHERE rn = 1
         """,
         "asof_join_fwd": """
             WITH l AS (SELECT user_id, event_id FROM events WHERE event_id % 2 = 0),

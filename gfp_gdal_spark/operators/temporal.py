@@ -66,8 +66,20 @@ def asof_join(
     """
     from pyspark.sql import Window
 
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' (latest prior row) or 'forward' (earliest following row)")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward' (latest prior row), 'forward' "
+            "(earliest following row), or 'nearest' (closer of the two, "
+            "ties to backward)"
+        )
+    if direction == "nearest":
+        if bucket_width is not None:
+            raise ValueError(
+                "direction='nearest' does not support bucket_width; for a "
+                "hot key run the 'backward' and 'forward' paths bucketed "
+                "and pick the closer row on a left-row key"
+            )
+        return _asof_nearest(left, right, on, by, value_cols, suffix)
     bwd = direction == "backward"
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
     collide = [c for c in value_cols if c in left.columns]
@@ -165,6 +177,87 @@ def asof_join(
             .drop("_bkt", "_crow")
         )
 
+    for c in value_cols:
+        out = out.withColumn(out_name[c], F.col("_rrow").getField(c))
+    return out.drop("_rrow")
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str] | None,
+    suffix: str | None,
+) -> DataFrame:
+    """direction='nearest': each left row takes whichever of its
+    latest-prior / earliest-following right rows is closer on the
+    ``on`` axis (|l.on - r.on|), ties to the PRIOR row (pandas
+    merge_asof convention). ONE shuffle: both carries come from two
+    window sorts over the SAME hash partition (by) — ascending for the
+    backward carry, descending for the forward — with the right row's
+    own ``on`` riding inside the carry struct so the distance compare
+    is a plain column expression."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
+    collide = [c for c in value_cols if c in left.columns]
+    if collide and suffix is None:
+        raise ValueError(
+            f"right value column(s) {collide} also exist on the left side; "
+            f"pass suffix='_r' (or similar) to emit them as <col><suffix>"
+        )
+    out_name = {c: (c + suffix if c in collide else c) for c in value_cols}
+
+    rrow_type = T.StructType(
+        [T.StructField("_ron", right.schema[on].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
+    l_tag = left.withColumn("_src", F.lit(1)).withColumn(
+        "_rrow", F.lit(None).cast(rrow_type)
+    )
+    r_tag = right.select(
+        by,
+        on,
+        F.struct(
+            F.col(on).alias("_ron"), *[F.col(c).alias(c) for c in value_cols]
+        ).alias("_rrow"),
+    ).withColumn("_src", F.lit(0))
+    for c in left.columns:
+        if c not in (on, by):
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l_tag.unionByName(r_tag.select(l_tag.columns))
+
+    # _src asc under asc time / desc under desc time: at equal
+    # timestamps the right row sorts before the left row in BOTH
+    # directions — inclusive ties, same as the directional paths
+    wb = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).desc(), F.col("_src").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("_rb", F.last("_rrow", ignorenulls=True).over(wb))
+    u = u.withColumn("_rf", F.last("_rrow", ignorenulls=True).over(wf))
+    lv = F.col(on)
+    db = lv - F.col("_rb._ron")
+    df_ = F.col("_rf._ron") - lv
+    pick = (
+        F.when(F.col("_rb").isNull(), F.col("_rf"))
+        .when(F.col("_rf").isNull(), F.col("_rb"))
+        .when(db <= df_, F.col("_rb"))  # tie -> backward (prior row)
+        .otherwise(F.col("_rf"))
+    )
+    out = (
+        u.where(F.col("_src") == 1)
+        .withColumn("_rrow", pick)
+        .drop("_src", "_rb", "_rf")
+    )
     for c in value_cols:
         out = out.withColumn(out_name[c], F.col("_rrow").getField(c))
     return out.drop("_rrow")

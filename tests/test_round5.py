@@ -3314,3 +3314,53 @@ def test_stitch_regions_guards(spark):
     bad = _tile_df(spark, [(1 << 21, 0, np.zeros((2, 2), int))])
     with pytest.raises(ValueError, match="tile coords"):
         stitch_regions(bad)
+
+
+def test_asof_join_nearest_matches_naive(spark):
+    """direction='nearest' vs a brute-force scan: closer of prior/
+    following right row, ties to the PRIOR (pandas merge_asof rule)."""
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    rng = np.random.RandomState(23)
+    lrows, rrows = [], []
+    for i in range(300):
+        lrows.append((i, int(rng.randint(0, 4)), float(rng.randint(0, 100))))
+    for j in range(150):
+        rrows.append((int(rng.randint(0, 4)), float(rng.randint(0, 100)), float(j)))
+    l = spark.createDataFrame(lrows, "lid long, k long, ts double")
+    r = spark.createDataFrame(rrows, "k long, ts double, quote double")
+    got = {
+        row["lid"]: row["quote"]
+        for row in asof_join(l, r, on="ts", by="k", direction="nearest").collect()
+    }
+    # naive reference: min |dt|, tie -> smaller r.ts; among equal
+    # (k, ts) right rows the carry keeps the LAST in window order, so
+    # compare on the chosen timestamp's candidate set
+    import collections as _c
+
+    rk = _c.defaultdict(list)
+    for k, ts, q in rrows:
+        rk[k].append((ts, q))
+    for lid, k, ts in lrows:
+        cands = rk.get(k)
+        if not cands:
+            assert got[lid] is None
+            continue
+        best_ts = min((t for t, _ in cands), key=lambda t: (abs(ts - t), t))
+        # engine picks a deterministic row among duplicates of best_ts;
+        # assert the VALUE set membership + distance optimality
+        assert any(
+            t == best_ts and got[lid] == q for t, q in cands
+        ) or got[lid] in {q for t, q in cands if t == best_ts}
+        assert abs(best_ts - ts) == min(abs(ts - t) for t, _ in cands)
+
+
+def test_asof_join_nearest_guards(spark):
+    from gfp_gdal_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame([(0, 1.0)], "k long, ts double")
+    r = spark.createDataFrame([(0, 1.0, 2.0)], "k long, ts double, v double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        asof_join(l, r, on="ts", by="k", direction="nearest", bucket_width=5.0)
+    with pytest.raises(ValueError, match="direction must be"):
+        asof_join(l, r, on="ts", by="k", direction="sideways")
