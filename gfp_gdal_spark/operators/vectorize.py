@@ -290,12 +290,22 @@ def stitch_regions(
         F.col(tile_y).cast("long").alias("_ty"),
     )
     lim = 1 << _VID_BITS
-    bad = tiles.where(
-        (F.col("_tx") < 0) | (F.col("_tx") >= lim)
-        | (F.col("_ty") < 0) | (F.col("_ty") >= lim)
+    # ONE metadata-only action for both packing bounds: region ids are
+    # < w*h by construction, so the tile-size bound needs no decode
+    bad = images.select(
+        F.col(tile_x).cast("long").alias("_btx"),
+        F.col(tile_y).cast("long").alias("_bty"),
+        (F.col("w").cast("long") * F.col("h")).alias("_px"),
+    ).where(
+        (F.col("_btx") < 0) | (F.col("_btx") >= lim)
+        | (F.col("_bty") < 0) | (F.col("_bty") >= lim)
+        | (F.col("_px") > lim)
     )
     if bad.limit(1).count():
-        raise ValueError(f"tile coords must be in [0, 2^{_VID_BITS})")
+        raise ValueError(
+            f"tile coords must be in [0, 2^{_VID_BITS}) and tiles at most "
+            f"2^{_VID_BITS} pixels (vid packing bounds)"
+        )
 
     def vid(tx, ty, region):
         return (
@@ -339,8 +349,6 @@ def stitch_regions(
         .distinct()
     )
     labels = label_regions(images, connectivity=connectivity, nodata=nodata)
-    if labels.where(F.col("region") >= lim).limit(1).count():
-        raise ValueError(f"region ids must be < 2^{_VID_BITS} (tile too large)")
     labeled = labels.join(tiles, "image_id").withColumn(
         "_vid", vid(F.col("_tx"), F.col("_ty"), F.col("region"))
     )
