@@ -5349,15 +5349,25 @@ def oracle_sql() -> dict[str, str]:
               FROM vocab JOIN p31 ON i < length(token)
               GROUP BY token
             )
-            SELECT o.doc_id,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(count(vh.wu) AS BIGINT) AS n_matched,
-                   0.1 + CAST(COALESCE(sum(vh.wu), 0) AS DOUBLE)
-                         / (1000000.0 * count(*)) AS logit
-            FROM occ o
-            JOIN th USING (tok)
-            LEFT JOIN vh USING (fid)
-            GROUP BY o.doc_id
+            , scored AS (
+              SELECT o.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(vh.wu) AS BIGINT) AS n_matched,
+                     0.1 + CAST(COALESCE(sum(vh.wu), 0) AS DOUBLE)
+                           / (1000000.0 * count(*)) AS logit
+              FROM occ o
+              JOIN th USING (tok)
+              LEFT JOIN vh USING (fid)
+              GROUP BY o.doc_id
+            )
+            -- id-universe left join: zero-token docs surface with
+            -- n_tokens=0 / logit=bias, matching the engine contract
+            SELECT b.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.n_matched, 0) AS n_matched,
+                   COALESCE(s.logit, 0.1) AS logit
+            FROM (SELECT DISTINCT doc_id FROM base) b
+            LEFT JOIN scored s USING (doc_id)
         """,
         "bfs_hops": """
             -- undirected hop distance on a 12-cycle from the seed at

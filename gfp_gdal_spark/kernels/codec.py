@@ -35,7 +35,7 @@ __all__ = [
 ]
 
 
-def group_by_shape(batch, id_col: str = "image_id"):
+def group_by_shape(batch, id_col: str = "image_id", with_dims: bool = False):
     """Group an Arrow image RecordBatch's row indices by uniform
     (fmt, w, h) — the shared front half of every mapInArrow image
     operator (``decode_group`` needs the shape up front, so the batch
@@ -46,7 +46,10 @@ def group_by_shape(batch, id_col: str = "image_id"):
     ``blobs`` the Arrow binary column (index with ``blobs[i].as_py()``),
     and ``groups`` a dict ``(fmt, w, h) -> [row indices]`` (empty for
     an empty batch, so ``for ... in groups.items()`` degrades to a
-    no-op without a separate num_rows guard).
+    no-op without a separate num_rows guard). ``with_dims=True``
+    appends the already-converted per-row ``(fmts, ws, hs)`` to the
+    tuple — for operators that re-emit those columns, so they don't
+    repeat the Arrow->Python conversion the grouping just did.
     """
     import collections
 
@@ -56,12 +59,16 @@ def group_by_shape(batch, id_col: str = "image_id"):
         batch.column(names.index(id_col)).to_pylist() if id_col in names else None
     )
     groups: dict = collections.defaultdict(list)
+    fmts: list = []
+    ws = hs = None
     if batch.num_rows:
         fmts = batch.column(names.index("fmt")).to_pylist()
         ws = batch.column(names.index("w")).to_numpy(zero_copy_only=False)
         hs = batch.column(names.index("h")).to_numpy(zero_copy_only=False)
         for i in range(batch.num_rows):
             groups[(fmts[i], int(ws[i]), int(hs[i]))].append(i)
+    if with_dims:
+        return ids, blobs, groups, fmts, ws, hs
     return ids, blobs, groups
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -32,6 +32,12 @@ from pyspark.sql import functions as F
 
 __all__ = ["repetition_stats", "redact_pii", "paragraph_dedup", "lr_quality_score"]
 
+
+def _literal_regex(sep: str) -> str:
+    """Quote a LITERAL separator for a Java-regex argument (F.split)
+    with \\Q..\\E, escaping any embedded \\E."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
 # (name, java/RE2-compatible pattern, replacement) — applied in order,
 # each pattern counted on the text AFTER the previous replacements so
 # the counts are exactly "how many replacements happened".
@@ -80,9 +86,9 @@ def repetition_stats(
     base = df.select(kid.alias("_id"), F.col(text_col).alias("_t"))
 
     # --- duplicate-line characters -------------------------------------
-    # line_sep is a LITERAL separator — quote it for F.split's Java
-    # regex argument (same contract as paragraph_dedup's sep)
-    sep_re = "\\Q" + line_sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    # line_sep is a LITERAL separator (same contract as
+    # paragraph_dedup's sep)
+    sep_re = _literal_regex(line_sep)
     lines = base.select(
         "_id", F.explode(F.split(F.col("_t"), sep_re)).alias("line")
     ).where(F.length("line") > 0)
@@ -226,10 +232,9 @@ def paragraph_dedup(
     """
     kid = F.col(id_col)
     # sep is a LITERAL separator (it is re-inserted verbatim by the
-    # concat_ws below), so quote it for F.split's Java-regex argument
-    # with \Q..\E — otherwise sep='.' would split on every character
-    # while the reassembly joins with a literal dot
-    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    # concat_ws below) — otherwise sep='.' would split on every
+    # character while the reassembly joins with a literal dot
+    sep_re = _literal_regex(sep)
     paras = df.select(
         kid.alias("_id"),
         F.posexplode(F.split(F.col(text_col), sep_re)).alias("_pos", "_para"),
@@ -336,13 +341,19 @@ def lr_quality_score(
             F.coalesce(F.sum("_wu"), F.lit(0)).alias("_su"),
         )
     )
-    # left-join back onto the full id set: a document with no tokens
-    # (empty/whitespace-only text) produces no explode rows and would
-    # silently vanish — it must surface as n_tokens=0 / logit=bias so
-    # downstream gates can see (and flag) it rather than skip it
-    all_ids = df.select(F.col(id_col).alias("_id"))
-    per_doc = all_ids.join(per_doc, "_id", "left").select(
-        "_id",
+    # left-join back onto the distinct id set: a document with no
+    # tokens (empty/whitespace-only text) produces no explode rows and
+    # would silently vanish — it must surface as n_tokens=0 /
+    # logit=bias so downstream gates can see (and flag) it rather than
+    # skip it. distinct() preserves the one-row-per-id contract the
+    # groupBy alone gave; the null-safe join keeps a NULL id's true
+    # counts (a plain equi-join never matches null keys and would
+    # zero it out)
+    all_ids = df.select(F.col(id_col).alias("_aid")).distinct()
+    per_doc = all_ids.join(
+        per_doc, all_ids["_aid"].eqNullSafe(per_doc["_id"]), "left"
+    ).select(
+        F.col("_aid").alias("_id"),
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
         F.coalesce("_su", F.lit(0)).alias("_su"),

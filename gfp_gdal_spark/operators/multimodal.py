@@ -641,11 +641,9 @@ def equalize_images(images: DataFrame) -> DataFrame:
             if b.num_rows == 0:
                 continue
             n = b.num_rows
-            ids, blobs, groups = _codec.group_by_shape(b)
-            nm = b.schema.names
-            fmts = b.column(nm.index("fmt")).to_pylist()
-            ws = b.column(nm.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(nm.index("h")).to_numpy(zero_copy_only=False)
+            ids, blobs, groups, fmts, ws, hs = _codec.group_by_shape(
+                b, with_dims=True
+            )
             out_b: list = [None] * n
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)

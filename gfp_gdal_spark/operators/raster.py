@@ -319,12 +319,10 @@ def downsample_tiles(
             for i, ch in enumerate(pdf["_ch"]):
                 seen = set()
                 for c in ch:
+                    # the parent-coordinate sign guard above already
+                    # rejected every negative input, so quadrants here
+                    # are always in {0,1}x{0,1}
                     q = (c["_qx"], c["_qy"])
-                    if q not in ((0, 0), (0, 1), (1, 0), (1, 1)):
-                        raise ValueError(
-                            f"negative tile coordinates (quadrant {q}) — "
-                            f"slippy z/x/y tiles must be non-negative"
-                        )
                     if q in seen:
                         raise ValueError(
                             f"duplicate child quadrant {q} under parent "

@@ -290,18 +290,31 @@ def stitch_regions(
         F.col(tile_y).cast("long").alias("_ty"),
     )
     lim = 1 << _VID_BITS
-    # ONE metadata-only action for both packing bounds: region ids are
-    # < w*h by construction, so the tile-size bound needs no decode
-    bad = images.select(
-        F.col(tile_x).cast("long").alias("_btx"),
-        F.col(tile_y).cast("long").alias("_bty"),
-        (F.col("w").cast("long") * F.col("h")).alias("_px"),
-    ).where(
-        (F.col("_btx") < 0) | (F.col("_btx") >= lim)
-        | (F.col("_bty") < 0) | (F.col("_bty") >= lim)
-        | (F.col("_px") > lim)
-    )
-    if bad.limit(1).count():
+    # ONE validation action over the metadata columns (note: if the
+    # images DataFrame is itself computed — e.g. a stack_bands
+    # pipeline — this re-runs that upstream compute once; persist
+    # upstream to avoid it): vid packing bounds (region ids are < w*h
+    # by construction, so the tile-size bound needs no decode) AND
+    # tile-shape uniformity — border pos is a raw row/column index, so
+    # mixed tile dimensions would equi-join border pixels at different
+    # world positions and mis-stitch silently.
+    g = images.agg(
+        F.min(F.col(tile_x).cast("long")).alias("tx0"),
+        F.max(F.col(tile_x).cast("long")).alias("tx1"),
+        F.min(F.col(tile_y).cast("long")).alias("ty0"),
+        F.max(F.col(tile_y).cast("long")).alias("ty1"),
+        F.max(F.col("w").cast("long") * F.col("h")).alias("pxmax"),
+        F.count_distinct(F.struct("w", "h")).alias("ndims"),
+    ).first()
+    if g["ndims"] and g["ndims"] > 1:
+        raise ValueError(
+            "stitch_regions requires uniform tile dimensions (border "
+            "positions are raw pixel indices); got mixed (w, h)"
+        )
+    if g["tx0"] is not None and (
+        g["tx0"] < 0 or g["tx1"] >= lim or g["ty0"] < 0 or g["ty1"] >= lim
+        or g["pxmax"] > lim
+    ):
         raise ValueError(
             f"tile coords must be in [0, 2^{_VID_BITS}) and tiles at most "
             f"2^{_VID_BITS} pixels (vid packing bounds)"
@@ -635,11 +648,7 @@ def sieve_filter(
             if b.num_rows == 0:
                 continue
             n = b.num_rows
-            ids, blobs, groups = group_by_shape(b)
-            nm = b.schema.names
-            fmts = b.column(nm.index("fmt")).to_pylist()
-            ws = b.column(nm.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(nm.index("h")).to_numpy(zero_copy_only=False)
+            ids, blobs, groups, fmts, ws, hs = group_by_shape(b, with_dims=True)
             out_b: list = [None] * n
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
@@ -716,11 +725,7 @@ def fill_nodata(
             if b.num_rows == 0:
                 continue
             n = b.num_rows
-            ids, blobs, groups = group_by_shape(b)
-            nm = b.schema.names
-            fmts = b.column(nm.index("fmt")).to_pylist()
-            ws = b.column(nm.index("w")).to_numpy(zero_copy_only=False)
-            hs = b.column(nm.index("h")).to_numpy(zero_copy_only=False)
+            ids, blobs, groups, fmts, ws, hs = group_by_shape(b, with_dims=True)
             out_b: list = [None] * n
             for (f, w, h), idxs in groups.items():
                 pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)

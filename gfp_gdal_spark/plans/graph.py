@@ -280,14 +280,11 @@ def bfs_hops(
             .join(settled.select("vertex"), "vertex", "left_anti")
             .withColumn("hops", F.lit(hop))
         )
-        # persist+count doubles as the convergence check, then the
-        # eager checkpoint cuts lineage from the materialized cache
-        cached = nxt.persist()
-        n = cached.count()
+        # the flat_checkpoint's own materialization count doubles as
+        # the convergence check (one wasted checkpoint job on the
+        # final empty frontier — negligible)
+        frontier, n = flat_checkpoint(nxt, return_count=True)
         if n == 0:
-            cached.unpersist()
             break
-        frontier = cached.localCheckpoint(eager=True)
-        cached.unpersist()
         settled = settled.unionByName(frontier)
     return settled.select(F.col("vertex").alias(vertex), "hops")

@@ -32,7 +32,7 @@ __all__ = [
 ]
 
 
-def flat_checkpoint(df: DataFrame) -> DataFrame:
+def flat_checkpoint(df: DataFrame, return_count: bool = False):
     """localCheckpoint with ABSOLUTE size stats — required inside
     iterative self-join loops.
 
@@ -50,11 +50,17 @@ def flat_checkpoint(df: DataFrame) -> DataFrame:
     LogicalRDD inherits the absolute number), then drop the cache.
     Costs one extra in-memory materialization per call; lineage is cut
     and the estimate chain is reset to ground truth.
+
+    ``return_count=True`` returns ``(df, n)`` — the row count is
+    computed anyway for the materialization, so iterative loops that
+    need a convergence check (bfs_hops) get it for free.
     """
     cached = df.persist()
-    cached.count()
+    n = cached.count()
     out = cached.localCheckpoint(eager=True)
     cached.unpersist()
+    if return_count:
+        return out, n
     return out
 
 MANIFEST_SCHEMA = "bucket long, rows long, bytes long, n_files long, wall_sec double, ts string"

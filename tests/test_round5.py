@@ -3364,3 +3364,31 @@ def test_asof_join_nearest_guards(spark):
         asof_join(l, r, on="ts", by="k", direction="nearest", bucket_width=5.0)
     with pytest.raises(ValueError, match="direction must be"):
         asof_join(l, r, on="ts", by="k", direction="sideways")
+
+
+def test_stitch_regions_mixed_dims_fail_loud(spark):
+    from gfp_gdal_spark.operators.vectorize import stitch_regions
+
+    df = _tile_df(
+        spark, [(0, 0, np.zeros((2, 2), int)), (1, 0, np.zeros((4, 4), int))]
+    )
+    with pytest.raises(ValueError, match="uniform tile dimensions"):
+        stitch_regions(df)
+
+
+def test_lr_quality_score_null_and_duplicate_ids(spark):
+    """NULL ids keep their true counts (null-safe join) and duplicate
+    ids still emit one row (distinct id universe)."""
+    from gfp_gdal_spark.operators.curation import lr_quality_score
+
+    docs = spark.createDataFrame(
+        [(None, "good good"), (1, "bad"), (1, "bad")],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame([("good", 0.5)], "token string, weight double")
+    out = lr_quality_score(docs, w, bias=0.0).collect()
+    assert len(out) == 2
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[None]["n_tokens"] == 2 and by_id[None]["n_matched"] == 2
+    assert by_id[None]["logit"] == 0.5
+    assert by_id[1]["n_tokens"] == 2 and by_id[1]["n_matched"] == 0
