@@ -153,6 +153,7 @@ def main() -> None:
         "radius_join",
         "asof_join",
         "asof_join_fwd",
+        "asof_join_near",
         "range_join",
         "interval_join",
         "bbox_join",
