@@ -150,6 +150,21 @@ def _q_tile_rollup(spark, sf):
     return out.select("tile_z", "tile_x", "tile_y", "n")
 
 
+def _q_tile_rollup_stats(spark, sf):
+    """tile_rollup for VALUE stats (n/min/max/sum/mean per pyramid
+    tile, z8 -> z4..z8) in the same ONE wide aggregation; v =
+    o_orderkey % 1000 is integral so every aggregate is exact and the
+    one mean division is bit-identical cross-engine."""
+    _prep(spark)
+    pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
+    pts = pts.withColumn("v", (F.col("o_orderkey") % 1000).cast("long"))
+    out = J.tile_rollup_stats(J.tile_assign(pts, z=8), z_to=4, val_col="v")
+    return out.select(
+        "tile_z", "tile_x", "tile_y", "n",
+        "val_min", "val_max", "val_sum", "val_mean",
+    )
+
+
 def _q_tile_cover(spark, sf):
     # centers on a shrunken domain so bbox edges never cross the
     # +-180/+-85 clamp (the oracle SQL has no clamp)
@@ -3061,6 +3076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_rollup": _q_tile_rollup,
+        # tile_rollup_stats (NEW, final round-5 session) — in-window;
+        # bm25_sharded rotates to the tail in exchange (retrieval.py
+        # byte-unchanged since its certification, locally oracle-green
+        # in ORACLES_LOCAL_r05.md).
+        "tile_rollup_stats": _q_tile_rollup_stats,
         "bbox_join": _q_bbox_join,
         # polygon_join (NEW, final round-5 session: the interiors-
         # intersect polygon x polygon join in joins.py) — new code
@@ -3503,6 +3523,22 @@ def oracle_sql() -> dict[str, str]:
                    tile_x >> (8 - l) AS tile_x,
                    tile_y >> (8 - l) AS tile_y,
                    count(*) AS n
+            FROM lv GROUP BY 1, 2, 3
+        """,
+        "tile_rollup_stats": f"""
+            WITH p AS ({opoints}),
+            t AS (SELECT o_orderkey % 1000 AS v,
+                         {_TILE_X.format(n=256)} AS tile_x,
+                         {_TILE_Y.format(n=256)} AS tile_y FROM p),
+            lv AS (SELECT * FROM t, generate_series(4, 8) AS g(l))
+            SELECT l AS tile_z,
+                   tile_x >> (8 - l) AS tile_x,
+                   tile_y >> (8 - l) AS tile_y,
+                   count(*) AS n,
+                   min(v) AS val_min,
+                   max(v) AS val_max,
+                   CAST(sum(v) AS BIGINT) AS val_sum,
+                   CAST(sum(v) AS DOUBLE) / count(*) AS val_mean
             FROM lv GROUP BY 1, 2, 3
         """,
         "tile_cover": f"""

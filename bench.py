@@ -209,6 +209,7 @@ def main() -> None:
         "vocab_topk",
         "distinct_profile",
         "tile_rollup",
+        "tile_rollup_stats",
         "audio_stats",
         "resample_audio",
         "audio_fingerprint",

@@ -38,6 +38,8 @@ from gfp_gdal_spark.functions.spatial import (
 __all__ = [
     "tile_assign",
     "tile_cover",
+    "tile_rollup",
+    "tile_rollup_stats",
     "bbox_join",
     "polygon_join",
     "overlap_clusters",
@@ -129,6 +131,60 @@ def tile_rollup(
     return (
         t.groupBy("out_z", "out_x", "out_y")
         .agg(F.sum("_w").alias(out_col))
+        .withColumnsRenamed({"out_z": "tile_z", "out_x": "tile_x", "out_y": "tile_y"})
+    )
+
+
+def tile_rollup_stats(
+    tiles: DataFrame,
+    z_to: int,
+    val_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """``tile_rollup`` for VALUE statistics: per-tile n/min/max/sum/
+    mean of ``val_col`` at every zoom from the input's ``tile_z`` down
+    to ``z_to`` — the serving pyramid behind choropleth/heat endpoints
+    that show a mean or extreme instead of a count. ``weight_col``
+    (e.g. a per-tile point count when the input is already one
+    aggregated row per leaf tile) makes the mean the correctly
+    weighted one: sum += val*weight, n += weight.
+
+    Determinism contract: pass an integral ``val_col`` (micro-quantize
+    floats upstream, the band_index rule) and the sums are exact
+    integers — partial-aggregation-order-independent; the one division
+    per output row happens at the end.
+
+    Scale shape: IDENTICAL to tile_rollup — one explode over ancestor
+    levels, ONE map-side-combined hash aggregate for the entire
+    pyramid, no per-level iteration, no window.
+    """
+    zc = F.col("tile_z")
+    # same coarse-row guard as tile_rollup: shiftright with a negative
+    # count silently wraps (ADVICE r4)
+    lvl = F.explode(F.sequence(F.lit(z_to), zc))
+    t = tiles.where(zc >= F.lit(z_to)).withColumn("_l", lvl)
+    wt = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else F.col(weight_col).cast("long")
+    )
+    v = F.col(val_col).cast("long")
+    t = t.select(
+        F.col("_l").alias("out_z"),
+        F.expr("shiftright(tile_x, tile_z - _l)").alias("out_x"),
+        F.expr("shiftright(tile_y, tile_z - _l)").alias("out_y"),
+        wt.alias("_w"),
+        v.alias("_v"),
+    )
+    return (
+        t.groupBy("out_z", "out_x", "out_y")
+        .agg(
+            F.sum("_w").alias("n"),
+            F.min("_v").alias("val_min"),
+            F.max("_v").alias("val_max"),
+            F.sum(F.col("_v") * F.col("_w")).alias("val_sum"),
+        )
+        .withColumn("val_mean", F.col("val_sum") / F.col("n"))
         .withColumnsRenamed({"out_z": "tile_z", "out_x": "tile_x", "out_y": "tile_y"})
     )
 

@@ -3392,3 +3392,42 @@ def test_lr_quality_score_null_and_duplicate_ids(spark):
     assert by_id[None]["n_tokens"] == 2 and by_id[None]["n_matched"] == 2
     assert by_id[None]["logit"] == 0.5
     assert by_id[1]["n_tokens"] == 2 and by_id[1]["n_matched"] == 0
+
+
+def test_tile_rollup_stats_bruteforce(spark):
+    from gfp_gdal_spark.operators.joins import tile_rollup_stats
+
+    rng = np.random.RandomState(31)
+    rows = [
+        (6, int(rng.randint(0, 64)), int(rng.randint(0, 64)),
+         int(rng.randint(0, 1000)), int(rng.randint(1, 5)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "tile_z int, tile_x long, tile_y long, v long, cnt long"
+    )
+    got = {
+        (r["tile_z"], r["tile_x"], r["tile_y"]): r
+        for r in tile_rollup_stats(df, 3, "v", weight_col="cnt").collect()
+    }
+    import collections as _c
+
+    want = _c.defaultdict(lambda: [0, None, None, 0])
+    for z, x, y, v, cnt in rows:
+        for l in range(3, z + 1):
+            k = (l, x >> (z - l), y >> (z - l))
+            a = want[k]
+            a[0] += cnt
+            a[1] = v if a[1] is None else min(a[1], v)
+            a[2] = v if a[2] is None else max(a[2], v)
+            a[3] += v * cnt
+    assert set(got) == set(want)
+    for k, (n, mn, mx, s) in want.items():
+        r = got[k]
+        assert (r["n"], r["val_min"], r["val_max"], r["val_sum"]) == (n, mn, mx, s)
+        assert r["val_mean"] == pytest.approx(s / n)
+    # coarse rows below z_to are filtered, not wrapped
+    df2 = spark.createDataFrame(
+        [(2, 1, 1, 5, 1)], "tile_z int, tile_x long, tile_y long, v long, cnt long"
+    )
+    assert tile_rollup_stats(df2, 3, "v").count() == 0
