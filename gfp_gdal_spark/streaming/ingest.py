@@ -20,6 +20,7 @@ __all__ = [
     "read_image_stream",
     "streaming_tile_counts",
     "streaming_tile_rollup",
+    "streaming_tile_rollup_stats",
     "streaming_hash_split",
     "windowed_event_counts",
     "streaming_exact_dedup",
@@ -54,6 +55,21 @@ def streaming_tile_rollup(images_stream: DataFrame, z: int = 8, z_to: int = 4) -
 
     fp = tile_assign(with_footprint(images_stream), z=z)
     return tile_rollup(fp, z_to=z_to)
+
+
+def streaming_tile_rollup_stats(
+    images_stream: DataFrame, val_col: str, z: int = 8, z_to: int = 4
+) -> DataFrame:
+    """Value-statistics pyramid over the image stream: the batch
+    operators.joins.tile_rollup_stats composes UNCHANGED — count, min,
+    max and sum are all mergeable aggregates, so the stream keeps O(1)
+    partial state per pyramid tile and the mean divides on emit.
+    Complete/update output mode; keyed state bounded by
+    sum_{l=z_to..z} 4^l tiles, independent of stream length."""
+    from gfp_gdal_spark.operators.joins import tile_rollup_stats
+
+    fp = tile_assign(with_footprint(images_stream), z=z)
+    return tile_rollup_stats(fp, z_to=z_to, val_col=val_col)
 
 
 def streaming_hash_split(
