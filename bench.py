@@ -157,6 +157,8 @@ def main() -> None:
         "range_join",
         "interval_join",
         "bbox_join",
+        "iou_join",
+        "nms_boxes",
         "polygon_join",
         "overlap_clusters",
         "density_clusters",
