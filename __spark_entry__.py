@@ -3104,10 +3104,11 @@ def _q_nms_boxes(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver certifies the FIRST 50 of the
-    # 132 registered entries (the full registry is check_oracles-green
+    # 134 registered entries (the full registry is check_oracles-green
     # locally — ORACLES_LOCAL_r05.md records a 0-failure FINAL sweep of
-    # every entry, window and tail alike, at sf0.01; tile_rollup_stats
-    # was added after that sweep and carries its own appended row).
+    # every entry, window and tail alike, at sf0.01; tile_rollup_stats,
+    # iou_join and nms_boxes were added after that sweep and carry
+    # their own appended OK rows).
     # Rotation policy (VERDICT r3/r4): every query
     # that transitively touches a module changed in round 5 sits inside
     # the window — joins.py (tile_rollup guard, bbox_join,
