@@ -169,3 +169,50 @@ def test_bucketed_join_plans_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_pts_b")
         spark.sql("DROP TABLE IF EXISTS t_polys_b")
+
+
+def test_tile_rollup_stats_single_shuffle_pure_jvm(spark):
+    """tile_rollup_stats' scale claim: the WHOLE pyramid (every zoom
+    z_to..z_from) comes out of ONE hash aggregation — the plan must
+    show exactly one shuffle exchange and zero Python eval nodes
+    (explode + shiftright + agg are all codegen'd JVM expressions)."""
+    tiles = spark.range(0, 5000).select(
+        F.lit(8).alias("tile_z"),
+        (F.col("id") % 200).cast("long").alias("tile_x"),
+        (F.col("id") % 170).cast("long").alias("tile_y"),
+        (F.col("id") % 97).cast("double").alias("val"),
+    )
+    out = J.tile_rollup_stats(tiles, z_to=4, val_col="val")
+    plan = plan_of(out)
+    for marker in PY_MARKERS:
+        assert marker not in plan, f"{marker} in plan:\n{plan}"
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, f"expected 1 shuffle, saw {n_shuffles}:\n{plan}"
+    assert out.count() > 0
+
+
+def test_iou_match_join_pure_jvm(spark):
+    """iou_match_join's hot path is the equi-join on (image, tile
+    bucket) plus an integer IoU gate — all Column expressions, so the
+    plan must contain no Python eval node."""
+    from gfp_gdal_spark.operators.vision import iou_match_join
+
+    l = spark.range(0, 500).select(
+        (F.col("id") % 40).cast("string").alias("image_id"),
+        (F.col("id") % 100).cast("int").alias("l_x0"),
+        (F.col("id") % 90).cast("int").alias("l_y0"),
+        ((F.col("id") % 100) + 20).cast("int").alias("l_x1"),
+        ((F.col("id") % 90) + 25).cast("int").alias("l_y1"),
+    )
+    r = spark.range(0, 400).select(
+        (F.col("id") % 40).cast("string").alias("image_id"),
+        ((F.col("id") * 3) % 100).cast("int").alias("r_x0"),
+        ((F.col("id") * 7) % 90).cast("int").alias("r_y0"),
+        (((F.col("id") * 3) % 100) + 22).cast("int").alias("r_x1"),
+        (((F.col("id") * 7) % 90) + 18).cast("int").alias("r_y1"),
+    )
+    out = iou_match_join(l, r, by="image_id")
+    plan = plan_of(out)
+    for marker in PY_MARKERS:
+        assert marker not in plan, f"{marker} in plan:\n{plan}"
+    assert out.count() > 0
