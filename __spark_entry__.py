@@ -187,7 +187,7 @@ def _q_pip_join_rect(spark, sf):
     _prep(spark)
     pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
     polys = _rects_from_customer(_t(spark, sf, "customer"))
-    out = J.pip_join(pts, polys, z=4, holes=None, broadcast=True)
+    out = J.pip_join(pts, polys, z="auto", holes=None, broadcast=True)
     return out.select("o_orderkey", "c_custkey")
 
 
@@ -237,7 +237,7 @@ def _q_pip_join_shuffle(spark, sf):
     _prep(spark)
     pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
     polys = _rects_from_customer(_t(spark, sf, "customer"))
-    out = J.pip_join(pts, polys, z=4, holes=None, broadcast=False)
+    out = J.pip_join(pts, polys, z="auto", holes=None, broadcast=False)
     return out.select("o_orderkey", "c_custkey")
 
 
@@ -249,7 +249,7 @@ def _q_pip_join_salted(spark, sf):
     _prep(spark)
     pts = _points_from(_t(spark, sf, "orders"), "o_orderkey", "o_orderkey")
     polys = _rects_from_customer(_t(spark, sf, "customer"))
-    out = J.pip_join(pts, polys, z=4, holes=None, broadcast=False, salt="auto")
+    out = J.pip_join(pts, polys, z="auto", holes=None, broadcast=False, salt="auto")
     return out.select("o_orderkey", "c_custkey")
 
 
@@ -475,7 +475,13 @@ def _q_embedding_dedup(spark, sf):
         F.transform("embedding", lambda x: x * 1.25).alias("embedding"),
     )
     aug = emb.unionByName(copies)
-    out = SIM.embedding_dedup(aug, threshold=0.9, dim=64, bits=8, multiprobe=1)
+    # bits=12 (was 8): the first 8 hyperplanes of the seeded generator
+    # are byte-identical (C-order fill), so 12-bit bucket agreement
+    # implies 8-bit agreement — the candidate set only SHRINKS (~16x
+    # fewer false candidates) while the planted copies (hamming 0 under
+    # any planes: positive scaling preserves every sign) always
+    # survive; the emitted clusters are identical (oracle-checked).
+    out = SIM.embedding_dedup(aug, threshold=0.9, dim=64, bits=12, multiprobe=1)
     return out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
 
 
@@ -2927,7 +2933,7 @@ def _q_zonal_stats(spark, sf):
     )
     polys = _rects_from_customer(_t(spark, sf, "customer"))
     out = zonal_stats(
-        pts, polys, zone_id="c_custkey", z=4, holes=None, broadcast=True
+        pts, polys, zone_id="c_custkey", z="auto", holes=None, broadcast=True
     )
     return out.select(
         "c_custkey",
@@ -2953,7 +2959,7 @@ def _q_zonal_mode(spark, sf):
     )
     polys = _rects_from_customer(_t(spark, sf, "customer"))
     return zonal_mode(
-        pts, polys, zone_id="c_custkey", z=4, holes=None, broadcast=True
+        pts, polys, zone_id="c_custkey", z="auto", holes=None, broadcast=True
     )
 
 
@@ -3031,7 +3037,7 @@ def _q_pip_join_polygons(spark, sf):
         F.array().cast("array<array<array<double>>>")
     )
     polys = s.select(k.alias("s_suppkey"), ring.alias("ring"), holes.alias("holes"))
-    out = J.pip_join(pts, polys, z=4, broadcast=True)
+    out = J.pip_join(pts, polys, z="auto", broadcast=True)
     return out.select("o_orderkey", "s_suppkey")
 
 

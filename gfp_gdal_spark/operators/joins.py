@@ -587,7 +587,7 @@ def _pip_join_broadcast_rings(
 def pip_join(
     points: DataFrame,
     polys: DataFrame,
-    z: int = 7,
+    z: int | str = 7,
     lon: str = "lon_c",
     lat: str = "lat_c",
     ring: str = "ring",
@@ -606,7 +606,10 @@ def pip_join(
     points x polys -> rows where point (lon,lat) is strictly inside the
     polygon (exterior ring minus holes; ray-cast refine). Bucketing
     cell: ``bucket="tile"`` uses WebMercator tiles at zoom ``z`` (exact
-    rectangular cover, pure JVM math); ``bucket="hex"`` uses hexlite
+    rectangular cover, pure JVM math; ``z="auto"`` sizes the grid to
+    the layer's mean bbox extent — the hex/s2 auto-res twin, and the
+    right default: the bucket zoom changes only the candidate count,
+    never the result); ``bucket="hex"`` uses hexlite
     cells at ``res`` (H3-style; superset bbox cover, also pure JVM).
     Either way the refine is exact — the bucket scheme only shapes the
     equi-join.
@@ -643,6 +646,24 @@ def pip_join(
             "unmatched rows); for left semantics, left-join points "
             "against the inner result on the point key"
         )
+    if bucket == "tile" and (z is None or z == "auto"):
+        # size the tile grid to the polygon extents (the tile twin of
+        # the hex/s2 auto sizing): cell edge ~ the layer's mean bbox
+        # extent, so each polygon covers O(1) cells (~2-6) while a
+        # point's cell holds ~layer-density polygons instead of the
+        # whole-cell pileup a too-coarse fixed z causes (at z=4 a
+        # 2-degree rect layer packs ~300 polygons per 22.5-degree cell
+        # and every point pays all of them in the equi-join probe).
+        # One cheap aggregate over the (small) polygon side.
+        import math
+
+        bb = ring_bbox_cols(polys.select(ring), ring)
+        st = bb.agg(
+            F.avg(F.col("max_lon") - F.col("min_lon")).alias("w"),
+            F.avg(F.col("max_lat") - F.col("min_lat")).alias("h"),
+        ).first()
+        ext = max(float(st.w or 0.0), float(st.h or 0.0), 1e-6)
+        z = int(min(max(round(math.log2(360.0 / ext)), 0), 14))
     if bucket == "s2" and (res is None or res == "auto"):
         # same extent-based sizing as hex: target ~16 cover cells per
         # polygon; an S2 cell at level L spans ~90/2^L degrees near a
