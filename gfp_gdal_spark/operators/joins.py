@@ -665,16 +665,21 @@ def pip_join(
         ext = max(float(st.w or 0.0), float(st.h or 0.0), 1e-6)
         z = int(min(max(round(math.log2(360.0 / ext)), 0), 14))
     if bucket == "s2" and (res is None or res == "auto"):
-        # same extent-based sizing as hex: target ~16 cover cells per
-        # polygon; an S2 cell at level L spans ~90/2^L degrees near a
-        # face center
+        # extent-based sizing: target ~4 cover cells per polygon (an S2
+        # cell at level L spans ~90/2^L degrees near a face center).
+        # Re-tuned from the original ~16-cell target: the superset bbox
+        # cover inflates the per-polygon fan-out well past the nominal
+        # target, and the measured sweep (sf1.0 rect layer: level-6
+        # 10.7s vs the old auto pick 15.5s) shows one-level-coarser
+        # cells trade a little refine work for a much smaller exploded
+        # build side.
         import math
 
         bb = ring_bbox_cols(polys.select(ring), ring)
         st = bb.agg(
             F.avg((F.col("max_lon") - F.col("min_lon")) * (F.col("max_lat") - F.col("min_lat"))).alias("a")
         ).first()
-        s_deg = math.sqrt(max(st.a or 1e-6, 1e-6) / 16.0)
+        s_deg = math.sqrt(max(st.a or 1e-6, 1e-6) / 4.0)
         res = int(min(max(round(math.log2(90.0 / s_deg)), 0), 28))
     if bucket == "hex" and (res is None or res == "auto"):
         # size the bucket grid to the polygon extents: a too-fine res
@@ -855,6 +860,24 @@ def knn_join(
             F.min(p_lon).alias("x0"), F.max(p_lon).alias("x1"),
             F.min(p_lat).alias("y0"), F.max(p_lat).alias("y1"),
         ).first()
+        if exact:
+            # SMALL-QUERY-SET shortcut: when |queries| x |points| fits a
+            # bounded candidate budget, the exact broadcast nested-loop
+            # is strictly cheaper than ANY ring plan — the ring rounds
+            # pay res sizing + point-side encode/persist + per-round
+            # certification windows before (often) landing in the same
+            # brute-force tail anyway (measured at sf1.0: 7.8s rounds ->
+            # 4.4s direct for 25 queries x 1.5M points). The count is
+            # one cheap action on the (small by premise) query side; at
+            # data scale (10^9+ points x many queries) the budget never
+            # fires and the ring machinery runs as before. Identical
+            # rows either way: both paths are exact with the same
+            # (dist, point_id) tie order.
+            n_q = queries.count()
+            if n_q * max(st.n or 0, 1) <= 200_000_000:
+                return knn_join_bruteforce(
+                    queries, points, k, q_id, q_lon, q_lat, p_id, p_lon, p_lat
+                )
         area = max((st.x1 - st.x0) * (st.y1 - st.y0), 1e-9)
         density = max(st.n, 1) / area
         # size the grid so ROUND 1 CERTIFIES: a query is proven done

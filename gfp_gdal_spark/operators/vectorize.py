@@ -247,6 +247,102 @@ def region_borders(
     return images.select(*cols).mapInArrow(op, schema)
 
 
+def _labels_and_borders(
+    images: DataFrame,
+    connectivity: int = 4,
+    nodata: int | None = None,
+) -> DataFrame:
+    """Fused single-decode pass emitting BOTH ``label_regions`` rows
+    (kind='G') and ``region_borders`` rows (kind='L'/'R'/'T'/'B') from
+    one decode + one labeling per tile — the stitch_regions feed.
+    Decode is the area-proportional dominant cost at scale, and the
+    unfused shape paid it twice (label_regions + region_borders each
+    decoded every tile independently). Region rows carry
+    (n_pixels, r0..c1) with pos NULL; border rows carry pos with the
+    region-row fields NULL. Same kernels, same per-kind values as the
+    standalone operators, bit for bit."""
+    schema = (
+        "image_id string, kind string, region long, val long, n_pixels long, "
+        "r0 int, c0 int, r1 int, c1 int, pos int"
+    )
+    names = ["image_id", "kind", "region", "val", "n_pixels", "r0", "c0", "r1", "c1", "pos"]
+
+    def op(batches):
+        tune_worker()
+        for b in batches:
+            ids, blobs, groups = group_by_shape(b)
+            for (f, w, h), idxs in groups.items():
+                pix = _gray_group([blobs[i].as_py() for i in idxs], f, w, h)
+                lab = _label_group(pix, connectivity)
+                id_arr = np.asarray([ids[i] for i in idxs], dtype=object)
+                # region rows (label_regions twin)
+                frame, region, val, cnt, r0, c0, r1, c1 = _region_rows(pix, lab)
+                if nodata is not None:
+                    keep = val != nodata
+                    frame, region, val, cnt = frame[keep], region[keep], val[keep], cnt[keep]
+                    r0, c0, r1, c1 = r0[keep], c0[keep], r1[keep], c1[keep]
+                if frame.size:
+                    npos = pa.nulls(frame.size, pa.int32())
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(id_arr[frame]),
+                            pa.array(np.full(frame.size, "G", dtype=object)),
+                            pa.array(region, pa.int64()),
+                            pa.array(val, pa.int64()),
+                            pa.array(cnt, pa.int64()),
+                            pa.array(r0, pa.int32()),
+                            pa.array(c0, pa.int32()),
+                            pa.array(r1, pa.int32()),
+                            pa.array(c1, pa.int32()),
+                            npos,
+                        ],
+                        names,
+                    )
+                # border rows (region_borders twin)
+                m = pix.shape[0]
+                frames, sides, poss, regs, vals = [], [], [], [], []
+                for side, lsl, psz in (
+                    ("L", (slice(None), slice(None), 0), h),
+                    ("R", (slice(None), slice(None), w - 1), h),
+                    ("T", (slice(None), 0, slice(None)), w),
+                    ("B", (slice(None), h - 1, slice(None)), w),
+                ):
+                    lg, vg = lab[lsl], pix[lsl]
+                    fr = np.repeat(np.arange(m, dtype=np.int64), psz)
+                    po = np.tile(np.arange(psz, dtype=np.int64), m)
+                    rg = lg.reshape(-1)
+                    vv = vg.reshape(-1)
+                    if nodata is not None:
+                        keep = vv != nodata
+                        fr, po, rg, vv = fr[keep], po[keep], rg[keep], vv[keep]
+                    frames.append(fr)
+                    poss.append(po)
+                    regs.append(rg)
+                    vals.append(vv)
+                    sides.append(np.full(fr.size, side, dtype=object))
+                fr = np.concatenate(frames)
+                if fr.size:
+                    nn = fr.size
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(id_arr[fr]),
+                            pa.array(np.concatenate(sides)),
+                            pa.array(np.concatenate(regs), pa.int64()),
+                            pa.array(np.concatenate(vals), pa.int64()),
+                            pa.nulls(nn, pa.int64()),
+                            pa.nulls(nn, pa.int32()),
+                            pa.nulls(nn, pa.int32()),
+                            pa.nulls(nn, pa.int32()),
+                            pa.nulls(nn, pa.int32()),
+                            pa.array(np.concatenate(poss).astype(np.int32)),
+                        ],
+                        names,
+                    )
+
+    cols = ["image_id", "bytes", "fmt", "w", "h"]
+    return images.select(*cols).mapInArrow(op, schema)
+
+
 _VID_BITS = 20
 
 
@@ -271,14 +367,17 @@ def stitch_regions(
     tile coord or region exceeds 20 bits, i.e. tiles past 2^20 per
     axis or tiles larger than 2^20 pixels).
 
-    Plan shape at 10^12 pixels: the area-proportional work is the two
-    per-tile mapInArrow passes (label + border extraction — decode
-    runs twice; fusing them is a straightforward follow-up); the
-    stitch itself joins only PERIMETER rows (O(sqrt(pixels)) per tile)
-    via two equi-joins, then runs connected_components over the
-    resulting region-adjacency edge list, whose size is bounded by
-    total border length, not area. 4-connectivity only (diagonal
-    stitching would need pos+-1 matches; fail-loud).
+    Plan shape at 10^12 pixels: the area-proportional work is ONE
+    fused per-tile mapInArrow pass (``_labels_and_borders``: one
+    decode + one labeling emits both the region rows and the border
+    rows; the pass is materialized via localCheckpoint so the label
+    leg and the border leg both read the same blocks instead of
+    re-decoding); the stitch itself joins only PERIMETER rows
+    (O(sqrt(pixels)) per tile) via two equi-joins, then runs
+    connected_components over the resulting region-adjacency edge
+    list, whose size is bounded by total border length, not area.
+    4-connectivity only (diagonal stitching would need pos+-1
+    matches; fail-loud).
     """
     from gfp_gdal_spark.plans.graph import connected_components
 
@@ -325,8 +424,20 @@ def stitch_regions(
             F.shiftleft(F.shiftleft(ty, _VID_BITS) + tx, _VID_BITS) + region
         )
 
+    # ONE decode for both legs: the fused pass is persisted LAZILY
+    # (output volume is regions + perimeters, O(sqrt(pixels)) per
+    # tile, never the raster area) — the stitch's first action (the
+    # edge/CC leg) materializes it and the label leg reads the same
+    # blocks; no extra blocking job, and the unfused shape's second
+    # full decode is gone. Cache eviction only re-derives (correct,
+    # just slower), and the ContextCleaner reclaims the blocks once
+    # the result DataFrame is dropped.
+    fused = _labels_and_borders(
+        images, connectivity=connectivity, nodata=nodata
+    ).persist()
     borders = (
-        region_borders(images, connectivity=connectivity, nodata=nodata)
+        fused.where(F.col("kind") != "G")
+        .select(F.col("kind").alias("side"), "pos", "region", "val", "image_id")
         .join(tiles, "image_id")
         .select(
             "side", "pos", "val",
@@ -361,7 +472,9 @@ def stitch_regions(
         )
         .distinct()
     )
-    labels = label_regions(images, connectivity=connectivity, nodata=nodata)
+    labels = fused.where(F.col("kind") == "G").select(
+        "image_id", "region", "val", "n_pixels", "r0", "c0", "r1", "c1"
+    )
     labeled = labels.join(tiles, "image_id").withColumn(
         "_vid", vid(F.col("_tx"), F.col("_ty"), F.col("region"))
     )
