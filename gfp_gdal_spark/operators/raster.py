@@ -633,7 +633,26 @@ def rasterize_zones(
             / F.col("_h").cast("double")
         ).alias("lat_c"),
     )
-    from gfp_gdal_spark.operators.joins import pip_join
+    from gfp_gdal_spark.operators.joins import pip_join, ring_bbox_cols
+
+    # pre-filter the zone layer to the frames' union bbox BEFORE the
+    # pip_join replicates it over cover cells (guide-§3.2 shape: shrink
+    # the build side first). A zone whose bbox misses every frame
+    # cannot contain any pixel center, so the burned output is
+    # identical; the win is a proportionally smaller broadcast/shuffle
+    # build when the frame set covers a fraction of the layer extent
+    # (the common tiling-job case). One cheap scalar agg over frames.
+    ext = fr.agg(
+        F.min("_x0").alias("x0"), F.min("_y0").alias("y0"),
+        F.max("_x1").alias("x1"), F.max("_y1").alias("y1"),
+    ).first()
+    if ext and ext.x0 is not None:
+        ring_col = pip_kwargs.get("ring", "ring")
+        zb = ring_bbox_cols(zones, ring_col)
+        zones = zb.where(
+            (F.col("min_lon") <= F.lit(ext.x1)) & (F.col("max_lon") >= F.lit(ext.x0))
+            & (F.col("min_lat") <= F.lit(ext.y1)) & (F.col("max_lat") >= F.lit(ext.y0))
+        ).drop("min_lon", "min_lat", "max_lon", "max_lat")
 
     hit = pip_join(centers, zones, **pip_kwargs)
     burned = hit.groupBy("_k", "_w", "_h", "_pix").agg(

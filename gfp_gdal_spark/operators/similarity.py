@@ -52,8 +52,27 @@ def cosine_topk(
     """Exact brute-force cosine top-k (broadcast nested loop + window)."""
     from pyspark.sql import Window
 
-    cand = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "cosine", cosine_sim_col(F.col(q_vec), F.col(c_vec))
+    from gfp_gdal_spark.operators.joins import _fan_out
+
+    def _norm(col: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+        )
+
+    # fan the (possibly single-split) corpus scan out to cluster width —
+    # a broadcast NL join preserves the probe side's partitioning, so a
+    # narrow scan would run every pair on ONE task; and compute each
+    # side's norm ONCE per row instead of once per pair (identical fp
+    # formula to cosine_sim_col: dot / greatest(na*nb, 1e-12)).
+    cb = _fan_out(corpus).withColumn("_cn", _norm(F.col(c_vec)))
+    qb = queries.withColumn("_qn", _norm(F.col(q_vec)))
+    dot = F.aggregate(
+        F.zip_with(F.col(q_vec), F.col(c_vec), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = cb.crossJoin(F.broadcast(qb)).withColumn(
+        "cosine", dot / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12))
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
