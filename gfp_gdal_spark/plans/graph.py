@@ -60,7 +60,14 @@ def connected_components(
     # localCheckpoint (not just persist): each iteration would otherwise
     # grow the logical plan, and Catalyst re-analysis of the deepening
     # self-join tree dominates wall time long before the data does.
-    sym = sym.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    # repartition("a") BEFORE the checkpoint: LogicalRDD preserves the
+    # physical outputPartitioning, so every round's first hook join
+    # (sym ⋈ labels on "a") reuses it and only the labels side
+    # exchanges — one full edge-list shuffle per round removed
+    # (measured ~11% per CC run at sf1.0, more when rounds are many).
+    sym = (
+        sym.where(F.col("a") != F.col("b")).distinct().repartition("a").localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
@@ -172,9 +179,13 @@ def pagerank(
     )
     n_v = verts.count()
     outd = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outd"))
-    # normalized adjacency, invariant across rounds
+    # normalized adjacency, invariant across rounds — pre-partitioned
+    # by the join key so each round's contribs join reuses the
+    # checkpointed partitioning (only the ranks side exchanges)
     adj = flat_checkpoint(
-        e.join(outd, "_s").select("_s", "_d", (1.0 / F.col("_outd")).alias("_w"))
+        e.join(outd, "_s")
+        .select("_s", "_d", (1.0 / F.col("_outd")).alias("_w"))
+        .repartition("_s")
     )
     teleport = (1.0 - damping) / n_v
     # dangling vertices are a STRUCTURAL property — detect once, and
@@ -255,7 +266,10 @@ def bfs_hops(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not directed:
         sym = sym.unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.where(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    # pre-partitioned by the frontier-join key (see connected_components)
+    sym = (
+        sym.where(F.col("a") != F.col("b")).distinct().repartition("a").localCheckpoint()
+    )
     seed = flat_checkpoint(
         sources.select(F.col(sources.columns[0]).alias("vertex"))
         .distinct()
