@@ -82,6 +82,23 @@ def cosine_topk(
     )
 
 
+def _norm_col(col: Column) -> Column:
+    """L2 norm of an array column — the per-ROW half of the cosine, so
+    pair verifies pay one higher-order pass (the dot) instead of three.
+    Same fp expression as cosine_sim_col's norm terms."""
+    return F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def _dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim)).astype(np.float64)
@@ -168,8 +185,14 @@ def ivf_cosine_topk(
     # query table x n_probe fan-out must NOT be force-broadcast — it
     # would OOM executors where a shuffle join degrades gracefully)
     build = F.broadcast(qb) if broadcast_queries else qb
+    # per-row norms once, dot per candidate (same fp formula as
+    # cosine_sim_col — see embedding_dedup_pairs)
+    cb = cb.withColumn("_cn", _norm_col(F.col(c_vec)))
+    build = build.withColumn("_qn", _norm_col(F.col(q_vec)))
     cand = cb.join(build, "_centroid").withColumn(
-        "cosine", cosine_sim_col(F.col(q_vec), F.col(c_vec))
+        "cosine",
+        _dot_col(F.col(q_vec), F.col(c_vec))
+        / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12)),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
@@ -328,13 +351,19 @@ def lsh_cosine_topk(
         "_bucket",
         F.explode(F.array(*[F.col("_b0").bitwiseXOR(F.lit(m)) for m in masks])),
     ).drop("_b0")
-    cb = corpus.withColumn("_bucket", bu(F.col(c_vec)))
+    cb = corpus.withColumn("_bucket", bu(F.col(c_vec))).withColumn(
+        "_cn", _norm_col(F.col(c_vec))
+    )
     # broadcast_queries=None lets Catalyst/AQE pick from size stats —
     # the multiprobe fan-out multiplies the query side by C(bits,<=m),
     # so an unconditional broadcast hint would OOM on large query sets
-    build = F.broadcast(qb) if broadcast_queries else qb
+    build = (F.broadcast(qb) if broadcast_queries else qb).withColumn(
+        "_qn", _norm_col(F.col(q_vec))
+    )
     cand = cb.join(build, "_bucket").withColumn(
-        "cosine", cosine_sim_col(F.col(q_vec), F.col(c_vec))
+        "cosine",
+        _dot_col(F.col(q_vec), F.col(c_vec))
+        / F.greatest(F.col("_qn") * F.col("_cn"), F.lit(1e-12)),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
