@@ -61,6 +61,9 @@ def main() -> None:
                 df.explain("formatted")
             with open(os.path.join(args.plans_dir, f"{name}_{args.tag}.txt"), "w") as f:
                 f.write(buf.getvalue())
+        if args.runs <= 0:  # plan-capture-only mode
+            spark.sparkContext.setJobDescription(None)
+            continue
         best, n = None, 0
         for _ in range(args.runs):
             t0 = time.time()
