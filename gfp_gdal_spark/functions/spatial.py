@@ -322,33 +322,63 @@ def ring_crossings_col(px: Column, py: Column, ring: Column) -> Column:
 
 def pip_refine_col(px: Column, py: Column, ring: Column, holes: Column | None = None) -> Column:
     """Exact PiP (exterior ring minus holes) as a pure JVM expression —
-    the zero-Python refine stage of pip_join.
+    the zero-Python refine stage of pip_join."""
+    inside = ring_crossings_col(px, py, ring)
+    if holes is not None:
+        in_hole = F.exists(holes, lambda h: ring_crossings_col(px, py, h))
+        inside = inside & ~F.coalesce(in_hole, F.lit(False))
+    return inside
 
-    Axis-aligned-rectangle fast path (bit-identical, not approximate):
-    for an unclosed 4-ring whose edges alternate horizontal/vertical
-    starting horizontal — [(xa,ya),(xb,ya),(xb,yb),(xa,yb)] — the
-    half-open ray cast reduces EXACTLY to
-        min(xa,xb) <= px < max(xa,xb)  AND  min(ya,yb) <= py < max(ya,yb):
-    horizontal edges never straddle ((y1>py) == (y2>py)); each vertical
-    edge's xint is exactly its own x ((x2-x1) == 0.0, and 0.0 * finite
-    == 0.0 — the straddle gate guarantees the quotient is finite), so
-    parity == (px<xmax) XOR (px<xmin) gated on the shared straddle
-    interval [ymin, ymax). Degenerate (zero-width/height) rects yield
-    false on both paths; any other vertex pattern (including rects
-    starting with a vertical edge) falls through to the general ray
-    cast. This moves the dominant refine cost of rectangle layers
-    (footprints, bboxes, grid zones) from the interpreted
-    higher-order-function path onto plain codegen-able comparisons."""
+
+def rect_bounds_col(ring: Column) -> Column:
+    """Nullable struct(x0, x1, y0, y1) of an axis-aligned rectangle
+    ring, NULL for any other shape — the build-side half of the
+    bit-identical rect fast path (see ``pip_refine_rect_col``).
+    Detects an unclosed 4-ring whose edges alternate horizontal /
+    vertical starting horizontal: [(xa,ya),(xb,ya),(xb,yb),(xa,yb)].
+    Evaluate this ONCE PER POLYGON (before the cover fan-out) so
+    non-rectangular layers pay a single null check per candidate, not
+    a per-candidate structural test."""
     r0, r1, r2, r3 = F.get(ring, 0), F.get(ring, 1), F.get(ring, 2), F.get(ring, 3)
     is_rect = (
         (F.size(ring) == 4)
         & (r0[1] == r1[1]) & (r1[0] == r2[0])
         & (r2[1] == r3[1]) & (r3[0] == r0[0])
     )
-    bx0, bx1 = F.least(r0[0], r1[0]), F.greatest(r0[0], r1[0])
-    by0, by1 = F.least(r0[1], r2[1]), F.greatest(r0[1], r2[1])
-    rect_inside = (px >= bx0) & (px < bx1) & (py >= by0) & (py < by1)
-    inside = F.when(is_rect, rect_inside).otherwise(ring_crossings_col(px, py, ring))
+    return F.when(
+        is_rect,
+        F.struct(
+            F.least(r0[0], r1[0]).alias("x0"),
+            F.greatest(r0[0], r1[0]).alias("x1"),
+            F.least(r0[1], r2[1]).alias("y0"),
+            F.greatest(r0[1], r2[1]).alias("y1"),
+        ),
+    )
+
+
+def pip_refine_rect_col(
+    px: Column, py: Column, ring: Column, rect: Column, holes: Column | None = None
+) -> Column:
+    """``pip_refine_col`` with the axis-aligned-rectangle fast path
+    (bit-identical, not approximate). ``rect`` is ``rect_bounds_col``'s
+    nullable struct, precomputed on the polygon side.
+
+    Equivalence: for the detected rect shape the half-open ray cast
+    reduces EXACTLY to
+        min(xa,xb) <= px < max(xa,xb)  AND  min(ya,yb) <= py < max(ya,yb) —
+    horizontal edges never straddle ((y1>py) == (y2>py)); each vertical
+    edge's xint is exactly its own x ((x2-x1) == 0.0, and 0.0 * finite
+    == 0.0, the straddle gate guaranteeing a finite quotient), so
+    parity == (px<xmax) XOR (px<xmin) gated on the shared straddle
+    interval [ymin, ymax). Degenerate (zero-width/height) rects yield
+    false on both paths; NULL ``rect`` rows take the general ray cast.
+    Rectangle layers (footprints, bboxes, grid zones) thus refine on
+    plain codegen-able comparisons; other layers pay one null check."""
+    fast = (
+        (px >= rect["x0"]) & (px < rect["x1"])
+        & (py >= rect["y0"]) & (py < rect["y1"])
+    )
+    inside = F.when(rect.isNotNull(), fast).otherwise(ring_crossings_col(px, py, ring))
     if holes is not None:
         in_hole = F.exists(holes, lambda h: ring_crossings_col(px, py, h))
         inside = inside & ~F.coalesce(in_hole, F.lit(False))

@@ -746,6 +746,16 @@ def pip_join(
                 points, polys, z, lon, lat, ring, hole_arg, bucket=bucket, res=res
             )
 
+    if refine == "jvm":
+        # rect fast path (bit-identical — see pip_refine_rect_col):
+        # detect axis-aligned rectangle rings ONCE per polygon, before
+        # the cover fan-out replicates them; candidates of non-rect
+        # layers pay a single null check instead of a per-candidate
+        # structural test (a per-candidate test measurably taxed the
+        # k-gon layers).
+        from gfp_gdal_spark.functions.spatial import rect_bounds_col
+
+        polys = polys.withColumn("_pr", rect_bounds_col(F.col(ring)))
     if bucket == "hex":
         pcells = cover_cells_hex(polys, res, ring, keep_bbox=True)
     elif bucket == "s2":
@@ -819,11 +829,15 @@ def pip_join(
     joined = joined.drop("min_lon", "min_lat", "max_lon", "max_lat")
 
     if refine == "jvm":
+        from gfp_gdal_spark.functions.spatial import pip_refine_rect_col
+
         hole_c = F.col(hole_arg) if hole_arg else None
-        refined = joined.where(pip_refine_col(F.col(lon), F.col(lat), F.col(ring), hole_c))
+        refined = joined.where(
+            pip_refine_rect_col(F.col(lon), F.col(lat), F.col(ring), F.col("_pr"), hole_c)
+        )
         if keep_geometry:
-            return refined.drop("cell")
-        return refined.drop("cell", *([ring] + ([hole_arg] if hole_arg else [])))
+            return refined.drop("cell", "_pr")
+        return refined.drop("cell", "_pr", *([ring] + ([hole_arg] if hole_arg else [])))
 
     if keep_geometry:
         return pip_filter_arrow(joined, lon, lat, ring, hole_arg).drop("cell")

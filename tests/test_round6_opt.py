@@ -14,7 +14,11 @@ from tests.conftest import spark  # noqa: F401  (fixture re-export)
 def _refine_rows(spark, rows):
     """Evaluate BOTH the full pip_refine_col (with the rect fast path)
     and the raw general ray cast on (px, py, ring) rows."""
-    from gfp_gdal_spark.functions.spatial import pip_refine_col, ring_crossings_col
+    from gfp_gdal_spark.functions.spatial import (
+        pip_refine_rect_col,
+        rect_bounds_col,
+        ring_crossings_col,
+    )
 
     df = spark.createDataFrame(
         pd.DataFrame(
@@ -27,9 +31,12 @@ def _refine_rows(spark, rows):
         ),
         schema="i long, px double, py double, ring array<array<double>>",
     )
+    df = df.withColumn("_pr", rect_bounds_col(F.col("ring")))  # as pip_join does
     out = df.select(
         "i",
-        pip_refine_col(F.col("px"), F.col("py"), F.col("ring")).alias("fast"),
+        pip_refine_rect_col(
+            F.col("px"), F.col("py"), F.col("ring"), F.col("_pr")
+        ).alias("fast"),
         ring_crossings_col(F.col("px"), F.col("py"), F.col("ring")).alias("slow"),
     ).toPandas()
     return out.sort_values("i")
