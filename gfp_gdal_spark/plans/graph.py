@@ -107,16 +107,20 @@ def connected_components(
         )
         hook.unpersist()
         old_labels.unpersist()
-        # (2) COMPRESS — two fixed doubling steps, plain localCheckpoint
-        # (stats square per step but the next round's flat_checkpoint
-        # resets them to absolute, so growth is bounded at ^4)
+        # (2) COMPRESS — two fixed doubling steps CHAINED LAZILY with a
+        # single localCheckpoint after both (one materialization job per
+        # round instead of two; the inputs are materialized LogicalRDD
+        # blocks, so the duplicated subtree scans inside the chained
+        # self-joins are cheap cached reads — measured ~5% per CC run).
+        # Stats square per step but the next round's flat_checkpoint
+        # resets them to absolute, so growth stays bounded at ^4.
+        cur = labels
         for _c in range(2):
-            mapping = labels.select(
+            mapping = cur.select(
                 F.col("vertex").alias("_mv"), F.col("component").alias("_mc")
             )
-            prev = labels
-            labels = (
-                labels.withColumnRenamed("component", "_old")
+            cur = (
+                cur.withColumnRenamed("component", "_old")
                 .join(mapping, F.col("_old") == F.col("_mv"), "left")
                 .select(
                     "vertex",
@@ -124,9 +128,10 @@ def connected_components(
                         "component"
                     ),
                 )
-                .localCheckpoint()
             )
-            prev.unpersist()
+        prev = labels
+        labels = cur.localCheckpoint()
+        prev.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
